@@ -1,0 +1,16 @@
+"""infercam_onnx_tpu — a TPU-native streaming face-detection framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+sgasse/infercam_onnx (a Rust client/server webcam face-detection system):
+edge senders stream JPEG frames over a length-delimited TCP protocol to an
+inference server that runs the UltraFace (version-RFB-320/640) detector and
+serves raw + annotated MJPEG streams over HTTP.
+
+Unlike the reference (single-threaded tract-onnx CPU inference, batch pinned
+to 1 — see reference infer_server/src/nn.rs:83,167), the whole per-frame hot
+path here (resize, normalize, CNN forward, confidence filter, hard-NMS) is a
+single jitted XLA program, micro-batched across concurrent streams, and
+scales over a `jax.sharding.Mesh` for multi-chip serving.
+"""
+
+__version__ = "0.1.0"

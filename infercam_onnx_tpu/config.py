@@ -1,0 +1,97 @@
+"""Configuration for the whole framework.
+
+The reference hard-codes most of its knobs as compile-time constants
+(channel capacities reference infer_server/src/lib.rs:23,29,37; JPEG quality
+95 reference inferer.rs:39; router refresh batch of 4 reference router.rs:52;
+assumed frame dims 1280x720 reference router.rs:66-67; model variant and
+thresholds reference inferer.rs:23). Here they are promoted to real,
+documented configuration with the reference values as defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Detection model + post-processing configuration.
+
+    Defaults mirror the reference serve-time setup
+    (reference inferer.rs:23: W320H240, max_iou=0.5, min_confidence=0.5).
+    """
+
+    variant: str = "RFB-320"  # "RFB-320" (320x240) or "RFB-640" (640x480)
+    max_iou: float = 0.5
+    min_confidence: float = 0.5
+    # Fixed-shape postprocessing sizes (TPU programs need static shapes).
+    # `top_k` candidates enter NMS; `max_detections` boxes come out.
+    top_k: int = 256
+    max_detections: int = 64
+    # Compute dtype for the conv trunk. bfloat16 feeds the MXU at full rate;
+    # float32 is used by parity tests.
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Micro-batching inference engine configuration."""
+
+    # Batch-size buckets: a batch of N frames runs with the smallest bucket
+    # >= N (padded). Bounds XLA recompilation (one executable per bucket).
+    batch_buckets: Sequence[int] = (1, 2, 4, 8, 16)
+    # Bounded device work queue; frames are DROPPED when full, mirroring the
+    # reference's try_send_ref backpressure (reference router.rs:65,
+    # infer-channel cap 10, reference lib.rs:37).
+    queue_capacity: int = 10
+    # Max time to wait for more frames before dispatching a partial batch.
+    batch_window_ms: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """Serving tier configuration (TCP ingest + HTTP MJPEG)."""
+
+    http_address: str = "127.0.0.1:3000"  # reference infer_server.rs:20-23
+    socket_address: str = "127.0.0.1:3001"  # reference infer_server.rs:25-28
+    # Ingest channel capacity (reference lib.rs:23: StaticChannel<_, 200>).
+    ingest_capacity: int = 200
+    # Broadcast ring-buffer capacity per subscriber (reference lib.rs:28-30).
+    broadcast_capacity: int = 20
+    # Frames processed per router subscriber-map refresh (reference
+    # router.rs:52).
+    router_refresh_every: int = 4
+    # Output JPEG encoding (reference inferer.rs:39: quality 95, 4:2:0).
+    jpeg_quality: int = 95
+    jpeg_subsampling: str = "420"
+    # FPS meter log period in seconds (reference meter.rs:46).
+    meter_period_s: float = 2.0
+    # The reference assumes all senders stream 1280x720 (reference
+    # router.rs:66-67) and scales relative bbox coords by that even when the
+    # decoded frame differs. We use true decoded dimensions instead
+    # (documented divergence, SURVEY.md section 7 "quirks": strictly better).
+    assume_frame_dims: tuple[int, int] | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class ClientConfig:
+    """Edge sender configuration (reference socket_sender.rs:14-22)."""
+
+    address: str = "127.0.0.1:3001"
+    channel: str = "simon"
+    reconnect_backoff_s: float = 3.0  # reference socket_sender.rs:58
+    camera_device: str = "/dev/video0"  # reference sensors.rs:15
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-chip scale-out configuration."""
+
+    # Name of the data-parallel mesh axis (batch dim sharded over it).
+    data_axis: str = "data"
+    # High-res tiled detection: tile grid (cols x rows) for e.g. 1080p.
+    tile_grid: tuple[int, int] = (2, 2)
+    # Fractional overlap between adjacent tiles so faces on seams are seen
+    # whole by at least one tile.
+    tile_overlap: float = 0.2
