@@ -1,0 +1,125 @@
+"""The fused detection pipeline: one jitted XLA program per input shape.
+
+The reference runs decode -> preprocess -> CNN -> postprocess as separate
+host-side stages in a single-threaded worker (reference
+infer_server/src/inferer.rs:31-46, nn.rs:179-186). Here
+preprocess (resize+normalize), the CNN forward, and filter+NMS execute as
+ONE device program over a whole batch of frames — the raw uint8 frames are
+the only host->device transfer and the padded detection arrays the only
+device->host transfer.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infercam_onnx_tpu.config import DetectorConfig
+from infercam_onnx_tpu.models import ultraface as uf
+from infercam_onnx_tpu.models.convert import load_or_download_params
+from infercam_onnx_tpu.ops.postprocess import batched_postprocess
+from infercam_onnx_tpu.ops.preprocess import Preprocessor, preprocess_images
+
+log = logging.getLogger(__name__)
+
+# A detection: (relative corner bbox [x_tl, y_tl, x_br, y_br], confidence)
+Detection = tuple[np.ndarray, float]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "compute_dtype", "min_confidence", "max_iou", "top_k",
+        "max_detections",
+    ),
+)
+def detect_program(
+    params,
+    priors: jax.Array,
+    images: jax.Array,  # [B, H, W, 3] uint8
+    r_h: jax.Array,
+    r_w: jax.Array,
+    *,
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+):
+    """uint8 frames in, padded detections out — all on device."""
+    x = preprocess_images(images, r_h, r_w)
+    scores, boxes = uf.forward(params, x, priors,
+                               compute_dtype=compute_dtype)
+    return batched_postprocess(
+        scores, boxes,
+        min_confidence=min_confidence, max_iou=max_iou,
+        top_k=top_k, max_detections=max_detections)
+
+
+class Detector:
+    """UltraFace detector with variant/threshold config and weight loading.
+
+    Mirrors the reference's model lifecycle (reference nn.rs:55-67:
+    UltrafaceModel::new(variant, max_iou, min_confidence) with
+    download-on-miss weights) but batched and device-resident.
+    """
+
+    def __init__(self, config: DetectorConfig = DetectorConfig(),
+                 params=None, *, rng: int = 0):
+        self.config = config
+        if params is None:
+            params = load_or_download_params(config.variant)
+            if params is None:
+                log.warning(
+                    "UltraFace %s weights unavailable (offline); using "
+                    "deterministic random weights", config.variant)
+                params = uf.init_params(rng, background_bias=4.0)
+        self.model = uf.UltraFace.create(config.variant, params)
+        self.preprocessor = Preprocessor(self.model.width,
+                                         self.model.height)
+        self._compute_dtype = jnp.dtype(config.compute_dtype)
+
+    # -- device program ----------------------------------------------------
+
+    def run_device(self, images: jax.Array | np.ndarray):
+        """[B, H, W, 3] uint8 -> (boxes [B,D,4], confs [B,D], counts [B])
+        as device arrays (one fused program; retraces per input shape)."""
+        _, h, w, _ = images.shape
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        c = self.config
+        return detect_program(
+            self.model.params, self.model.priors, jnp.asarray(images),
+            r_h, r_w,
+            compute_dtype=self._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections)
+
+    def warmup(self, batch_size: int, height: int, width: int) -> None:
+        """Compile the program for one (B, H, W) bucket ahead of time."""
+        dummy = np.zeros((batch_size, height, width, 3), np.uint8)
+        jax.block_until_ready(self.run_device(dummy))
+
+    # -- host API ----------------------------------------------------------
+
+    def detect_batch(
+        self, frames: np.ndarray
+    ) -> list[list[Detection]]:
+        """[B, H, W, 3] uint8 frames -> per-frame detection lists
+        (relative corner bboxes + confidences, descending confidence,
+        exactly like reference nn.rs postproc output)."""
+        boxes, confs, counts = jax.device_get(self.run_device(frames))
+        out: list[list[Detection]] = []
+        for b in range(frames.shape[0]):
+            n = int(counts[b])
+            out.append([(boxes[b, i], float(confs[b, i]))
+                        for i in range(n)])
+        return out
+
+    def detect(self, frame: np.ndarray) -> list[Detection]:
+        """Single [H, W, 3] uint8 frame -> detections."""
+        return self.detect_batch(frame[None])[0]

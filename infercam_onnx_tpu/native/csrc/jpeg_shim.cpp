@@ -1,0 +1,195 @@
+// Native JPEG codec shim over the system libjpeg.
+//
+// TPU-native equivalent of the reference's turbojpeg component (Rust
+// bindings over libjpeg-turbo, reference infer_server/src/inferer.rs:35-40
+// and cam_sender's MJPG camera frames): decompress to RGB8, compress from
+// RGB8 with configurable quality and chroma subsampling, plus a batch
+// decode entry point that fans out across a std::thread pool — the server
+// decodes frames from many concurrent streams per micro-batch tick.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this
+// environment). Error handling: libjpeg's default error handler calls
+// exit(); we install a setjmp-based handler so corrupt frames return an
+// error code instead of killing the process (the reference *panics* its
+// inference task on corrupt frames, reference inferer.rs:35-36 — hardened
+// here per SURVEY.md section 5).
+
+#include <atomic>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+void silence_output(j_common_ptr) {}
+
+}  // namespace
+
+extern "C" {
+
+// Decode JPEG bytes to RGB8. On success returns 0 and fills *out_w/*out_h;
+// the caller must have provided `out` with capacity >= max_bytes. Returns
+// -1 on corrupt input, -2 if the decoded image exceeds max_bytes.
+int ic_jpeg_decode_rgb(const uint8_t* data, int64_t len, uint8_t* out,
+                       int64_t max_bytes, int32_t* out_w, int32_t* out_h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int64_t w = cinfo.output_width;
+  const int64_t h = cinfo.output_height;
+  const int64_t stride = w * 3;
+  if (stride * h > max_bytes) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + static_cast<int64_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_w = static_cast<int32_t>(w);
+  *out_h = static_cast<int32_t>(h);
+  return 0;
+}
+
+// Probe dimensions without decoding. Returns 0 on success.
+int ic_jpeg_probe(const uint8_t* data, int64_t len, int32_t* out_w,
+                  int32_t* out_h) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  *out_w = static_cast<int32_t>(cinfo.image_width);
+  *out_h = static_cast<int32_t>(cinfo.image_height);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Encode RGB8 to JPEG. subsamp: 0 = 4:4:4, 1 = 4:2:2, 2 = 4:2:0 (the
+// reference uses 4:2:0 at quality 95, reference inferer.rs:39).
+// Returns the encoded size, or -1 on error / -2 if out buffer too small.
+int64_t ic_jpeg_encode_rgb(const uint8_t* rgb, int32_t w, int32_t h,
+                           int32_t quality, int32_t subsamp, uint8_t* out,
+                           int64_t max_bytes) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+
+  uint8_t* buf = nullptr;
+  unsigned long buf_size = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (buf) free(buf);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buf_size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  // chroma subsampling on the single luma component's sampling factors
+  if (subsamp == 0) {
+    cinfo.comp_info[0].h_samp_factor = 1;
+    cinfo.comp_info[0].v_samp_factor = 1;
+  } else if (subsamp == 1) {
+    cinfo.comp_info[0].h_samp_factor = 2;
+    cinfo.comp_info[0].v_samp_factor = 1;
+  } else {
+    cinfo.comp_info[0].h_samp_factor = 2;
+    cinfo.comp_info[0].v_samp_factor = 2;
+  }
+  jpeg_start_compress(&cinfo, TRUE);
+  const int64_t stride = static_cast<int64_t>(w) * 3;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        rgb + static_cast<int64_t>(cinfo.next_scanline) * stride);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+
+  int64_t n = static_cast<int64_t>(buf_size);
+  if (n > max_bytes) {
+    free(buf);
+    return -2;
+  }
+  memcpy(out, buf, n);
+  free(buf);
+  return n;
+}
+
+// Batch decode with a thread pool. Each output slot i gets status[i] (as
+// ic_jpeg_decode_rgb) and dims in out_w[i]/out_h[i]; pixel data lands at
+// outs + i * max_bytes_each.
+void ic_jpeg_decode_batch(const uint8_t* const* datas, const int64_t* lens,
+                          int32_t n, uint8_t* outs, int64_t max_bytes_each,
+                          int32_t* out_w, int32_t* out_h, int32_t* status,
+                          int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+  std::vector<std::thread> workers;
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = ic_jpeg_decode_rgb(datas[i], lens[i],
+                                     outs + static_cast<int64_t>(i) * max_bytes_each,
+                                     max_bytes_each, &out_w[i], &out_h[i]);
+    }
+  };
+  for (int t = 0; t < num_threads; ++t) workers.emplace_back(work);
+  for (auto& th : workers) th.join();
+}
+
+}  // extern "C"

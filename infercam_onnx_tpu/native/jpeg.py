@@ -1,0 +1,150 @@
+"""ctypes loader for the native JPEG shim (builds on first use).
+
+The shared object is compiled from native/csrc/jpeg_shim.cpp with the
+system g++ against libjpeg and cached next to the source keyed by a hash
+of the source text. pybind11 is not available in this environment; the
+shim exposes a C ABI and numpy arrays cross via raw pointers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "csrc", "jpeg_shim.cpp")
+
+# Default max decoded frame: 4K RGB (3840*2160*3 ~ 24 MB)
+MAX_FRAME_BYTES = 3840 * 2160 * 3
+_DEFAULT_THREADS = min(16, os.cpu_count() or 4)
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = os.path.join(_HERE, "csrc", f"_jpeg_shim_{tag}.so")
+    if os.path.isfile(out):
+        return out
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", out + ".tmp", "-ljpeg",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(out + ".tmp", out)
+    return out
+
+
+class NativeJpeg:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.ic_jpeg_decode_rgb.restype = ctypes.c_int
+        lib.ic_jpeg_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ic_jpeg_probe.restype = ctypes.c_int
+        lib.ic_jpeg_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ic_jpeg_encode_rgb.restype = ctypes.c_int64
+        lib.ic_jpeg_encode_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib.ic_jpeg_decode_batch.restype = None
+        lib.ic_jpeg_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+
+    def probe(self, data: bytes) -> tuple[int, int]:
+        w = ctypes.c_int32()
+        h = ctypes.c_int32()
+        rc = self._lib.ic_jpeg_probe(data, len(data),
+                                     ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            raise ValueError("corrupt JPEG (probe failed)")
+        return w.value, h.value
+
+    def decode_rgb(self, data: bytes) -> np.ndarray:
+        w, h = self.probe(data)
+        need = w * h * 3
+        if need > MAX_FRAME_BYTES:
+            raise ValueError(f"frame too large: {w}x{h}")
+        out = np.empty(need, np.uint8)
+        ow = ctypes.c_int32()
+        oh = ctypes.c_int32()
+        rc = self._lib.ic_jpeg_decode_rgb(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), need,
+            ctypes.byref(ow), ctypes.byref(oh))
+        if rc != 0:
+            raise ValueError(f"corrupt JPEG (decode rc={rc})")
+        return out.reshape(oh.value, ow.value, 3)
+
+    def decode_batch(self, datas: list[bytes],
+                     threads: int | None = None) -> list[np.ndarray]:
+        n = len(datas)
+        if n == 0:
+            return []
+        # probe sizes first so each slot gets a right-sized buffer
+        dims = [self.probe(d) for d in datas]
+        max_bytes = max(w * h * 3 for w, h in dims)
+        bufs = np.empty((n, max_bytes), np.uint8)
+        arr_p = (ctypes.c_char_p * n)(*datas)
+        arr_l = (ctypes.c_int64 * n)(*[len(d) for d in datas])
+        ow = (ctypes.c_int32 * n)()
+        oh = (ctypes.c_int32 * n)()
+        st = (ctypes.c_int32 * n)()
+        self._lib.ic_jpeg_decode_batch(
+            arr_p, arr_l, n,
+            bufs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_bytes,
+            ow, oh, st, threads or _DEFAULT_THREADS)
+        out = []
+        for i in range(n):
+            if st[i] != 0:
+                raise ValueError(f"corrupt JPEG in batch slot {i}")
+            w, h = ow[i], oh[i]
+            out.append(bufs[i, :w * h * 3].reshape(h, w, 3).copy())
+        return out
+
+    def encode_rgb(self, frame: np.ndarray, quality: int = 95,
+                   subsampling: str = "420") -> bytes:
+        frame = np.ascontiguousarray(frame, np.uint8)
+        h, w, c = frame.shape
+        assert c == 3
+        cap = w * h * 3 + (1 << 16)
+        out = np.empty(cap, np.uint8)
+        sub = {"444": 0, "422": 1, "420": 2}[subsampling]
+        n = self._lib.ic_jpeg_encode_rgb(
+            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+            quality, sub,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise ValueError(f"JPEG encode failed (rc={n})")
+        return out[:n].tobytes()
+
+
+_instance: NativeJpeg | None = None
+_lock = threading.Lock()
+
+
+def load() -> NativeJpeg:
+    """Build (once) and load the shim; raises on any toolchain failure."""
+    global _instance
+    with _lock:
+        if _instance is None:
+            path = _build()
+            _instance = NativeJpeg(ctypes.CDLL(path))
+        return _instance

@@ -1,0 +1,133 @@
+"""Detection postprocessing: confidence filter + greedy hard-NMS, batched
+and fixed-shape for XLA.
+
+The reference does this on the host with dynamic-length vectors (reference
+infer_server/src/nn.rs:109-140): keep candidates with confidence strictly
+greater than ``min_confidence`` (nn.rs:127), sort ascending by confidence
+with a stable sort and pop from the back (nn.rs:132-134,193-197), greedily
+selecting any candidate whose IoU with every already-selected box is not
+greater than ``max_iou`` (nn.rs:198-224). IoU uses an ``EPS = 1e-7``
+denominator guard and defines ill-formed overlap boxes as zero-area
+(nn.rs:227-260).
+
+A TPU program needs static shapes and no data-dependent control flow, so
+the same semantics are reformulated:
+
+- candidates are the ``top_k`` highest-confidence priors (ties broken
+  toward the *larger* prior index, matching the reference's
+  stable-ascending-sort + pop-from-back order);
+- a [top_k, top_k] IoU matrix is computed with the reference's exact
+  formula;
+- greedy selection runs as a `lax.fori_loop` over candidate rank with a
+  vectorized suppression test per step;
+- outputs are padded to ``max_detections`` with a valid-count, ordered by
+  descending confidence exactly like the reference's return value.
+
+Divergence (documented): the reference considers *all* above-threshold
+candidates; this considers the best ``top_k`` (default 256). With the
+serve-time threshold 0.5 the candidate count for real weights is far below
+that, so selections are identical; tests pin this equivalence.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-7  # reference nn.rs:17-18
+
+
+def bbox_area(boxes: jax.Array) -> jax.Array:
+    """Area of [..., 4] corner-form boxes; ill-formed boxes -> 0.
+
+    (reference nn.rs:251-260 — the reference's width/height variable names
+    are swapped but the product is the plain area; SURVEY.md section 7.)
+    """
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return jnp.where((w < 0.0) | (h < 0.0), 0.0, w * h)
+
+
+def iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU of [N, 4] x [M, 4] -> [N, M], reference semantics."""
+    tl = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    br = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    overlap = jnp.concatenate([tl, br], axis=-1)
+    inter = bbox_area(overlap)
+    union = bbox_area(a)[:, None] + bbox_area(b)[None, :] - inter
+    return inter / (union + EPS)
+
+
+def _postprocess_single(
+    scores: jax.Array,  # [K, 2]
+    boxes: jax.Array,  # [K, 4]
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+):
+    k = scores.shape[0]
+    top_k = min(top_k, k)
+    max_detections = min(max_detections, top_k)
+    conf = scores[:, 1]
+    valid = conf > min_confidence  # strict >, reference nn.rs:127
+
+    # Descending confidence; ties -> larger prior index first (the
+    # reference's ascending stable sort popped from the back).
+    idx = jnp.arange(k)
+    order = jnp.lexsort((-idx, -conf))[:top_k]
+    cand_boxes = boxes[order]
+    cand_conf = conf[order]
+    cand_valid = valid[order]
+
+    iou = iou_matrix(cand_boxes, cand_boxes)
+    suppress = iou > max_iou  # strict >, reference nn.rs:211
+
+    def body(i, keep):
+        # candidate i is suppressed iff any kept earlier candidate
+        # overlaps it beyond max_iou
+        overlapped = jnp.any(keep & suppress[:, i])
+        keep_i = cand_valid[i] & ~overlapped
+        return keep.at[i].set(keep_i)
+
+    keep = jax.lax.fori_loop(
+        0, top_k, body, jnp.zeros((top_k,), dtype=bool))
+
+    # compact kept candidates to the front, preserving confidence order
+    comp = jnp.lexsort((jnp.arange(top_k), ~keep))[:max_detections]
+    out_boxes = jnp.where(keep[comp, None], cand_boxes[comp], 0.0)
+    out_conf = jnp.where(keep[comp], cand_conf[comp], 0.0)
+    count = jnp.minimum(jnp.sum(keep), max_detections)
+    return out_boxes, out_conf, count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_confidence", "max_iou", "top_k", "max_detections"),
+)
+def batched_postprocess(
+    scores: jax.Array,  # [B, K, 2]
+    boxes: jax.Array,  # [B, K, 4]
+    *,
+    min_confidence: float = 0.5,
+    max_iou: float = 0.5,
+    top_k: int = 256,
+    max_detections: int = 64,
+):
+    """Batched filter + NMS.
+
+    Returns:
+      sel_boxes: [B, max_detections, 4] relative corner boxes (zero-padded)
+      sel_conf:  [B, max_detections] confidences (zero-padded)
+      count:     [B] int32 number of valid detections per image
+    """
+    fn = functools.partial(
+        _postprocess_single,
+        min_confidence=min_confidence,
+        max_iou=max_iou,
+        top_k=top_k,
+        max_detections=max_detections,
+    )
+    return jax.vmap(fn)(scores, boxes)
