@@ -1,0 +1,84 @@
+"""Inference server CLI (reference infer_server binary).
+
+Usage::
+
+    python -m infercam_onnx_tpu.serve \
+        [--server-address 127.0.0.1:3000] [--socket-address 127.0.0.1:3001] \
+        [--variant RFB-320] [--min-confidence 0.5] [--max-iou 0.5] \
+        [--warmup 640x480,1280x720]
+
+Flag names mirror the reference (reference
+infer_server/src/bin/infer_server.rs:18-28) with the compile-time
+constants promoted to flags (SURVEY.md section 5 'config').
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--server-address", default="127.0.0.1:3000",
+                    help="HTTP address (default %(default)s)")
+    ap.add_argument("--socket-address", default="127.0.0.1:3001",
+                    help="TCP ingest address (default %(default)s)")
+    ap.add_argument("--variant", default="RFB-320",
+                    choices=["RFB-320", "RFB-640"])
+    ap.add_argument("--min-confidence", type=float, default=0.5)
+    ap.add_argument("--max-iou", type=float, default=0.5)
+    ap.add_argument("--batch-window-ms", type=float, default=4.0)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--warmup", default="",
+                    help="comma-separated WxH input resolutions to "
+                         "pre-compile, e.g. 640x480,1280x720")
+    ap.add_argument("--log-level", default="INFO")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=args.log_level.upper(),
+        format="%(asctime)s.%(msecs)03d %(levelname)s %(name)s: "
+               "%(message)s",
+        datefmt="%Y-%m-%dT%H:%M:%S")
+
+    from infercam_onnx_tpu.config import (
+        DetectorConfig, EngineConfig, ServerConfig)
+    from infercam_onnx_tpu.serving.app import serve_forever
+    from infercam_onnx_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    buckets = [1]
+    while buckets[-1] < args.max_batch:
+        buckets.append(buckets[-1] * 2)
+
+    warmup = []
+    if args.warmup:
+        for spec in args.warmup.split(","):
+            w, h = spec.lower().split("x")
+            warmup.append((int(h), int(w)))
+
+    try:
+        asyncio.run(serve_forever(
+            server_config=ServerConfig(
+                http_address=args.server_address,
+                socket_address=args.socket_address),
+            detector_config=DetectorConfig(
+                variant=args.variant,
+                min_confidence=args.min_confidence,
+                max_iou=args.max_iou),
+            engine_config=EngineConfig(
+                batch_buckets=tuple(buckets),
+                batch_window_ms=args.batch_window_ms),
+            warmup_resolutions=warmup or None,
+        ))
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

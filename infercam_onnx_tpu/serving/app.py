@@ -1,0 +1,95 @@
+"""Server application wiring (reference infer_server/src/bin/infer_server.rs).
+
+Builds the full serving stack: ingest queue, data socket, router,
+micro-batched inference worker, HTTP endpoints, meter logger — as asyncio
+tasks in one process.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+
+from infercam_onnx_tpu.config import (
+    DetectorConfig,
+    EngineConfig,
+    ServerConfig,
+)
+from infercam_onnx_tpu.detector import Detector
+from infercam_onnx_tpu.serving.data_socket import spawn_data_socket
+from infercam_onnx_tpu.serving.http import HttpServer
+from infercam_onnx_tpu.serving.inferer import InferenceWorker
+from infercam_onnx_tpu.serving.meter import METER, meter_logger
+from infercam_onnx_tpu.serving.router import FrameRouter
+
+log = logging.getLogger("infercam.app")
+
+
+@dataclasses.dataclass
+class InferServer:
+    """Running server handle (owned tasks + listeners)."""
+
+    router: FrameRouter
+    worker: InferenceWorker
+    http: HttpServer
+    ingest_queue: asyncio.Queue
+    tasks: list[asyncio.Task]
+    data_server: asyncio.AbstractServer
+
+    async def close(self) -> None:
+        self.data_server.close()
+        await self.http.close()
+        for t in self.tasks:
+            t.cancel()
+        await asyncio.gather(*self.tasks, return_exceptions=True)
+
+
+def _split_addr(addr: str) -> tuple[str, int]:
+    host, _, port = addr.rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
+async def start_server(
+    server_config: ServerConfig = ServerConfig(),
+    detector_config: DetectorConfig = DetectorConfig(),
+    engine_config: EngineConfig = EngineConfig(),
+    detector: Detector | None = None,
+    warmup_resolutions: list[tuple[int, int]] | None = None,
+) -> InferServer:
+    if detector is None:
+        detector = Detector(detector_config)
+
+    worker = InferenceWorker(detector, engine_config, server_config)
+    router = FrameRouter(worker.submit, server_config)
+    queue: asyncio.Queue = asyncio.Queue(
+        maxsize=server_config.ingest_capacity)
+
+    if warmup_resolutions:
+        log.info("warming up device programs for %s", warmup_resolutions)
+        worker.warmup(warmup_resolutions)
+
+    host, port = _split_addr(server_config.socket_address)
+    data_server = await spawn_data_socket(queue, host, port)
+
+    http = HttpServer(router)
+    hhost, hport = _split_addr(server_config.http_address)
+    await http.start(hhost, hport)
+
+    tasks = [
+        asyncio.create_task(router.run(queue), name="router"),
+        asyncio.create_task(worker.run(), name="inferer"),
+        asyncio.create_task(meter_logger(server_config.meter_period_s),
+                            name="meter"),
+    ]
+    return InferServer(router=router, worker=worker, http=http,
+                       ingest_queue=queue, tasks=tasks,
+                       data_server=data_server)
+
+
+async def serve_forever(**kwargs) -> None:
+    server = await start_server(**kwargs)
+    try:
+        await asyncio.gather(*server.tasks)
+    finally:
+        await server.close()

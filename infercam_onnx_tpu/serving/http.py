@@ -1,0 +1,157 @@
+"""Minimal asyncio HTTP/1.1 server with MJPEG streaming endpoints.
+
+Dependency-free equivalent of the reference's axum app (reference
+infer_server/src/endpoints.rs, infer_server.rs:58-68):
+
+- ``GET /healthcheck`` -> 200 ``healthy`` (reference endpoints.rs:20-22)
+- ``GET /stream?name=X`` -> ``multipart/x-mixed-replace; boundary=frame``
+  over the raw broadcast (reference endpoints.rs:25-48)
+- ``GET /face_stream?name=X`` -> same over the inferred broadcast
+  (reference endpoints.rs:50-73)
+
+``name`` defaults to ``"unknown"`` (reference endpoints.rs:29,54). The
+meter ticks once per delivered part per viewer (reference
+endpoints.rs:35-38,60-63). MJPEG responses stream until the client
+disconnects; subscriptions are closed on disconnect so the router's
+demand-driven pruning stops inference when the last viewer leaves.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import urllib.parse
+
+from infercam_onnx_tpu.serving.meter import METER, Meter
+from infercam_onnx_tpu.serving.router import FrameRouter
+
+log = logging.getLogger("infercam.http")
+
+_MJPEG_HEADERS = (
+    b"HTTP/1.1 200 OK\r\n"
+    b"Content-Type: multipart/x-mixed-replace; boundary=frame\r\n"
+    b"Cache-Control: no-cache\r\n"
+    b"Connection: close\r\n"
+    b"\r\n"
+)
+
+
+def _simple_response(status: str, body: bytes,
+                     content_type: str = "text/plain") -> bytes:
+    return (
+        f"HTTP/1.1 {status}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"Connection: close\r\n\r\n"
+    ).encode() + body
+
+
+class HttpServer:
+    def __init__(self, router: FrameRouter, meter: Meter = METER):
+        self._router = router
+        self._meter = meter
+        self._server: asyncio.AbstractServer | None = None
+
+    async def start(self, host: str, port: int) -> None:
+        self._server = await asyncio.start_server(
+            self._handle, host, port)
+        log.info("HTTP server listening on %s:%d", host, port)
+
+    async def serve_forever(self) -> None:
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def close(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            # force-close active MJPEG streams (3.12's wait_closed waits
+            # for all handlers)
+            if hasattr(self._server, "close_clients"):
+                self._server.close_clients()
+            try:
+                await asyncio.wait_for(self._server.wait_closed(), 5.0)
+            except asyncio.TimeoutError:
+                pass
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        try:
+            request_line = await asyncio.wait_for(reader.readline(), 30.0)
+            if not request_line:
+                return
+            parts = request_line.decode("latin-1").split()
+            if len(parts) < 2:
+                writer.write(_simple_response("400 Bad Request", b"bad"))
+                return
+            method, target = parts[0], parts[1]
+            # drain headers
+            while True:
+                line = await asyncio.wait_for(reader.readline(), 30.0)
+                if line in (b"\r\n", b"\n", b""):
+                    break
+
+            url = urllib.parse.urlsplit(target)
+            query = urllib.parse.parse_qs(url.query)
+            name = query.get("name", ["unknown"])[0]
+
+            if method != "GET":
+                writer.write(_simple_response(
+                    "405 Method Not Allowed", b"method not allowed"))
+                return
+
+            if url.path == "/healthcheck":
+                writer.write(_simple_response("200 OK", b"healthy"))
+                return
+            if url.path == "/stream":
+                log.info("Stream for %s requested", name)
+                await self._stream(
+                    reader, writer, self._router.subscribe_raw(name),
+                    self._meter.tick_raw)
+                return
+            if url.path == "/face_stream":
+                log.info("Infered stream for %s requested", name)
+                await self._stream(
+                    reader, writer, self._router.subscribe_inferred(name),
+                    self._meter.tick_inferred)
+                return
+            writer.write(_simple_response("404 Not Found", b"not found"))
+        except (asyncio.TimeoutError, ConnectionError):
+            pass
+        except Exception:
+            log.exception("HTTP handler error")
+        finally:
+            try:
+                await writer.drain()
+            except (ConnectionError, asyncio.TimeoutError):
+                pass
+            writer.close()
+
+    async def _stream(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter, sub, tick) -> None:
+        writer.write(_MJPEG_HEADERS)
+        # watch the read side so a client disconnect ends the stream even
+        # while no parts are flowing (prompt unsubscribe is what drives
+        # the router's demand-driven inference shutdown)
+        disconnect = asyncio.ensure_future(reader.read(1024))
+        recv = None
+        try:
+            with sub:
+                while True:
+                    recv = asyncio.ensure_future(sub.receive())
+                    done, _ = await asyncio.wait(
+                        {recv, disconnect},
+                        return_when=asyncio.FIRST_COMPLETED)
+                    if disconnect in done:
+                        recv.cancel()
+                        break
+                    part = recv.result()
+                    tick()
+                    writer.write(part)
+                    await writer.drain()
+        except (ConnectionError, BrokenPipeError, asyncio.CancelledError):
+            pass
+        finally:
+            disconnect.cancel()
+            if recv is not None:
+                recv.cancel()

@@ -1,0 +1,157 @@
+"""Micro-batched inference worker.
+
+Replaces the reference's single sequential inference task (reference
+infer_server/src/inferer.rs:29-49: one frame at a time, decode -> infer ->
+draw -> encode -> publish) with a batching worker:
+
+- a bounded submit queue (capacity mirrors the reference's infer channel,
+  cap 10, reference lib.rs:37) with drop-on-full backpressure;
+- a gather window that collects frames across streams, coalescing to the
+  *latest* frame per stream (fresh frames win under overload, the same
+  degradation mode as the reference's try_send_ref drop, SURVEY.md
+  section 7);
+- shape-bucketed batches padded to fixed sizes so the device program
+  compiles once per (bucket, resolution);
+- JPEG decode/encode on a worker thread (native C++ shim), the fused
+  preprocess+CNN+NMS program on the TPU, drawing on the host;
+- results published to each stream's reply broadcast as MJPEG parts.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import bisect
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from infercam_onnx_tpu import codec
+from infercam_onnx_tpu.config import EngineConfig, ServerConfig
+from infercam_onnx_tpu.detector import Detector
+from infercam_onnx_tpu.draw import draw_detections
+from infercam_onnx_tpu.protocol import as_jpeg_stream_item
+from infercam_onnx_tpu.serving.meter import METER, Meter
+from infercam_onnx_tpu.serving.router import InferJob
+
+log = logging.getLogger("infercam.inferer")
+
+
+class InferenceWorker:
+    def __init__(
+        self,
+        detector: Detector,
+        engine_config: EngineConfig = EngineConfig(),
+        server_config: ServerConfig = ServerConfig(),
+        meter: Meter = METER,
+    ):
+        self._detector = detector
+        self._cfg = engine_config
+        self._server_cfg = server_config
+        self._meter = meter
+        self._queue: asyncio.Queue[InferJob] = asyncio.Queue(
+            maxsize=engine_config.queue_capacity)
+        self._buckets = sorted(engine_config.batch_buckets)
+        # one thread: this host has a single core; the thread exists to
+        # keep the event loop responsive during decode/device waits
+        self._executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="infer")
+        self._loop: asyncio.AbstractEventLoop | None = None
+
+    # -- submission (called from the router on the event loop) -------------
+
+    def submit(self, job: InferJob) -> bool:
+        """Non-blocking enqueue; False = dropped (queue full)."""
+        try:
+            self._queue.put_nowait(job)
+            return True
+        except asyncio.QueueFull:
+            return False
+
+    # -- worker loop -------------------------------------------------------
+
+    def _bucket_size(self, n: int) -> int:
+        i = bisect.bisect_left(self._buckets, n)
+        return self._buckets[min(i, len(self._buckets) - 1)]
+
+    async def run(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        max_bucket = self._buckets[-1]
+        window = self._cfg.batch_window_ms / 1e3
+        while True:
+            jobs = [await self._queue.get()]
+            deadline = self._loop.time() + window
+            while len(jobs) < max_bucket:
+                timeout = deadline - self._loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    jobs.append(await asyncio.wait_for(
+                        self._queue.get(), timeout))
+                except asyncio.TimeoutError:
+                    break
+            # coalesce: latest frame per stream wins
+            latest: dict[int, InferJob] = {}
+            for job in jobs:
+                if job.key in latest:
+                    self._meter.tick_dropped()
+                latest[job.key] = job
+            await self._loop.run_in_executor(
+                self._executor, self._process_batch, list(latest.values()))
+
+    # -- batch processing (worker thread) ----------------------------------
+
+    def _process_batch(self, jobs: list[InferJob]) -> None:
+        # 1. decode (corrupt frames are dropped, not fatal — hardening
+        #    over the reference's panic, reference inferer.rs:35-36)
+        frames: list[tuple[InferJob, np.ndarray]] = []
+        datas = [j.data for j in jobs]
+        try:
+            decoded = codec.decode_batch(datas)
+            frames = list(zip(jobs, decoded))
+        except ValueError:
+            for job in jobs:
+                try:
+                    frames.append((job, codec.decode_rgb(job.data)))
+                except ValueError:
+                    log.warning("dropping corrupt frame on stream %x",
+                                job.key)
+                    self._meter.tick_dropped()
+
+        # 2. group by decoded resolution (device program is per-shape)
+        groups: dict[tuple[int, int], list[tuple[InferJob, np.ndarray]]] = {}
+        for job, frame in frames:
+            groups.setdefault(frame.shape[:2], []).append((job, frame))
+
+        for (h, w), members in groups.items():
+            n = len(members)
+            bucket = self._bucket_size(n)
+            batch = np.zeros((bucket, h, w, 3), np.uint8)
+            for i, (_, frame) in enumerate(members[:bucket]):
+                batch[i] = frame
+            t0 = time.monotonic()
+            boxes, confs, counts = (
+                np.asarray(a) for a in
+                self._detector.run_device(batch))
+            self._meter.tick_batch(n, time.monotonic() - t0)
+
+            # 3. draw + encode + publish per frame
+            dims = self._server_cfg.assume_frame_dims
+            for i, (job, frame) in enumerate(members[:bucket]):
+                dets = [(boxes[i, d], float(confs[i, d]))
+                        for d in range(int(counts[i]))]
+                annotated = draw_detections(frame, dets, dims)
+                jpeg = codec.encode_rgb(
+                    annotated, self._server_cfg.jpeg_quality,
+                    self._server_cfg.jpeg_subsampling)
+                part = as_jpeg_stream_item(jpeg)
+                assert self._loop is not None
+                self._loop.call_soon_threadsafe(job.reply.publish, part)
+            self._meter.tick_inferred_unique(min(n, bucket))
+
+    def warmup(self, resolutions: list[tuple[int, int]] | None = None):
+        """Pre-compile device programs for common shape buckets."""
+        for (h, w) in resolutions or [(480, 640)]:
+            for b in self._buckets:
+                self._detector.warmup(b, h, w)

@@ -1,0 +1,256 @@
+"""End-to-end serving tests: replay sender -> TCP ingest -> router ->
+micro-batched inferer -> HTTP MJPEG endpoints.
+
+Covers the behavioral contract the reference leaves untested (SURVEY.md
+section 4: no router/data-socket/endpoint tests exist there): healthcheck,
+raw and inferred streams, demand-driven inference, drop-when-busy, corrupt
+frames, multi-stream fan-out, and ConnectReq-ignored semantics.
+"""
+
+import asyncio
+import io
+
+import numpy as np
+import pytest
+
+from infercam_onnx_tpu import codec
+from infercam_onnx_tpu import protocol as proto
+from infercam_onnx_tpu.config import (
+    ClientConfig,
+    DetectorConfig,
+    EngineConfig,
+    ServerConfig,
+)
+from infercam_onnx_tpu.detector import Detector
+from infercam_onnx_tpu.serving.app import start_server
+from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+
+
+@pytest.fixture(scope="module")
+def detector():
+    # deterministic random weights, moderately sparse detections
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+    # pre-compile the two bucket programs for the 64x48 test frames
+    det.warmup(1, 48, 64)
+    det.warmup(4, 48, 64)
+    return det
+
+
+@pytest.fixture()
+def jpeg_dir(tmp_path):
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        (tmp_path / f"f{i}.jpg").write_bytes(codec.encode_rgb(frame))
+    return tmp_path
+
+
+async def _start(detector, http_port, sock_port, **engine_kw):
+    cfg = ServerConfig(
+        http_address=f"127.0.0.1:{http_port}",
+        socket_address=f"127.0.0.1:{sock_port}")
+    # small bucket list: CPU test compiles are slow (one per bucket+shape);
+    # the persistent compile cache makes reruns fast
+    engine_kw.setdefault("batch_buckets", (1, 4))
+    server = await start_server(
+        server_config=cfg,
+        engine_config=EngineConfig(**engine_kw),
+        detector=detector)
+    return server, cfg
+
+
+async def _http_get(port, path, *, read_bytes=0, timeout=10.0):
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+    await writer.drain()
+    if read_bytes:
+        data = b""
+        try:
+            while len(data) < read_bytes:
+                chunk = await asyncio.wait_for(reader.read(4096), timeout)
+                if not chunk:
+                    break
+                data += chunk
+        except asyncio.TimeoutError:
+            pass
+    else:
+        data = await asyncio.wait_for(reader.read(65536), timeout)
+    writer.close()
+    return data
+
+
+def test_healthcheck(detector):
+    async def run():
+        server, _ = await _start(detector, 18300, 18301)
+        try:
+            resp = await _http_get(18300, "/healthcheck")
+            assert resp.startswith(b"HTTP/1.1 200 OK")
+            assert resp.endswith(b"healthy")
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_unknown_route_404_and_post_405(detector):
+    async def run():
+        server, _ = await _start(detector, 18302, 18303)
+        try:
+            resp = await _http_get(18302, "/nope")
+            assert resp.startswith(b"HTTP/1.1 404")
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18302)
+            writer.write(b"POST /stream HTTP/1.1\r\nHost: x\r\n\r\n")
+            await writer.drain()
+            resp = await asyncio.wait_for(reader.read(65536), 5)
+            assert resp.startswith(b"HTTP/1.1 405")
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_raw_stream_end_to_end(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18304, 18305)
+        try:
+            # subscribe first (demand-driven: router only forwards to
+            # subscribed streams)
+            stream_task = asyncio.create_task(
+                _http_get(18304, "/stream?name=cam1", read_bytes=2000))
+            await asyncio.sleep(0.2)
+            sent = await send_stream(
+                ReplaySource(str(jpeg_dir), fps=50),
+                ClientConfig(address="127.0.0.1:18305", channel="cam1"),
+                max_frames=10)
+            assert sent == 10
+            data = await stream_task
+            assert b"multipart/x-mixed-replace; boundary=frame" in data
+            assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
+            # the MJPEG parts carry real JPEG bytes
+            body = data.split(b"\r\n\r\n", 2)[2]
+            assert b"\xff\xd8" in body  # JPEG SOI marker
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_face_stream_end_to_end(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18306, 18307,
+                                 batch_window_ms=5.0)
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18306, "/face_stream?name=cam1",
+                          read_bytes=1200, timeout=30.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=20),
+                ClientConfig(address="127.0.0.1:18307", channel="cam1"),
+                max_frames=12)
+            await asyncio.sleep(2.0)
+            data = await stream_task
+            assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_unwatched_stream_is_not_inferred(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18308, 18309)
+        try:
+            submitted = []
+            orig = server.worker.submit
+            server.worker.submit = lambda job: (
+                submitted.append(job), orig(job))[1]
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=100),
+                ClientConfig(address="127.0.0.1:18309", channel="nobody"),
+                max_frames=8)
+            await asyncio.sleep(0.3)
+            assert submitted == []  # no viewer -> no inference
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_corrupt_frame_does_not_kill_worker(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18310, 18311)
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18310, "/face_stream?name=c", read_bytes=1200,
+                          timeout=30.0))
+            await asyncio.sleep(0.2)
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18311)
+            # corrupt JPEG payload on a watched stream
+            writer.write(proto.frame_encode(proto.encode_proto_msg(
+                proto.FrameMsg("c", b"\xff\xd8 this is not a jpeg"))))
+            # ConnectReq must be accepted and ignored
+            writer.write(proto.frame_encode(proto.encode_proto_msg(
+                proto.ConnectReq("c"))))
+            # pure garbage frame must be skipped silently
+            writer.write(proto.frame_encode(b"\x99garbage"))
+            await writer.drain()
+            # then a good frame still flows through the full path
+            good = (jpeg_dir / "f0.jpg").read_bytes()
+            for _ in range(5):
+                writer.write(proto.frame_encode(proto.encode_proto_msg(
+                    proto.FrameMsg("c", good))))
+            await writer.drain()
+            data = await stream_task
+            assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_multi_stream_fanout(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18312, 18313)
+        try:
+            t1 = asyncio.create_task(
+                _http_get(18312, "/stream?name=a", read_bytes=800))
+            t2 = asyncio.create_task(
+                _http_get(18312, "/stream?name=b", read_bytes=800))
+            await asyncio.sleep(0.2)
+            await asyncio.gather(
+                send_stream(ReplaySource(str(jpeg_dir), fps=50),
+                            ClientConfig(address="127.0.0.1:18313",
+                                         channel="a"), max_frames=6),
+                send_stream(ReplaySource(str(jpeg_dir), fps=50),
+                            ClientConfig(address="127.0.0.1:18313",
+                                         channel="b"), max_frames=6),
+            )
+            d1, d2 = await asyncio.gather(t1, t2)
+            assert d1.count(b"--frame") >= 1
+            assert d2.count(b"--frame") >= 1
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_submit_queue_drops_when_full(detector):
+    from infercam_onnx_tpu.serving.inferer import InferenceWorker
+    from infercam_onnx_tpu.serving.router import InferJob
+    from infercam_onnx_tpu.serving.broadcast import Broadcast
+
+    async def run():
+        worker = InferenceWorker(
+            detector, EngineConfig(queue_capacity=2))
+        chan = Broadcast()
+        ok = [worker.submit(InferJob(i, b"x", chan)) for i in range(4)]
+        assert ok == [True, True, False, False]
+
+    asyncio.run(run())
