@@ -31,14 +31,7 @@ log = logging.getLogger(__name__)
 Detection = tuple[np.ndarray, float]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "compute_dtype", "min_confidence", "max_iou", "top_k",
-        "max_detections",
-    ),
-)
-def detect_program(
+def detect_program_impl(
     params,
     priors: jax.Array,
     images: jax.Array,  # [B, H, W, 3] uint8
@@ -59,6 +52,15 @@ def detect_program(
         scores, boxes,
         min_confidence=min_confidence, max_iou=max_iou,
         top_k=top_k, max_detections=max_detections)
+
+
+detect_program = jax.jit(
+    detect_program_impl,
+    static_argnames=(
+        "compute_dtype", "min_confidence", "max_iou", "top_k",
+        "max_detections",
+    ),
+)
 
 
 class Detector:

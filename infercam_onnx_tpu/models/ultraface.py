@@ -282,48 +282,51 @@ def decode_locations(loc: jax.Array, priors: jax.Array) -> jax.Array:
 
 def _init_cbr(key, kh, kw, cin, cout, *, groups: int = 1) -> dict:
     fan_in = kh * kw * (cin // groups)
-    w = jax.random.normal(key, (kh, kw, cin // groups, cout), jnp.float32)
+    w = key.standard_normal((kh, kw, cin // groups, cout), np.float32)
     w = w * np.sqrt(2.0 / fan_in)
     return {
         "w": w,
-        "scale": jnp.ones((cout,), jnp.float32),
-        "bias": jnp.zeros((cout,), jnp.float32),
+        "scale": np.ones((cout,), np.float32),
+        "bias": np.zeros((cout,), np.float32),
     }
 
 
 def _init_biased(key, kh, kw, cin, cout, *, groups: int = 1) -> dict:
     fan_in = kh * kw * (cin // groups)
-    w = jax.random.normal(key, (kh, kw, cin // groups, cout), jnp.float32)
+    w = key.standard_normal((kh, kw, cin // groups, cout), np.float32)
     w = w * np.sqrt(2.0 / fan_in)
-    return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
+    return {"w": w, "b": np.zeros((cout,), np.float32)}
 
 
 def _init_separable(key, cin, cout) -> dict:
-    k1, k2 = jax.random.split(key)
     return {
-        "dw": _init_biased(k1, 3, 3, cin, cin, groups=cin),
-        "pw": _init_biased(k2, 1, 1, cin, cout),
+        "dw": _init_biased(key, 3, 3, cin, cin, groups=cin),
+        "pw": _init_biased(key, 1, 1, cin, cout),
     }
 
 
 def init_params(
-    rng: jax.Array | int = 0,
+    rng: int = 0,
     *,
     background_bias: float = 0.0,
 ) -> Params:
     """Random (He-normal) parameters with the exact UltraFace structure.
 
+    Pure NumPy on purpose: parameter init must not touch the device (no
+    tiny device programs, no device->host reads — the latter permanently
+    degrades transfer bandwidth on tunneled TPU rigs; see
+    .claude/skills/verify/SKILL.md). Leaves are converted to device
+    arrays lazily by the first jitted call.
+
     `background_bias` is added to the background-class logits of every
     classification head; tests use it to make random-weight detections
     sparse and realistic (softmax face prob concentrates below threshold).
     """
-    if isinstance(rng, int):
-        rng = jax.random.PRNGKey(rng)
+    gen = np.random.default_rng(rng)
     c = BASE_CHANNEL
-    keys = iter(jax.random.split(rng, 64))
 
     def nk():
-        return next(keys)
+        return gen
 
     base: list[dict] = []
     base.append(_init_cbr(nk(), 3, 3, 3, c))  # block 0: conv_bn
@@ -390,9 +393,8 @@ def init_params(
         for level in range(4):
             h = cls_heads[level]
             tgt = h["pw"] if level < 3 else h
-            b = np.asarray(tgt["b"]).copy()
-            b[0::NUM_CLASSES] += background_bias
-            tgt["b"] = jnp.asarray(b)
+            tgt["b"] = tgt["b"].copy()
+            tgt["b"][0::NUM_CLASSES] += background_bias
 
     return {
         "base": base,

@@ -60,18 +60,17 @@ def iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     return inter / (union + EPS)
 
 
-def _postprocess_single(
-    scores: jax.Array,  # [K, 2]
+def _nms_single(
+    conf: jax.Array,  # [K]
     boxes: jax.Array,  # [K, 4]
     min_confidence: float,
     max_iou: float,
     top_k: int,
     max_detections: int,
 ):
-    k = scores.shape[0]
+    k = conf.shape[0]
     top_k = min(top_k, k)
     max_detections = min(max_detections, top_k)
-    conf = scores[:, 1]
     valid = conf > min_confidence  # strict >, reference nn.rs:127
 
     # Descending confidence; ties -> larger prior index first (the
@@ -123,11 +122,32 @@ def batched_postprocess(
       sel_conf:  [B, max_detections] confidences (zero-padded)
       count:     [B] int32 number of valid detections per image
     """
+    return batched_nms(
+        scores[..., 1], boxes,
+        min_confidence=min_confidence, max_iou=max_iou,
+        top_k=top_k, max_detections=max_detections)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_confidence", "max_iou", "top_k", "max_detections"),
+)
+def batched_nms(
+    conf: jax.Array,  # [B, K] face confidences
+    boxes: jax.Array,  # [B, K, 4]
+    *,
+    min_confidence: float = 0.5,
+    max_iou: float = 0.5,
+    top_k: int = 256,
+    max_detections: int = 64,
+):
+    """Filter + greedy NMS over plain confidence vectors (used directly by
+    the tiled-detection merge, parallel/tiling.py)."""
     fn = functools.partial(
-        _postprocess_single,
+        _nms_single,
         min_confidence=min_confidence,
         max_iou=max_iou,
         top_k=top_k,
         max_detections=max_detections,
     )
-    return jax.vmap(fn)(scores, boxes)
+    return jax.vmap(fn)(conf, boxes)

@@ -1,0 +1,177 @@
+"""Tiled high-resolution detection with cross-tile NMS merge.
+
+The reference caps detection at 640x480 model input; faces small relative
+to a high-res frame (e.g. 1080p) fall below the detector's prior scales.
+The TPU-native answer (BASELINE.json config 5) is spatial tiling — the
+"long-context" analog for this workload (SURVEY.md section 5): the frame
+splits into an overlapping tile grid, every tile runs the full detector as
+one extra batch dimension, per-tile boxes map back into global frame
+coordinates, and one global NMS merges duplicates from tile overlaps.
+
+Everything (tile extraction, per-tile resize, CNN, merge NMS) is a single
+jitted program. On a mesh, the flattened tile batch carries a sharding
+constraint on the data axis so XLA splits tile compute across chips and
+inserts the gather for the per-image merge itself — tiles of one image
+ride ICI, not the host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from infercam_onnx_tpu.detector import Detector
+from infercam_onnx_tpu.models import ultraface as uf
+from infercam_onnx_tpu.ops.postprocess import batched_nms
+from infercam_onnx_tpu.ops.preprocess import (
+    preprocess_images,
+    triangle_resize_matrix,
+)
+
+
+def tile_grid_boxes(
+    width: int,
+    height: int,
+    grid: tuple[int, int],
+    overlap: float = 0.2,
+) -> list[tuple[int, int, int, int]]:
+    """Pixel boxes (x0, y0, x1, y1) of an overlapping cols x rows grid.
+
+    Tiles are equally sized (so one resize matrix serves all) and overlap
+    adjacent tiles by ``overlap`` of the tile extent, so a face on a seam
+    is seen whole by at least one tile.
+    """
+    cols, rows = grid
+    tile_w = int(np.ceil(width / (cols - (cols - 1) * overlap)))
+    tile_h = int(np.ceil(height / (rows - (rows - 1) * overlap)))
+    xs = (np.linspace(0, width - tile_w, cols).round().astype(int)
+          if cols > 1 else np.array([0]))
+    ys = (np.linspace(0, height - tile_h, rows).round().astype(int)
+          if rows > 1 else np.array([0]))
+    return [(int(x), int(y), int(x) + tile_w, int(y) + tile_h)
+            for y in ys for x in xs]
+
+
+def tiled_detect_program(
+    params,
+    priors: jax.Array,
+    images: jax.Array,  # [B, H, W, 3] uint8
+    r_h: jax.Array,  # [model_h, tile_h]
+    r_w: jax.Array,  # [model_w, tile_w]
+    *,
+    tiles: tuple[tuple[int, int, int, int], ...],
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+    flat_sharding: NamedSharding | None = None,
+):
+    b, height, width, _ = images.shape
+    t = len(tiles)
+
+    # static-slice tile extraction -> [B*T, th, tw, 3]
+    tile_imgs = jnp.stack(
+        [images[:, y0:y1, x0:x1, :] for (x0, y0, x1, y1) in tiles], axis=1)
+    th = tiles[0][3] - tiles[0][1]
+    tw = tiles[0][2] - tiles[0][0]
+    flat = tile_imgs.reshape(b * t, th, tw, 3)
+    if flat_sharding is not None:
+        # shard the flattened (image x tile) batch across the mesh: tile
+        # compute splits across chips and XLA inserts the gather needed by
+        # the per-image merge below — cross-tile traffic rides ICI
+        flat = jax.lax.with_sharding_constraint(flat, flat_sharding)
+
+    x = preprocess_images(flat, r_h, r_w)
+    scores, boxes = uf.forward(params, x, priors,
+                               compute_dtype=compute_dtype)
+    k = boxes.shape[1]
+
+    # map per-tile relative boxes into global frame coordinates
+    offs_x = jnp.asarray([t_[0] for t_ in tiles], jnp.float32)
+    offs_y = jnp.asarray([t_[1] for t_ in tiles], jnp.float32)
+    boxes = boxes.reshape(b, t, k, 4)
+    conf = scores[:, :, 1].reshape(b, t, k)
+    scale = jnp.asarray([tw / width, th / height,
+                         tw / width, th / height], jnp.float32)
+    shift = jnp.stack([offs_x / width, offs_y / height,
+                       offs_x / width, offs_y / height],
+                      axis=-1)  # [T, 4]
+    boxes = boxes * scale + shift[None, :, None, :]
+
+    merged_boxes = boxes.reshape(b, t * k, 4)
+    merged_conf = conf.reshape(b, t * k)
+    return batched_nms(
+        merged_conf, merged_boxes,
+        min_confidence=min_confidence, max_iou=max_iou,
+        top_k=top_k, max_detections=max_detections)
+
+
+class TiledDetector:
+    """High-res detection via tiling, single-chip or mesh-sharded."""
+
+    def __init__(
+        self,
+        detector: Detector,
+        frame_size: tuple[int, int],  # (width, height), e.g. (1920, 1080)
+        grid: tuple[int, int] = (2, 2),
+        overlap: float = 0.2,
+        mesh: Mesh | None = None,
+        axis: str = "data",
+    ):
+        self.detector = detector
+        self.frame_w, self.frame_h = frame_size
+        self.tiles = tuple(tile_grid_boxes(self.frame_w, self.frame_h,
+                                           grid, overlap))
+        th = self.tiles[0][3] - self.tiles[0][1]
+        tw = self.tiles[0][2] - self.tiles[0][0]
+        m = detector.model
+        self._r_h = jnp.asarray(triangle_resize_matrix(th, m.height))
+        self._r_w = jnp.asarray(triangle_resize_matrix(tw, m.width))
+        self._mesh = mesh
+        self._axis = axis
+        c = detector.config
+        program = functools.partial(
+            tiled_detect_program,
+            tiles=self.tiles,
+            compute_dtype=detector._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections)
+        if mesh is not None:
+            replicated = NamedSharding(mesh, P())
+            # inputs replicate onto every chip; the flattened
+            # (image x tile) batch is shard-constrained inside the program
+            # so tile compute splits even when B == 1 (one 1080p frame
+            # fanned across the pod); merged outputs land replicated
+            self._program = jax.jit(
+                functools.partial(
+                    program,
+                    flat_sharding=NamedSharding(mesh, P(axis))),
+                in_shardings=(replicated, replicated, replicated,
+                              replicated, replicated),
+                out_shardings=(replicated, replicated, replicated))
+            self._params = jax.device_put(m.params, replicated)
+            self._priors = jax.device_put(m.priors, replicated)
+        else:
+            self._program = jax.jit(program)
+            self._params = m.params
+            self._priors = m.priors
+
+    def run_device(self, images):
+        """[B, frame_h, frame_w, 3] uint8 -> (boxes, confs, counts)
+        in global relative coordinates."""
+        return self._program(self._params, self._priors,
+                             jnp.asarray(images), self._r_h, self._r_w)
+
+    def detect_batch(self, images) -> list[list[tuple[np.ndarray, float]]]:
+        boxes, confs, counts = jax.device_get(self.run_device(images))
+        out = []
+        for i in range(images.shape[0]):
+            n = int(counts[i])
+            out.append([(boxes[i, d], float(confs[i, d]))
+                        for d in range(n)])
+        return out

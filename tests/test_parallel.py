@@ -1,0 +1,113 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from infercam_onnx_tpu.config import DetectorConfig
+from infercam_onnx_tpu.detector import Detector
+from infercam_onnx_tpu.parallel import (
+    TiledDetector,
+    make_mesh,
+    shard_detect,
+    tile_grid_boxes,
+)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_data_parallel_matches_single_device(detector, rng):
+    mesh = make_mesh(8)
+    run = shard_detect(detector, mesh)
+    frames = rng.integers(0, 256, size=(8, 120, 160, 3), dtype=np.uint8)
+    b_s, c_s, n_s = (np.asarray(x) for x in run(frames))
+    b_1, c_1, n_1 = (np.asarray(x) for x in detector.run_device(frames))
+    np.testing.assert_array_equal(n_s, n_1)
+    np.testing.assert_allclose(b_s, b_1, atol=1e-5)
+    np.testing.assert_allclose(c_s, c_1, atol=1e-5)
+
+
+def test_data_parallel_rejects_indivisible_batch(detector, rng):
+    mesh = make_mesh(8)
+    run = shard_detect(detector, mesh)
+    frames = rng.integers(0, 256, size=(6, 120, 160, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="not divisible"):
+        run(frames)
+
+
+def test_tile_grid_geometry():
+    tiles = tile_grid_boxes(1920, 1080, (2, 2), overlap=0.2)
+    assert len(tiles) == 4
+    # uniform tile size
+    sizes = {(x1 - x0, y1 - y0) for x0, y0, x1, y1 in tiles}
+    assert len(sizes) == 1
+    tw, th = sizes.pop()
+    # covers the full frame
+    assert max(x1 for _, _, x1, _ in tiles) == 1920 or \
+        max(x1 for _, _, x1, _ in tiles) >= 1920 - 1
+    assert min(x0 for x0, _, _, _ in tiles) == 0
+    # adjacent tiles overlap
+    xs = sorted({x0 for x0, _, _, _ in tiles})
+    assert xs[1] < tw
+    # 1x1 grid is the whole frame
+    assert tile_grid_boxes(640, 480, (1, 1)) == [(0, 0, 640, 480)]
+
+
+def test_tiled_detection_single_vs_mesh(detector, rng):
+    frame = rng.integers(0, 256, size=(1, 270, 480, 3), dtype=np.uint8)
+    single = TiledDetector(detector, (480, 270), grid=(2, 2))
+    meshed = TiledDetector(detector, (480, 270), grid=(2, 2),
+                           mesh=make_mesh(4))
+    b1, c1, n1 = (np.asarray(x) for x in single.run_device(frame))
+    b2, c2, n2 = (np.asarray(x) for x in meshed.run_device(frame))
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_allclose(b1, b2, atol=1e-5)
+    np.testing.assert_allclose(c1, c2, atol=1e-5)
+
+
+def test_tiled_boxes_are_global_coords(detector, rng):
+    # With a 1x1 grid, tiled detection must equal plain detection on the
+    # resized frame — pins the global-coordinate mapping at identity.
+    frame = rng.integers(0, 256, size=(1, 240, 320, 3), dtype=np.uint8)
+    tiled = TiledDetector(detector, (320, 240), grid=(1, 1))
+    bt, ct, nt = (np.asarray(x) for x in tiled.run_device(frame))
+    bp, cp, npn = (np.asarray(x) for x in detector.run_device(frame))
+    np.testing.assert_array_equal(nt, npn)
+    np.testing.assert_allclose(bt, bp, atol=1e-5)
+
+    # and detections from an offset tile land inside that tile's region
+    frame2 = rng.integers(0, 256, size=(1, 270, 480, 3), dtype=np.uint8)
+    t2 = TiledDetector(detector, (480, 270), grid=(2, 2), overlap=0.0)
+    boxes, confs, counts = (np.asarray(x) for x in t2.run_device(frame2))
+    n = int(counts[0])
+    if n:
+        # all box centers lie within [0, 1] of the global frame
+        centers = (boxes[0, :n, :2] + boxes[0, :n, 2:]) / 2
+        assert centers.min() > -0.2 and centers.max() < 1.2
+
+
+def test_tiled_merge_suppresses_duplicates(detector, rng):
+    # heavy overlap: every face region is seen by multiple tiles; merged
+    # output must not contain near-duplicate boxes (IoU > max_iou)
+    frame = rng.integers(0, 256, size=(1, 270, 480, 3), dtype=np.uint8)
+    t = TiledDetector(detector, (480, 270), grid=(2, 2), overlap=0.5)
+    boxes, confs, counts = (np.asarray(x) for x in t.run_device(frame))
+    n = int(counts[0])
+    from infercam_onnx_tpu.ops.reference_impl import iou
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert iou(boxes[0, i], boxes[0, j]) <= 0.5 + 1e-5
