@@ -35,23 +35,27 @@ def _get_native():
     return _native
 
 
-def decode_rgb(data: bytes) -> np.ndarray:
+def decode_rgb(data: bytes, scale: int = 1) -> np.ndarray:
     """JPEG bytes -> [H, W, 3] uint8 RGB. Raises ValueError on corrupt
     input (the reference panics its inference task on corrupt frames,
     reference inferer.rs:35-36 — we harden to an exception the caller
-    drops, SURVEY.md section 5 'failure detection')."""
+    drops, SURVEY.md section 5 'failure detection').
+
+    ``scale`` in {1, 2, 4, 8}: decode at 1/scale resolution using
+    libjpeg's IDCT scaling (native path only; cheap model-input decode).
+    """
     native = _get_native()
     if native is not None:
-        return native.decode_rgb(data)
-    return _pil_decode(data)
+        return native.decode_rgb(data, scale)
+    return _pil_decode(data, scale)
 
 
-def decode_batch(datas: list[bytes]) -> list[np.ndarray]:
+def decode_batch(datas: list[bytes], scale: int = 1) -> list[np.ndarray]:
     """Decode many JPEGs (native path uses a C++ thread pool)."""
     native = _get_native()
     if native is not None:
-        return native.decode_batch(datas)
-    return [_pil_decode(d) for d in datas]
+        return native.decode_batch(datas, scale=scale)
+    return [_pil_decode(d, scale) for d in datas]
 
 
 def encode_rgb(frame: np.ndarray, quality: int = 95,
@@ -64,11 +68,13 @@ def encode_rgb(frame: np.ndarray, quality: int = 95,
     return _pil_encode(frame, quality, subsampling)
 
 
-def _pil_decode(data: bytes) -> np.ndarray:
+def _pil_decode(data: bytes, scale: int = 1) -> np.ndarray:
     from PIL import Image
 
     try:
         with Image.open(io.BytesIO(data)) as im:
+            if scale > 1:
+                im.draft("RGB", (im.width // scale, im.height // scale))
             return np.asarray(im.convert("RGB"))
     except Exception as e:
         raise ValueError(f"corrupt JPEG: {e}") from e

@@ -47,6 +47,13 @@ class EngineConfig:
     queue_capacity: int = 10
     # Max time to wait for more frames before dispatching a partial batch.
     batch_window_ms: float = 4.0
+    # Decode incoming JPEGs at 1/decode_scale resolution (libjpeg IDCT
+    # scaling) before inference. 2 turns 640x480 streams directly into the
+    # 320x240 model input — 4x less host decode work and host->device
+    # traffic. NOTE: annotated /face_stream output is then at the scaled
+    # resolution (the reference always decodes full frames; set 1 for
+    # exact output parity).
+    decode_scale: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,24 +43,47 @@ def detect_program_impl(
     max_iou: float,
     top_k: int,
     max_detections: int,
+    pack_output: bool = False,
 ):
-    """uint8 frames in, padded detections out — all on device."""
+    """uint8 frames in, padded detections out — all on device.
+
+    ``pack_output=True`` returns ONE array [B, max_detections, 6] with
+    rows (x_tl, y_tl, x_br, y_br, confidence, valid) instead of the
+    (boxes, confs, counts) tuple — a single device->host transfer per
+    batch (per-transfer fixed cost dominates small reads on tunneled
+    rigs; see bench.py).
+    """
     x = preprocess_images(images, r_h, r_w)
     scores, boxes = uf.forward(params, x, priors,
                                compute_dtype=compute_dtype)
-    return batched_postprocess(
+    sel_boxes, sel_conf, count = batched_postprocess(
         scores, boxes,
         min_confidence=min_confidence, max_iou=max_iou,
         top_k=top_k, max_detections=max_detections)
+    if not pack_output:
+        return sel_boxes, sel_conf, count
+    d = sel_boxes.shape[1]
+    valid = (jnp.arange(d)[None, :] < count[:, None]).astype(jnp.float32)
+    return jnp.concatenate(
+        [sel_boxes, sel_conf[..., None], valid[..., None]], axis=-1)
 
 
 detect_program = jax.jit(
     detect_program_impl,
     static_argnames=(
         "compute_dtype", "min_confidence", "max_iou", "top_k",
-        "max_detections",
+        "max_detections", "pack_output",
     ),
 )
+
+
+def unpack_detections(packed: np.ndarray) -> list[list[Detection]]:
+    """Host-side inverse of ``pack_output=True``."""
+    out: list[list[Detection]] = []
+    for row in packed:
+        n = int(row[:, 5].sum())
+        out.append([(row[i, :4], float(row[i, 4])) for i in range(n)])
+    return out
 
 
 class Detector:
@@ -88,9 +111,12 @@ class Detector:
 
     # -- device program ----------------------------------------------------
 
-    def run_device(self, images: jax.Array | np.ndarray):
+    def run_device(self, images: jax.Array | np.ndarray, *,
+                   pack_output: bool = False):
         """[B, H, W, 3] uint8 -> (boxes [B,D,4], confs [B,D], counts [B])
-        as device arrays (one fused program; retraces per input shape)."""
+        as device arrays (one fused program; retraces per input shape).
+        With ``pack_output``, one [B, D, 6] array instead (see
+        detect_program_impl)."""
         _, h, w, _ = images.shape
         r_h, r_w = self.preprocessor.matrices(w, h)
         c = self.config
@@ -99,12 +125,15 @@ class Detector:
             r_h, r_w,
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,
-            top_k=c.top_k, max_detections=c.max_detections)
+            top_k=c.top_k, max_detections=c.max_detections,
+            pack_output=pack_output)
 
-    def warmup(self, batch_size: int, height: int, width: int) -> None:
+    def warmup(self, batch_size: int, height: int, width: int, *,
+               pack_output: bool = False) -> None:
         """Compile the program for one (B, H, W) bucket ahead of time."""
         dummy = np.zeros((batch_size, height, width, 3), np.uint8)
-        jax.block_until_ready(self.run_device(dummy))
+        jax.block_until_ready(
+            self.run_device(dummy, pack_output=pack_output))
 
     # -- host API ----------------------------------------------------------
 

@@ -43,16 +43,18 @@ def _build() -> str:
 class NativeJpeg:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
-        lib.ic_jpeg_decode_rgb.restype = ctypes.c_int
-        lib.ic_jpeg_decode_rgb.argtypes = [
+        lib.ic_jpeg_decode_rgb_scaled.restype = ctypes.c_int
+        lib.ic_jpeg_decode_rgb_scaled.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
         ]
-        lib.ic_jpeg_probe.restype = ctypes.c_int
-        lib.ic_jpeg_probe.argtypes = [
+        lib.ic_jpeg_probe_scaled.restype = ctypes.c_int
+        lib.ic_jpeg_probe_scaled.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
         ]
         lib.ic_jpeg_encode_rgb.restype = ctypes.c_int64
         lib.ic_jpeg_encode_rgb.argtypes = [
@@ -65,41 +67,43 @@ class NativeJpeg:
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
         ]
 
-    def probe(self, data: bytes) -> tuple[int, int]:
+    def probe(self, data: bytes, scale: int = 1) -> tuple[int, int]:
         w = ctypes.c_int32()
         h = ctypes.c_int32()
-        rc = self._lib.ic_jpeg_probe(data, len(data),
-                                     ctypes.byref(w), ctypes.byref(h))
+        rc = self._lib.ic_jpeg_probe_scaled(data, len(data),
+                                            ctypes.byref(w),
+                                            ctypes.byref(h), scale)
         if rc != 0:
             raise ValueError("corrupt JPEG (probe failed)")
         return w.value, h.value
 
-    def decode_rgb(self, data: bytes) -> np.ndarray:
-        w, h = self.probe(data)
+    def decode_rgb(self, data: bytes, scale: int = 1) -> np.ndarray:
+        w, h = self.probe(data, scale)
         need = w * h * 3
         if need > MAX_FRAME_BYTES:
             raise ValueError(f"frame too large: {w}x{h}")
         out = np.empty(need, np.uint8)
         ow = ctypes.c_int32()
         oh = ctypes.c_int32()
-        rc = self._lib.ic_jpeg_decode_rgb(
+        rc = self._lib.ic_jpeg_decode_rgb_scaled(
             data, len(data),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), need,
-            ctypes.byref(ow), ctypes.byref(oh))
+            ctypes.byref(ow), ctypes.byref(oh), scale)
         if rc != 0:
             raise ValueError(f"corrupt JPEG (decode rc={rc})")
         return out.reshape(oh.value, ow.value, 3)
 
     def decode_batch(self, datas: list[bytes],
-                     threads: int | None = None) -> list[np.ndarray]:
+                     threads: int | None = None,
+                     scale: int = 1) -> list[np.ndarray]:
         n = len(datas)
         if n == 0:
             return []
         # probe sizes first so each slot gets a right-sized buffer
-        dims = [self.probe(d) for d in datas]
+        dims = [self.probe(d, scale) for d in datas]
         max_bytes = max(w * h * 3 for w, h in dims)
         bufs = np.empty((n, max_bytes), np.uint8)
         arr_p = (ctypes.c_char_p * n)(*datas)
@@ -110,7 +114,7 @@ class NativeJpeg:
         self._lib.ic_jpeg_decode_batch(
             arr_p, arr_l, n,
             bufs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), max_bytes,
-            ow, oh, st, threads or _DEFAULT_THREADS)
+            ow, oh, st, threads or _DEFAULT_THREADS, scale)
         out = []
         for i in range(n):
             if st[i] != 0:

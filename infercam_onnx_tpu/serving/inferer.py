@@ -107,13 +107,14 @@ class InferenceWorker:
         #    over the reference's panic, reference inferer.rs:35-36)
         frames: list[tuple[InferJob, np.ndarray]] = []
         datas = [j.data for j in jobs]
+        scale = self._cfg.decode_scale
         try:
-            decoded = codec.decode_batch(datas)
+            decoded = codec.decode_batch(datas, scale=scale)
             frames = list(zip(jobs, decoded))
         except ValueError:
             for job in jobs:
                 try:
-                    frames.append((job, codec.decode_rgb(job.data)))
+                    frames.append((job, codec.decode_rgb(job.data, scale)))
                 except ValueError:
                     log.warning("dropping corrupt frame on stream %x",
                                 job.key)
@@ -131,16 +132,17 @@ class InferenceWorker:
             for i, (_, frame) in enumerate(members[:bucket]):
                 batch[i] = frame
             t0 = time.monotonic()
-            boxes, confs, counts = (
-                np.asarray(a) for a in
-                self._detector.run_device(batch))
+            # packed output: ONE device->host transfer per batch
+            packed = np.asarray(
+                self._detector.run_device(batch, pack_output=True))
             self._meter.tick_batch(n, time.monotonic() - t0)
 
             # 3. draw + encode + publish per frame
             dims = self._server_cfg.assume_frame_dims
             for i, (job, frame) in enumerate(members[:bucket]):
-                dets = [(boxes[i, d], float(confs[i, d]))
-                        for d in range(int(counts[i]))]
+                count = int(packed[i, :, 5].sum())
+                dets = [(packed[i, d, :4], float(packed[i, d, 4]))
+                        for d in range(count)]
                 annotated = draw_detections(frame, dets, dims)
                 jpeg = codec.encode_rgb(
                     annotated, self._server_cfg.jpeg_quality,
@@ -151,7 +153,11 @@ class InferenceWorker:
             self._meter.tick_inferred_unique(min(n, bucket))
 
     def warmup(self, resolutions: list[tuple[int, int]] | None = None):
-        """Pre-compile device programs for common shape buckets."""
+        """Pre-compile device programs for common shape buckets.
+
+        Resolutions are as-received from senders; the configured
+        decode_scale is applied (frames reach the device post-decode)."""
+        s = self._cfg.decode_scale
         for (h, w) in resolutions or [(480, 640)]:
             for b in self._buckets:
-                self._detector.warmup(b, h, w)
+                self._detector.warmup(b, h // s, w // s, pack_output=True)
