@@ -60,27 +60,24 @@ def iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     return inter / (union + EPS)
 
 
-def _nms_single(
+def _select_candidates(
     conf: jax.Array,  # [K]
     boxes: jax.Array,  # [K, 4]
     min_confidence: float,
-    max_iou: float,
     top_k: int,
-    max_detections: int,
 ):
+    """Top-k by confidence; ties -> larger prior index first (the
+    reference's ascending stable sort popped from the back)."""
     k = conf.shape[0]
-    top_k = min(top_k, k)
-    max_detections = min(max_detections, top_k)
     valid = conf > min_confidence  # strict >, reference nn.rs:127
-
-    # Descending confidence; ties -> larger prior index first (the
-    # reference's ascending stable sort popped from the back).
     idx = jnp.arange(k)
     order = jnp.lexsort((-idx, -conf))[:top_k]
-    cand_boxes = boxes[order]
-    cand_conf = conf[order]
-    cand_valid = valid[order]
+    return boxes[order], conf[order], valid[order]
 
+
+def _greedy_keep_xla(cand_boxes, cand_valid, max_iou: float):
+    """[top_k, 4] + [top_k] bool -> keep mask, XLA fori_loop form."""
+    top_k = cand_boxes.shape[0]
     iou = iou_matrix(cand_boxes, cand_boxes)
     suppress = iou > max_iou  # strict >, reference nn.rs:211
 
@@ -91,10 +88,13 @@ def _nms_single(
         keep_i = cand_valid[i] & ~overlapped
         return keep.at[i].set(keep_i)
 
-    keep = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, top_k, body, jnp.zeros((top_k,), dtype=bool))
 
-    # compact kept candidates to the front, preserving confidence order
+
+def _compact(cand_boxes, cand_conf, keep, max_detections: int):
+    """Move kept candidates to the front, preserving confidence order."""
+    top_k = keep.shape[0]
     comp = jnp.lexsort((jnp.arange(top_k), ~keep))[:max_detections]
     out_boxes = jnp.where(keep[comp, None], cand_boxes[comp], 0.0)
     out_conf = jnp.where(keep[comp], cand_conf[comp], 0.0)
@@ -104,7 +104,8 @@ def _nms_single(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_confidence", "max_iou", "top_k", "max_detections"),
+    static_argnames=("min_confidence", "max_iou", "top_k",
+                     "max_detections", "impl"),
 )
 def batched_postprocess(
     scores: jax.Array,  # [B, K, 2]
@@ -114,6 +115,7 @@ def batched_postprocess(
     max_iou: float = 0.5,
     top_k: int = 256,
     max_detections: int = 64,
+    impl: str = "xla",
 ):
     """Batched filter + NMS.
 
@@ -125,12 +127,13 @@ def batched_postprocess(
     return batched_nms(
         scores[..., 1], boxes,
         min_confidence=min_confidence, max_iou=max_iou,
-        top_k=top_k, max_detections=max_detections)
+        top_k=top_k, max_detections=max_detections, impl=impl)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_confidence", "max_iou", "top_k", "max_detections"),
+    static_argnames=("min_confidence", "max_iou", "top_k",
+                     "max_detections", "impl"),
 )
 def batched_nms(
     conf: jax.Array,  # [B, K] face confidences
@@ -140,14 +143,36 @@ def batched_nms(
     max_iou: float = 0.5,
     top_k: int = 256,
     max_detections: int = 64,
+    impl: str = "xla",
 ):
     """Filter + greedy NMS over plain confidence vectors (used directly by
-    the tiled-detection merge, parallel/tiling.py)."""
-    fn = functools.partial(
-        _nms_single,
-        min_confidence=min_confidence,
-        max_iou=max_iou,
-        top_k=top_k,
-        max_detections=max_detections,
-    )
-    return jax.vmap(fn)(conf, boxes)
+    the tiled-detection merge, parallel/tiling.py).
+
+    ``impl``: "xla" (fori_loop HLO), "pallas" (single fused TPU kernel,
+    ops/pallas/nms.py), or "pallas_interpret" (kernel in interpreter
+    mode, for CPU tests). Both implement identical reference semantics.
+    """
+    k = conf.shape[1]
+    top_k = min(top_k, k)
+    max_detections = min(max_detections, top_k)
+
+    sel = jax.vmap(functools.partial(
+        _select_candidates, min_confidence=min_confidence, top_k=top_k))
+    cand_boxes, cand_conf, cand_valid = sel(conf, boxes)
+
+    if impl in ("pallas", "pallas_interpret"):
+        from infercam_onnx_tpu.ops.pallas.nms import greedy_suppress
+
+        keep_f = greedy_suppress(
+            jnp.swapaxes(cand_boxes, 1, 2),  # [B, 4, top_k]
+            cand_valid[:, None, :].astype(jnp.float32),
+            max_iou=max_iou,
+            interpret=(impl == "pallas_interpret"))
+        keep = keep_f[:, 0, :] > 0.5
+    else:
+        keep = jax.vmap(functools.partial(
+            _greedy_keep_xla, max_iou=max_iou))(cand_boxes, cand_valid)
+
+    return jax.vmap(functools.partial(
+        _compact, max_detections=max_detections))(
+            cand_boxes, cand_conf, keep)
