@@ -98,16 +98,32 @@ class Detector:
                  params=None, *, rng: int = 0):
         self.config = config
         if params is None:
-            params = load_or_download_params(config.variant)
-            if params is None:
-                log.warning(
-                    "UltraFace %s weights unavailable (offline); using "
-                    "deterministic random weights", config.variant)
-                params = uf.init_params(rng, background_bias=4.0)
+            params = self._load_weights(config.variant, rng)
         self.model = uf.UltraFace.create(config.variant, params)
         self.preprocessor = Preprocessor(self.model.width,
                                          self.model.height)
         self._compute_dtype = jnp.dtype(config.compute_dtype)
+
+    @staticmethod
+    def _load_weights(variant: str, rng: int):
+        """Converted-npz cache -> ONNX download-on-miss -> random."""
+        import os
+
+        from infercam_onnx_tpu.models import checkpoint
+        from infercam_onnx_tpu.utils.cache import cache_dir
+
+        npz = os.path.join(cache_dir("weights"),
+                           f"ultraface-{variant}.npz")
+        if os.path.isfile(npz):
+            return checkpoint.load_params(npz)
+        params = load_or_download_params(variant)
+        if params is not None:
+            checkpoint.save_params(params, npz)
+            return params
+        log.warning(
+            "UltraFace %s weights unavailable (offline); using "
+            "deterministic random weights", variant)
+        return uf.init_params(rng, background_bias=0.75)
 
     # -- device program ----------------------------------------------------
 

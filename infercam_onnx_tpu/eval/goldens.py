@@ -1,0 +1,118 @@
+"""Golden detection fixtures: make, check, and count-assert.
+
+Replaces/extends the reference's only behavioral oracle (exact face
+counts over resources/test_pics, reference
+infer_server/tests/integration_tests.rs:20-34) with stored per-box
+goldens and the BASELINE parity gate.
+
+CLI::
+
+    python -m infercam_onnx_tpu.eval.goldens make  --dir PICS --out g.json
+    python -m infercam_onnx_tpu.eval.goldens check --dir PICS --in g.json
+
+`make` runs the current pipeline and stores detections; `check` re-runs
+and applies the >=95% box/confidence fidelity gate against the stored
+goldens (exit code 1 on failure). With real UltraFace weights cached,
+`make` over /root/reference/resources/test_pics produces the tract-parity
+fixture the BASELINE gate calls for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def detect_directory(detector, directory: str,
+                     max_side: int | None = None) -> dict[str, list]:
+    """filename -> [[x0,y0,x1,y1,conf], ...] for every JPEG in dir."""
+    from infercam_onnx_tpu import codec
+
+    out: dict[str, list] = {}
+    for name in sorted(os.listdir(directory)):
+        if not name.lower().endswith((".jpg", ".jpeg")):
+            continue
+        with open(os.path.join(directory, name), "rb") as f:
+            frame = codec.decode_rgb(f.read())
+        dets = detector.detect(frame)
+        out[name] = [[*map(float, bbox), float(conf)]
+                     for bbox, conf in dets]
+    return out
+
+
+def load_goldens(path: str) -> dict[str, list]:
+    with open(path) as f:
+        return json.load(f)["detections"]
+
+
+def as_detection_sets(table: dict[str, list], names: list[str]):
+    return [
+        [(np.asarray(row[:4], np.float32), row[4])
+         for row in table.get(n, [])]
+        for n in names
+    ]
+
+
+def check_against_goldens(detector, directory: str, goldens_path: str,
+                          *, min_parity: float = 0.95) -> dict:
+    from infercam_onnx_tpu.eval.parity import fidelity_gate, parity_report
+
+    got_table = detect_directory(detector, directory)
+    want_table = load_goldens(goldens_path)
+    names = sorted(set(got_table) | set(want_table))
+    report = parity_report(
+        as_detection_sets(got_table, names),
+        as_detection_sets(want_table, names))
+    result = report.as_dict()
+    result["passed"] = fidelity_gate(report, min_parity)
+    result["min_parity"] = min_parity
+    return result
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("command", choices=["make", "check"])
+    ap.add_argument("--dir", required=True, help="directory of JPEGs")
+    ap.add_argument("--out", help="goldens file to write (make)")
+    ap.add_argument("--goldens", dest="goldens",
+                    help="goldens file to check against")
+    ap.add_argument("--variant", default="RFB-640",
+                    choices=["RFB-320", "RFB-640"])
+    ap.add_argument("--min-parity", type=float, default=0.95)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    detector = Detector(DetectorConfig(variant=args.variant),
+                        rng=args.seed)
+
+    if args.command == "make":
+        if not args.out:
+            ap.error("make requires --out")
+        table = detect_directory(detector, args.dir)
+        with open(args.out, "w") as f:
+            json.dump({"variant": args.variant,
+                       "detections": table}, f, indent=1)
+        total = sum(len(v) for v in table.values())
+        print(f"wrote {len(table)} images, {total} detections "
+              f"to {args.out}")
+        return 0
+
+    if not args.goldens:
+        ap.error("check requires --goldens")
+    result = check_against_goldens(detector, args.dir, args.goldens,
+                                   min_parity=args.min_parity)
+    print(json.dumps(result))
+    return 0 if result["passed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

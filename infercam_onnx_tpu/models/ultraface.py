@@ -283,7 +283,7 @@ def decode_locations(loc: jax.Array, priors: jax.Array) -> jax.Array:
 def _init_cbr(key, kh, kw, cin, cout, *, groups: int = 1) -> dict:
     fan_in = kh * kw * (cin // groups)
     w = key.standard_normal((kh, kw, cin // groups, cout), np.float32)
-    w = w * np.sqrt(2.0 / fan_in)
+    w = w * np.float32(np.sqrt(2.0 / fan_in))
     return {
         "w": w,
         "scale": np.ones((cout,), np.float32),
@@ -294,7 +294,7 @@ def _init_cbr(key, kh, kw, cin, cout, *, groups: int = 1) -> dict:
 def _init_biased(key, kh, kw, cin, cout, *, groups: int = 1) -> dict:
     fan_in = kh * kw * (cin // groups)
     w = key.standard_normal((kh, kw, cin // groups, cout), np.float32)
-    w = w * np.sqrt(2.0 / fan_in)
+    w = w * np.float32(np.sqrt(2.0 / fan_in))
     return {"w": w, "b": np.zeros((cout,), np.float32)}
 
 

@@ -35,6 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warmup", default="",
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
+    ap.add_argument("--decode-scale", type=int, default=1,
+                    choices=[1, 2, 4, 8],
+                    help="decode incoming JPEGs at 1/N resolution "
+                         "(fast path; annotated output is then scaled)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace into this dir")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
@@ -61,20 +67,24 @@ def main(argv: list[str] | None = None) -> int:
             w, h = spec.lower().split("x")
             warmup.append((int(h), int(w)))
 
+    from infercam_onnx_tpu.utils.profiling import device_trace
+
     try:
-        asyncio.run(serve_forever(
-            server_config=ServerConfig(
-                http_address=args.server_address,
-                socket_address=args.socket_address),
-            detector_config=DetectorConfig(
-                variant=args.variant,
-                min_confidence=args.min_confidence,
-                max_iou=args.max_iou),
-            engine_config=EngineConfig(
-                batch_buckets=tuple(buckets),
-                batch_window_ms=args.batch_window_ms),
-            warmup_resolutions=warmup or None,
-        ))
+        with device_trace(args.profile_dir):
+            asyncio.run(serve_forever(
+                server_config=ServerConfig(
+                    http_address=args.server_address,
+                    socket_address=args.socket_address),
+                detector_config=DetectorConfig(
+                    variant=args.variant,
+                    min_confidence=args.min_confidence,
+                    max_iou=args.max_iou),
+                engine_config=EngineConfig(
+                    batch_buckets=tuple(buckets),
+                    batch_window_ms=args.batch_window_ms,
+                    decode_scale=args.decode_scale),
+                warmup_resolutions=warmup or None,
+            ))
     except KeyboardInterrupt:
         pass
     return 0

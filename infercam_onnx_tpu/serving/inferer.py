@@ -34,6 +34,7 @@ from infercam_onnx_tpu.draw import draw_detections
 from infercam_onnx_tpu.protocol import as_jpeg_stream_item
 from infercam_onnx_tpu.serving.meter import METER, Meter
 from infercam_onnx_tpu.serving.router import InferJob
+from infercam_onnx_tpu.utils.profiling import STAGES
 
 log = logging.getLogger("infercam.inferer")
 
@@ -108,17 +109,19 @@ class InferenceWorker:
         frames: list[tuple[InferJob, np.ndarray]] = []
         datas = [j.data for j in jobs]
         scale = self._cfg.decode_scale
-        try:
-            decoded = codec.decode_batch(datas, scale=scale)
-            frames = list(zip(jobs, decoded))
-        except ValueError:
-            for job in jobs:
-                try:
-                    frames.append((job, codec.decode_rgb(job.data, scale)))
-                except ValueError:
-                    log.warning("dropping corrupt frame on stream %x",
-                                job.key)
-                    self._meter.tick_dropped()
+        with STAGES.stage("decode"):
+            try:
+                decoded = codec.decode_batch(datas, scale=scale)
+                frames = list(zip(jobs, decoded))
+            except ValueError:
+                for job in jobs:
+                    try:
+                        frames.append(
+                            (job, codec.decode_rgb(job.data, scale)))
+                    except ValueError:
+                        log.warning("dropping corrupt frame on stream %x",
+                                    job.key)
+                        self._meter.tick_dropped()
 
         # 2. group by decoded resolution (device program is per-shape)
         groups: dict[tuple[int, int], list[tuple[InferJob, np.ndarray]]] = {}
@@ -133,8 +136,9 @@ class InferenceWorker:
                 batch[i] = frame
             t0 = time.monotonic()
             # packed output: ONE device->host transfer per batch
-            packed = np.asarray(
-                self._detector.run_device(batch, pack_output=True))
+            with STAGES.stage("device"):
+                packed = np.asarray(
+                    self._detector.run_device(batch, pack_output=True))
             self._meter.tick_batch(n, time.monotonic() - t0)
 
             # 3. draw + encode + publish per frame
@@ -143,10 +147,12 @@ class InferenceWorker:
                 count = int(packed[i, :, 5].sum())
                 dets = [(packed[i, d, :4], float(packed[i, d, 4]))
                         for d in range(count)]
-                annotated = draw_detections(frame, dets, dims)
-                jpeg = codec.encode_rgb(
-                    annotated, self._server_cfg.jpeg_quality,
-                    self._server_cfg.jpeg_subsampling)
+                with STAGES.stage("draw"):
+                    annotated = draw_detections(frame, dets, dims)
+                with STAGES.stage("encode"):
+                    jpeg = codec.encode_rgb(
+                        annotated, self._server_cfg.jpeg_quality,
+                        self._server_cfg.jpeg_subsampling)
                 part = as_jpeg_stream_item(jpeg)
                 assert self._loop is not None
                 self._loop.call_soon_threadsafe(job.reply.publish, part)

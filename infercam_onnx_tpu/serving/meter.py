@@ -92,3 +92,8 @@ async def meter_logger(period_s: float = 2.0, meter: Meter = METER):
                 inf, snap["inferred_unique"] / elapsed,
                 snap["mean_batch"], snap["p50_batch_latency_ms"],
                 snap["dropped"])
+            from infercam_onnx_tpu.utils.profiling import STAGES
+
+            stages = STAGES.format_drain()
+            if stages:
+                log.info("Stage latency: %s", stages)
