@@ -54,10 +54,13 @@ class InferenceWorker:
         self._queue: asyncio.Queue[InferJob] = asyncio.Queue(
             maxsize=engine_config.queue_capacity)
         self._buckets = sorted(engine_config.batch_buckets)
-        # one thread: this host has a single core; the thread exists to
-        # keep the event loop responsive during decode/device waits
-        self._executor = ThreadPoolExecutor(max_workers=1,
-                                            thread_name_prefix="infer")
+        # two single-thread executors form a 2-stage pipeline: decode of
+        # batch k+1 overlaps the device round-trip of batch k (both
+        # stages spend most of their time in GIL-releasing C/RPC waits)
+        self._decode_exec = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="decode")
+        self._device_exec = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="device")
         self._loop: asyncio.AbstractEventLoop | None = None
 
     # -- submission (called from the router on the event loop) -------------
@@ -80,6 +83,7 @@ class InferenceWorker:
         self._loop = asyncio.get_running_loop()
         max_bucket = self._buckets[-1]
         window = self._cfg.batch_window_ms / 1e3
+        inflight: asyncio.Future | None = None
         while True:
             jobs = [await self._queue.get()]
             deadline = self._loop.time() + window
@@ -98,14 +102,22 @@ class InferenceWorker:
                 if job.key in latest:
                     self._meter.tick_dropped()
                 latest[job.key] = job
-            await self._loop.run_in_executor(
-                self._executor, self._process_batch, list(latest.values()))
+            frames = await self._loop.run_in_executor(
+                self._decode_exec, self._decode, list(latest.values()))
+            # pipeline depth 1: let the previous device batch finish
+            # while this one was decoding, then launch the next
+            if inflight is not None:
+                await inflight
+            inflight = self._loop.run_in_executor(
+                self._device_exec, self._infer_publish, frames)
 
-    # -- batch processing (worker thread) ----------------------------------
+    # -- stage 1: decode (decode thread) -----------------------------------
 
-    def _process_batch(self, jobs: list[InferJob]) -> None:
-        # 1. decode (corrupt frames are dropped, not fatal — hardening
-        #    over the reference's panic, reference inferer.rs:35-36)
+    def _decode(
+        self, jobs: list[InferJob]
+    ) -> list[tuple[InferJob, np.ndarray]]:
+        # corrupt frames are dropped, not fatal — hardening over the
+        # reference's panic, reference inferer.rs:35-36
         frames: list[tuple[InferJob, np.ndarray]] = []
         datas = [j.data for j in jobs]
         scale = self._cfg.decode_scale
@@ -122,8 +134,14 @@ class InferenceWorker:
                         log.warning("dropping corrupt frame on stream %x",
                                     job.key)
                         self._meter.tick_dropped()
+        return frames
 
-        # 2. group by decoded resolution (device program is per-shape)
+    # -- stage 2: device + draw + encode + publish (device thread) ---------
+
+    def _infer_publish(
+        self, frames: list[tuple[InferJob, np.ndarray]]
+    ) -> None:
+        # group by decoded resolution (device program is per-shape)
         groups: dict[tuple[int, int], list[tuple[InferJob, np.ndarray]]] = {}
         for job, frame in frames:
             groups.setdefault(frame.shape[:2], []).append((job, frame))
