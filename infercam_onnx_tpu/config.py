@@ -54,6 +54,13 @@ class EngineConfig:
     # resolution (the reference always decodes full frames; set 1 for
     # exact output parity).
     decode_scale: int = 1
+    # Tiled high-res detection (BASELINE config 5): frames with at least
+    # this many pixels (post-decode) run through the overlapping tile grid
+    # with cross-tile NMS merge instead of a single squashed resize.
+    # 0 disables tiling.
+    tile_min_pixels: int = 0
+    tile_grid: tuple[int, int] = (2, 2)
+    tile_overlap: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(fast path; annotated output is then scaled)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
+    ap.add_argument("--tile-min-pixels", type=int, default=0,
+                    help="tile frames with >= this many pixels through "
+                         "the overlapping grid with cross-tile NMS merge "
+                         "(0 disables; e.g. 1000000 for 1080p streams)")
+    ap.add_argument("--tile-grid", default="2x2",
+                    help="tile grid CxR for high-res frames")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
@@ -82,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
                 engine_config=EngineConfig(
                     batch_buckets=tuple(buckets),
                     batch_window_ms=args.batch_window_ms,
-                    decode_scale=args.decode_scale),
+                    decode_scale=args.decode_scale,
+                    tile_min_pixels=args.tile_min_pixels,
+                    tile_grid=tuple(
+                        int(v) for v in args.tile_grid.split("x"))),
                 warmup_resolutions=warmup or None,
             ))
     except KeyboardInterrupt:

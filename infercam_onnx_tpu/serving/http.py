@@ -103,6 +103,13 @@ class HttpServer:
             if url.path == "/healthcheck":
                 writer.write(_simple_response("200 OK", b"healthy"))
                 return
+            if url.path == "/stats":
+                import json
+
+                body = json.dumps(self._meter.stats()).encode()
+                writer.write(_simple_response("200 OK", body,
+                                              "application/json"))
+                return
             if url.path == "/stream":
                 log.info("Stream for %s requested", name)
                 await self._stream(

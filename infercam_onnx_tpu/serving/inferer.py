@@ -62,6 +62,9 @@ class InferenceWorker:
         self._device_exec = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="device")
         self._loop: asyncio.AbstractEventLoop | None = None
+        # lazily-built tiled detectors per decoded frame size
+        # (BASELINE config 5: high-res frames tile across the detector)
+        self._tiled: dict[tuple[int, int], object] = {}
 
     # -- submission (called from the router on the event loop) -------------
 
@@ -155,8 +158,7 @@ class InferenceWorker:
             t0 = time.monotonic()
             # packed output: ONE device->host transfer per batch
             with STAGES.stage("device"):
-                packed = np.asarray(
-                    self._detector.run_device(batch, pack_output=True))
+                packed = self._run_detection(batch, h, w)
             self._meter.tick_batch(n, time.monotonic() - t0)
 
             # 3. draw + encode + publish per frame
@@ -175,6 +177,29 @@ class InferenceWorker:
                 assert self._loop is not None
                 self._loop.call_soon_threadsafe(job.reply.publish, part)
             self._meter.tick_inferred_unique(min(n, bucket))
+
+    def _run_detection(self, batch: np.ndarray, h: int, w: int
+                       ) -> np.ndarray:
+        """Dispatch the right device program; returns packed [B, D, 6]."""
+        if (self._cfg.tile_min_pixels
+                and h * w >= self._cfg.tile_min_pixels):
+            tiled = self._tiled.get((h, w))
+            if tiled is None:
+                from infercam_onnx_tpu.parallel.tiling import TiledDetector
+
+                tiled = TiledDetector(
+                    self._detector, (w, h), grid=self._cfg.tile_grid,
+                    overlap=self._cfg.tile_overlap)
+                self._tiled[(h, w)] = tiled
+            boxes, confs, counts = (
+                np.asarray(a) for a in tiled.run_device(batch))
+            d = boxes.shape[1]
+            valid = (np.arange(d)[None, :]
+                     < counts[:, None]).astype(np.float32)
+            return np.concatenate(
+                [boxes, confs[..., None], valid[..., None]], axis=-1)
+        return np.asarray(
+            self._detector.run_device(batch, pack_output=True))
 
     def warmup(self, resolutions: list[tuple[int, int]] | None = None):
         """Pre-compile device programs for common shape buckets.

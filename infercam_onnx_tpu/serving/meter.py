@@ -28,6 +28,13 @@ class Meter:
         self.batched_frames = 0
         self._lat_sum = 0.0
         self._lat_samples: list[float] = []
+        # cumulative totals + last drained window, served by /stats
+        # (not reset by drain; new capability over the reference's
+        # log-only meter)
+        self.totals: dict[str, float] = {}
+        self.last_window: dict = {}
+        self.last_stages: dict = {}
+        self.started_at = time.time()
 
     # per-viewer deliveries (reference parity)
     def tick_raw(self) -> None:
@@ -66,8 +73,34 @@ class Meter:
             "p50_batch_latency_ms": (
                 lat[len(lat) // 2] * 1e3 if lat else 0.0),
         }
-        self.__init__()
+        for key in ("raw_fps_delivered", "inferred_fps_delivered",
+                    "raw_unique", "inferred_unique", "dropped", "batches"):
+            self.totals[key] = self.totals.get(key, 0) + snap[key]
+        totals, window, stages, started = (
+            self.totals, self.last_window, self.last_stages,
+            self.started_at)
+        self.raw_delivered = 0
+        self.inferred_delivered = 0
+        self.raw_unique = 0
+        self.inferred_unique = 0
+        self.dropped = 0
+        self.batches = 0
+        self.batched_frames = 0
+        self._lat_sum = 0.0
+        self._lat_samples = []
+        self.totals, self.last_window, self.last_stages = (
+            totals, window, stages)
+        self.started_at = started
         return snap
+
+    def stats(self) -> dict:
+        """Cumulative + last-window stats for the /stats endpoint."""
+        return {
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "totals": dict(self.totals),
+            "window": dict(self.last_window),
+            "stages": dict(self.last_stages),
+        }
 
 
 METER = Meter()
@@ -82,6 +115,12 @@ async def meter_logger(period_s: float = 2.0, meter: Meter = METER):
         snap = meter.drain()
         raw = snap["raw_fps_delivered"] / elapsed
         inf = snap["inferred_fps_delivered"] / elapsed
+        meter.last_window = {
+            **snap,
+            "raw_fps": round(raw, 2),
+            "inferred_fps": round(inf, 2),
+            "window_s": round(elapsed, 2),
+        }
         if snap["raw_fps_delivered"]:
             log.info("Raw frames per second: %.2f", raw)
         if snap["inferred_fps_delivered"]:
@@ -94,6 +133,10 @@ async def meter_logger(period_s: float = 2.0, meter: Meter = METER):
                 snap["dropped"])
             from infercam_onnx_tpu.utils.profiling import STAGES
 
-            stages = STAGES.format_drain()
-            if stages:
-                log.info("Stage latency: %s", stages)
+            stage_stats = STAGES.drain()
+            meter.last_stages = stage_stats
+            if stage_stats:
+                log.info("Stage latency: %s", "; ".join(
+                    f"{name} p50 {s['p50_ms']:.1f}ms "
+                    f"p95 {s['p95_ms']:.1f}ms x{s['count']}"
+                    for name, s in sorted(stage_stats.items())))

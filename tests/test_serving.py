@@ -254,3 +254,63 @@ def test_submit_queue_drops_when_full(detector):
         assert ok == [True, True, False, False]
 
     asyncio.run(run())
+
+
+def test_stats_endpoint(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18314, 18315)
+        try:
+            import json
+
+            resp = await _http_get(18314, "/stats")
+            body = resp.split(b"\r\n\r\n", 1)[1]
+            stats = json.loads(body)
+            assert "totals" in stats and "uptime_s" in stats
+            # drive some traffic, then stats must show totals
+            t = asyncio.create_task(
+                _http_get(18314, "/stream?name=s", read_bytes=500))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=100),
+                ClientConfig(address="127.0.0.1:18315", channel="s"),
+                max_frames=5)
+            await t
+            await asyncio.sleep(2.2)  # wait for a meter drain cycle
+            resp = await _http_get(18314, "/stats")
+            stats = json.loads(resp.split(b"\r\n\r\n", 1)[1])
+            assert stats["totals"].get("raw_unique", 0) >= 1
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_tiled_high_res_serving_path(detector, tmp_path):
+    # frames big enough to cross tile_min_pixels flow through the tiled
+    # detector (BASELINE config 5) and still produce MJPEG parts
+    rng = np.random.default_rng(11)
+    frame = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    (tmp_path / "big.jpg").write_bytes(codec.encode_rgb(frame))
+
+    async def run():
+        server, _ = await _start(detector, 18316, 18317,
+                                 tile_min_pixels=96 * 128,
+                                 tile_grid=(2, 2))
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18316, "/face_stream?name=t", read_bytes=800,
+                          timeout=60.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18317", channel="t"),
+                max_frames=6)
+            await asyncio.sleep(2.0)
+            data = await stream_task
+            assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
+            # the tiled detector was actually instantiated for this shape
+            assert (96, 128) in server.worker._tiled
+        finally:
+            await server.close()
+
+    asyncio.run(run())
