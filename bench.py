@@ -108,16 +108,17 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 10.0,
         lat.append(time.perf_counter() - t0)
     lat.sort()
 
-    # device-compute-only figure (input resident, no host readback):
-    # the chip's intrinsic throughput, excluding this rig's tunnel
-    # transfer costs
+    # device-compute-only figure (input resident, pipelined dispatch,
+    # block once): the chip's intrinsic throughput, excluding this rig's
+    # tunnel transfer costs and per-call round-trips
     resident = jax.device_put(imgs)
     jax.block_until_ready(detector.run_device(resident, pack_output=True))
+    n_pipe = 50
     t0 = time.perf_counter()
-    for _ in range(10):
-        jax.block_until_ready(
-            detector.run_device(resident, pack_output=True))
-    device_ms = (time.perf_counter() - t0) / 10 * 1e3
+    outs = [detector.run_device(resident, pack_output=True)
+            for _ in range(n_pipe)]
+    jax.block_until_ready(outs[-1])
+    device_ms = (time.perf_counter() - t0) / n_pipe * 1e3
 
     # throughput: 2-deep software pipeline — dispatch batch k+1 before
     # fetching batch k's detections, so decode (host), transfers, and
@@ -208,7 +209,18 @@ def main() -> int:
 
     frames = _load_frames(batch)
     cpu = bench_cpu_baseline(frames)
-    tpu = bench_tpu(frames, seconds=seconds, batch=batch)
+    # the TPU tunnel occasionally throws one-off FAILED_PRECONDITION
+    # backend errors; retry rather than losing the whole bench run
+    last_err = None
+    for _ in range(3):
+        try:
+            tpu = bench_tpu(frames, seconds=seconds, batch=batch)
+            break
+        except Exception as e:  # pragma: no cover - flaky-rig guard
+            last_err = e
+            time.sleep(5)
+    else:
+        raise last_err
 
     import jax
 
