@@ -77,6 +77,49 @@ detect_program = jax.jit(
 )
 
 
+def detect_from_coefficients_impl(
+    params,
+    priors: jax.Array,
+    y_coefs: jax.Array,  # [B, ybh, ybw, 64] int16 (entropy-decoded)
+    cb_coefs: jax.Array,
+    cr_coefs: jax.Array,
+    quant: jax.Array,  # [B, 3, 64]
+    r_h: jax.Array,
+    r_w: jax.Array,
+    *,
+    width: int,
+    height: int,
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+    pack_output: bool = False,
+):
+    """The zero-host-roundtrip pipeline (BASELINE config 4): JPEG DCT
+    coefficients in, detections out — dequant, 8x8 IDCT, chroma
+    upsampling, color conversion, resize, CNN, and NMS in ONE XLA
+    program. Host work is entropy decoding only."""
+    from infercam_onnx_tpu.ops.jpeg_device import decode_rgb_device
+
+    rgb = decode_rgb_device(y_coefs, cb_coefs, cr_coefs, quant,
+                            width=width, height=height)
+    return detect_program_impl(
+        params, priors, rgb, r_h, r_w,
+        compute_dtype=compute_dtype, min_confidence=min_confidence,
+        max_iou=max_iou, top_k=top_k, max_detections=max_detections,
+        pack_output=pack_output)
+
+
+detect_from_coefficients = jax.jit(
+    detect_from_coefficients_impl,
+    static_argnames=(
+        "width", "height", "compute_dtype", "min_confidence", "max_iou",
+        "top_k", "max_detections", "pack_output",
+    ),
+)
+
+
 def unpack_detections(packed: np.ndarray) -> list[list[Detection]]:
     """Host-side inverse of ``pack_output=True``."""
     out: list[list[Detection]] = []
@@ -139,6 +182,26 @@ class Detector:
         return detect_program(
             self.model.params, self.model.priors, jnp.asarray(images),
             r_h, r_w,
+            compute_dtype=self._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections,
+            pack_output=pack_output)
+
+    def run_device_coefficients(self, datas: list[bytes], *,
+                                pack_output: bool = False):
+        """Zero-host-roundtrip path: entropy-decode on host, everything
+        else (IDCT -> RGB -> resize -> CNN -> NMS) fused on device."""
+        from infercam_onnx_tpu.ops.jpeg_device import (
+            read_coefficient_batch)
+
+        y, cb, cr, quant, (w, h) = read_coefficient_batch(datas)
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        c = self.config
+        return detect_from_coefficients(
+            self.model.params, self.model.priors,
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(quant), r_h, r_w,
+            width=w, height=h,
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,
             top_k=c.top_k, max_detections=c.max_detections,

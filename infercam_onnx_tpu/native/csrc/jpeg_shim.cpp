@@ -218,3 +218,103 @@ void ic_jpeg_decode_batch(const uint8_t* const* datas, const int64_t* lens,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Entropy-decode only: export quantized DCT coefficient blocks + quant
+// tables without running IDCT/upsampling/color conversion on the host.
+// This is the host half of the device-side decode tail (BASELINE config
+// 4; SURVEY.md section 7: "host does entropy decode -> DCT coefficients,
+// device does dequant+IDCT+YCbCr->RGB+resize"): dequantization, the 8x8
+// IDCT, chroma upsampling and color conversion all run on the TPU inside
+// the fused detection program (ops/jpeg_device.py).
+//
+// Requirements: baseline/progressive JPEG, 3 components, 4:2:0 or 4:4:4
+// sampling. Coefficients and quant values are exported in natural
+// (row-major) order, as libjpeg stores them.
+//
+// dims_out[8]: width, height, y_bw, y_bh, c_bw, c_bh, h_samp, v_samp.
+// Plane buffers receive int16[bh][bw][64]. Returns 0, or -1 corrupt,
+// -2 buffer too small, -3 unsupported layout.
+int ic_jpeg_read_coefs(const uint8_t* data, int64_t len, int16_t* out_y,
+                       int16_t* out_cb, int16_t* out_cr,
+                       int64_t max_coefs_each, uint16_t* quant_out,
+                       int32_t* dims_out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  if (cinfo.num_components != 3 ||
+      cinfo.jpeg_color_space != JCS_YCbCr) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  jvirt_barray_ptr* coefs = jpeg_read_coefficients(&cinfo);
+  if (coefs == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  const int hs = cinfo.comp_info[0].h_samp_factor;
+  const int vs = cinfo.comp_info[0].v_samp_factor;
+  const bool s420 = (hs == 2 && vs == 2);
+  const bool s444 = (hs == 1 && vs == 1);
+  if ((!s420 && !s444) || cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+
+  int16_t* outs[3] = {out_y, out_cb, out_cr};
+  for (int c = 0; c < 3; ++c) {
+    jpeg_component_info* comp = &cinfo.comp_info[c];
+    const JDIMENSION bw = comp->width_in_blocks;
+    const JDIMENSION bh = comp->height_in_blocks;
+    if (static_cast<int64_t>(bw) * bh * 64 > max_coefs_each) {
+      jpeg_destroy_decompress(&cinfo);
+      return -2;
+    }
+    JQUANT_TBL* qt = cinfo.quant_tbl_ptrs[comp->quant_tbl_no];
+    if (qt == nullptr) {
+      jpeg_destroy_decompress(&cinfo);
+      return -1;
+    }
+    for (int k = 0; k < 64; ++k) quant_out[c * 64 + k] = qt->quantval[k];
+    for (JDIMENSION row = 0; row < bh; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coefs[c], row, 1,
+          FALSE);
+      memcpy(outs[c] + static_cast<int64_t>(row) * bw * 64, rows[0],
+             sizeof(JCOEF) * 64 * bw);
+    }
+    if (c == 0) {
+      dims_out[2] = static_cast<int32_t>(bw);
+      dims_out[3] = static_cast<int32_t>(bh);
+    } else if (c == 1) {
+      dims_out[4] = static_cast<int32_t>(bw);
+      dims_out[5] = static_cast<int32_t>(bh);
+    }
+  }
+  dims_out[0] = static_cast<int32_t>(cinfo.image_width);
+  dims_out[1] = static_cast<int32_t>(cinfo.image_height);
+  dims_out[6] = hs;
+  dims_out[7] = vs;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+}  // extern "C"

@@ -62,6 +62,14 @@ class NativeJpeg:
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ]
+        lib.ic_jpeg_read_coefs.restype = ctypes.c_int
+        lib.ic_jpeg_read_coefs.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.ic_jpeg_decode_batch.restype = None
         lib.ic_jpeg_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
@@ -122,6 +130,42 @@ class NativeJpeg:
             w, h = ow[i], oh[i]
             out.append(bufs[i, :w * h * 3].reshape(h, w, 3).copy())
         return out
+
+    def read_coefficients(self, data: bytes):
+        """Entropy-decode only: quantized DCT blocks + quant tables.
+
+        Returns (y[bh,bw,64] i16, cb, cr, quant[3,64] u16,
+        (width, height), (h_samp, v_samp)). The device half
+        (ops/jpeg_device.py) turns these into RGB on the TPU.
+        """
+        # generous initial bound: blocks for a frame up to 4K
+        max_each = (3840 // 8 + 2) * (2160 // 8 + 2) * 64
+        y = np.empty(max_each, np.int16)
+        cb = np.empty(max_each, np.int16)
+        cr = np.empty(max_each, np.int16)
+        quant = np.empty(3 * 64, np.uint16)
+        dims = (ctypes.c_int32 * 8)()
+        rc = self._lib.ic_jpeg_read_coefs(
+            data, len(data),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            max_each,
+            quant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            dims)
+        if rc == -3:
+            raise ValueError("unsupported JPEG layout for coefficient "
+                             "export (need 3-component YCbCr 4:2:0/4:4:4)")
+        if rc != 0:
+            raise ValueError(f"corrupt JPEG (coef rc={rc})")
+        w, h, ybw, ybh, cbw, cbh, hs, vs = (dims[i] for i in range(8))
+        return (
+            y[:ybh * ybw * 64].reshape(ybh, ybw, 64).copy(),
+            cb[:cbh * cbw * 64].reshape(cbh, cbw, 64).copy(),
+            cr[:cbh * cbw * 64].reshape(cbh, cbw, 64).copy(),
+            quant.reshape(3, 64).copy(),
+            (w, h), (hs, vs),
+        )
 
     def encode_rgb(self, frame: np.ndarray, quality: int = 95,
                    subsampling: str = "420") -> bytes:

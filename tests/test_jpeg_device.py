@@ -1,0 +1,98 @@
+"""Device-side JPEG decode tail tests (BASELINE config 4).
+
+Oracle: the host libjpeg full decode (C++ shim). The device pipeline
+(dequant + IDCT + fancy chroma upsample + BT.601) must reconstruct RGB
+within a couple of u8 steps, and the fully-fused coefficients->detections
+program must agree with the standard frames->detections program at
+detection level.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from infercam_onnx_tpu import codec
+from infercam_onnx_tpu.ops import jpeg_device as jd
+
+
+def _jpeg(rng, w=128, h=96, quality=90):
+    # smooth-ish content: JPEG of pure noise stresses nothing meaningful
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([
+        (127 + 120 * np.sin(xx / 9.0) * np.cos(yy / 7.0)),
+        (127 + 120 * np.cos(xx / 13.0)),
+        (127 + 120 * np.sin((xx + yy) / 11.0)),
+    ], axis=-1)
+    noise = rng.normal(0, 12, size=(h, w, 3))
+    img = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return codec.encode_rgb(img, quality, "420")
+
+
+def test_reconstruction_matches_host_decode(rng):
+    data = _jpeg(rng)
+    host = codec.decode_rgb(data).astype(np.float32)
+    y, cb, cr, quant, (w, h) = jd.read_coefficient_batch([data])
+    rgb = np.asarray(jd.decode_rgb_device(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+        jnp.asarray(quant), width=w, height=h))[0]
+    diff = np.abs(rgb - host)
+    assert diff.mean() < 1.0
+    assert np.percentile(diff, 99) <= 3.0
+
+
+def test_idct_basis_is_orthonormal():
+    a = jd.idct_basis().astype(np.float64)
+    np.testing.assert_allclose(a @ a.T, np.eye(8), atol=1e-6)
+
+
+def test_dc_only_block_decodes_flat():
+    # a single DC coefficient must produce a constant 8x8 block
+    coefs = np.zeros((1, 1, 1, 64), np.int16)
+    coefs[0, 0, 0, 0] = 32  # DC
+    quant = np.full((1, 64), 2.0, np.float32)
+    plane = np.asarray(jd.decode_plane(jnp.asarray(coefs),
+                                       jnp.asarray(quant)))[0]
+    # DC term: A[:,0] = 0.5/sqrt(2) -> pixel = dc*quant/8 + 128
+    np.testing.assert_allclose(plane, 32 * 2 / 8 + 128, atol=1e-4)
+
+
+def test_fused_coefficient_detection_matches_standard(rng):
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.eval.parity import parity_report
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    datas = [_jpeg(rng, 160, 120) for _ in range(2)]
+
+    # standard path: host full decode -> device detect
+    frames = np.stack([codec.decode_rgb(d) for d in datas])
+    std = det.detect_batch(frames)
+
+    # fused path: host entropy decode -> device everything
+    boxes, confs, counts = (
+        np.asarray(a) for a in det.run_device_coefficients(datas))
+    fused = [
+        [(boxes[i, d], float(confs[i, d])) for d in range(int(counts[i]))]
+        for i in range(2)
+    ]
+
+    report = parity_report(fused, std, iou_thresh=0.8, conf_tol=0.05)
+    assert report.box_parity >= 0.9, report.as_dict()
+
+
+def test_rejects_mixed_geometries(rng):
+    a = _jpeg(rng, 128, 96)
+    b = _jpeg(rng, 64, 96)
+    with pytest.raises(ValueError, match="mixed"):
+        jd.read_coefficient_batch([a, b])
+
+
+def test_rejects_non_420(rng):
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.clip(127 + 50 * np.sin(xx / 3.0), 0, 255).astype(np.uint8)
+    img = np.stack([img] * 3, axis=-1)
+    data = codec.encode_rgb(img, 90, "444")
+    with pytest.raises(ValueError, match="4:2:0"):
+        jd.read_coefficient_batch([data])
