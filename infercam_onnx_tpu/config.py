@@ -54,6 +54,11 @@ class EngineConfig:
     # resolution (the reference always decodes full frames; set 1 for
     # exact output parity).
     decode_scale: int = 1
+    # "pixels": host JPEG decode feeds uint8 frames to the device.
+    # "coefficients": for detection-only consumers (/detections viewers
+    # with no /face_stream viewer) the host does entropy decoding only
+    # and dequant+IDCT+color run fused on the device (BASELINE config 4).
+    decode_mode: str = "pixels"
     # Tiled high-res detection (BASELINE config 5): frames with at least
     # this many pixels (post-decode) run through the overlapping tile grid
     # with cross-tile NMS merge instead of a single squashed resize.

@@ -194,7 +194,15 @@ class Detector:
         from infercam_onnx_tpu.ops.jpeg_device import (
             read_coefficient_batch)
 
-        y, cb, cr, quant, (w, h) = read_coefficient_batch(datas)
+        y, cb, cr, quant, wh = read_coefficient_batch(datas)
+        return self.run_device_coefficients_arrays(
+            y, cb, cr, quant, wh, pack_output=pack_output)
+
+    def run_device_coefficients_arrays(self, y, cb, cr, quant,
+                                       wh: tuple[int, int], *,
+                                       pack_output: bool = False):
+        """Device half of the coefficient path (pre-stacked planes)."""
+        w, h = wh
         r_h, r_w = self.preprocessor.matrices(w, h)
         c = self.config
         return detect_from_coefficients(

@@ -35,6 +35,14 @@ _MJPEG_HEADERS = (
     b"\r\n"
 )
 
+_NDJSON_HEADERS = (
+    b"HTTP/1.1 200 OK\r\n"
+    b"Content-Type: application/x-ndjson\r\n"
+    b"Cache-Control: no-cache\r\n"
+    b"Connection: close\r\n"
+    b"\r\n"
+)
+
 
 def _simple_response(status: str, body: bytes,
                      content_type: str = "text/plain") -> bytes:
@@ -122,6 +130,14 @@ class HttpServer:
                     reader, writer, self._router.subscribe_inferred(name),
                     self._meter.tick_inferred)
                 return
+            if url.path == "/detections":
+                log.info("Detections stream for %s requested", name)
+                await self._stream(
+                    reader, writer,
+                    self._router.subscribe_detections(name),
+                    self._meter.tick_inferred,
+                    headers=_NDJSON_HEADERS)
+                return
             writer.write(_simple_response("404 Not Found", b"not found"))
         except (asyncio.TimeoutError, ConnectionError):
             pass
@@ -135,8 +151,9 @@ class HttpServer:
             writer.close()
 
     async def _stream(self, reader: asyncio.StreamReader,
-                      writer: asyncio.StreamWriter, sub, tick) -> None:
-        writer.write(_MJPEG_HEADERS)
+                      writer: asyncio.StreamWriter, sub, tick,
+                      headers: bytes = _MJPEG_HEADERS) -> None:
+        writer.write(headers)
         # watch the read side so a client disconnect ends the stream even
         # while no parts are flowing (prompt unsubscribe is what drives
         # the router's demand-driven inference shutdown)

@@ -116,34 +116,79 @@ class InferenceWorker:
 
     # -- stage 1: decode (decode thread) -----------------------------------
 
-    def _decode(
-        self, jobs: list[InferJob]
-    ) -> list[tuple[InferJob, np.ndarray]]:
-        # corrupt frames are dropped, not fatal — hardening over the
-        # reference's panic, reference inferer.rs:35-36
+    def _decode(self, jobs: list[InferJob]):
+        """Pixel-decode jobs that need host pixels; entropy-decode only
+        for detection-only jobs in coefficient mode. Corrupt frames are
+        dropped, not fatal — hardening over the reference's panic,
+        reference inferer.rs:35-36."""
+        coef_mode = self._cfg.decode_mode == "coefficients"
+        pixel_jobs = [j for j in jobs
+                      if j.reply is not None or not coef_mode]
+        coef_jobs = [j for j in jobs
+                     if j.reply is None and coef_mode]
+
         frames: list[tuple[InferJob, np.ndarray]] = []
-        datas = [j.data for j in jobs]
         scale = self._cfg.decode_scale
         with STAGES.stage("decode"):
-            try:
-                decoded = codec.decode_batch(datas, scale=scale)
-                frames = list(zip(jobs, decoded))
-            except ValueError:
-                for job in jobs:
-                    try:
-                        frames.append(
-                            (job, codec.decode_rgb(job.data, scale)))
-                    except ValueError:
-                        log.warning("dropping corrupt frame on stream %x",
-                                    job.key)
-                        self._meter.tick_dropped()
-        return frames
+            if pixel_jobs:
+                datas = [j.data for j in pixel_jobs]
+                try:
+                    decoded = codec.decode_batch(datas, scale=scale)
+                    frames = list(zip(pixel_jobs, decoded))
+                except ValueError:
+                    for job in pixel_jobs:
+                        try:
+                            frames.append(
+                                (job, codec.decode_rgb(job.data, scale)))
+                        except ValueError:
+                            log.warning(
+                                "dropping corrupt frame on stream %x",
+                                job.key)
+                            self._meter.tick_dropped()
+
+            # entropy-only decode, grouped by JPEG geometry
+            coef_groups = []
+            by_geom: dict = {}
+            for job in coef_jobs:
+                try:
+                    from infercam_onnx_tpu.ops.jpeg_device import (
+                        read_coefficient_batch)
+
+                    planes = read_coefficient_batch([job.data])
+                    geom = (planes[4], planes[0].shape, planes[1].shape)
+                    by_geom.setdefault(geom, []).append((job, planes))
+                except ValueError as e:
+                    log.warning("coefficient decode failed on stream "
+                                "%x (%s); dropping", job.key, e)
+                    self._meter.tick_dropped()
+            for geom, members in by_geom.items():
+                coef_groups.append(members)
+        return frames, coef_groups
 
     # -- stage 2: device + draw + encode + publish (device thread) ---------
 
-    def _infer_publish(
-        self, frames: list[tuple[InferJob, np.ndarray]]
-    ) -> None:
+    def _publish(self, chan, item: bytes) -> None:
+        assert self._loop is not None
+        self._loop.call_soon_threadsafe(chan.publish, item)
+
+    def _detections_json(self, packed_row: np.ndarray, w: int,
+                         h: int) -> bytes:
+        import json
+
+        count = int(packed_row[:, 5].sum())
+        return (json.dumps({
+            "ts": round(time.time(), 4),
+            "width": w,
+            "height": h,
+            "detections": [
+                {"bbox": [float(v) for v in packed_row[d, :4]],
+                 "confidence": float(packed_row[d, 4])}
+                for d in range(count)
+            ],
+        }) + "\n").encode()
+
+    def _infer_publish(self, staged) -> None:
+        frames, coef_groups = staged
         # group by decoded resolution (device program is per-shape)
         groups: dict[tuple[int, int], list[tuple[InferJob, np.ndarray]]] = {}
         for job, frame in frames:
@@ -164,6 +209,11 @@ class InferenceWorker:
             # 3. draw + encode + publish per frame
             dims = self._server_cfg.assume_frame_dims
             for i, (job, frame) in enumerate(members[:bucket]):
+                if job.det_reply is not None:
+                    self._publish(job.det_reply,
+                                  self._detections_json(packed[i], w, h))
+                if job.reply is None:
+                    continue
                 count = int(packed[i, :, 5].sum())
                 dets = [(packed[i, d, :4], float(packed[i, d, 4]))
                         for d in range(count)]
@@ -173,9 +223,34 @@ class InferenceWorker:
                     jpeg = codec.encode_rgb(
                         annotated, self._server_cfg.jpeg_quality,
                         self._server_cfg.jpeg_subsampling)
-                part = as_jpeg_stream_item(jpeg)
-                assert self._loop is not None
-                self._loop.call_soon_threadsafe(job.reply.publish, part)
+                self._publish(job.reply, as_jpeg_stream_item(jpeg))
+            self._meter.tick_inferred_unique(min(n, bucket))
+
+        # zero-pixel path: coefficient batches -> detections JSON only
+        for members in coef_groups:
+            n = len(members)
+            bucket = self._bucket_size(n)
+            y0, cb0, cr0, q0, (w, h) = members[0][1]
+            pad = bucket - n
+
+            def cat(idx):
+                arrs = [m[1][idx] for m in members[:bucket]]
+                if pad > 0:
+                    arrs.append(np.zeros((pad,) + arrs[0].shape[1:],
+                                         arrs[0].dtype))
+                return np.concatenate(arrs)
+
+            t0 = time.monotonic()
+            with STAGES.stage("device_coef"):
+                packed = np.asarray(
+                    self._detector.run_device_coefficients_arrays(
+                        cat(0), cat(1), cat(2), cat(3), (w, h),
+                        pack_output=True))
+            self._meter.tick_batch(n, time.monotonic() - t0)
+            for i, (job, _) in enumerate(members[:bucket]):
+                if job.det_reply is not None:
+                    self._publish(job.det_reply,
+                                  self._detections_json(packed[i], w, h))
             self._meter.tick_inferred_unique(min(n, bucket))
 
     def _run_detection(self, batch: np.ndarray, h: int, w: int

@@ -45,13 +45,16 @@ def stream_key(name: str) -> int:
 
 
 class InferJob:
-    __slots__ = ("key", "data", "reply", "enqueued_at")
+    __slots__ = ("key", "data", "reply", "det_reply", "enqueued_at")
 
-    def __init__(self, key: int, data: bytes, reply: Broadcast,
+    def __init__(self, key: int, data: bytes,
+                 reply: Broadcast | None,
+                 det_reply: Broadcast | None = None,
                  enqueued_at: float = 0.0):
         self.key = key
         self.data = data
-        self.reply = reply
+        self.reply = reply  # annotated MJPEG viewers (None = none)
+        self.det_reply = det_reply  # NDJSON detection viewers
         self.enqueued_at = enqueued_at
 
 
@@ -67,6 +70,7 @@ class FrameRouter:
         self._meter = meter
         self._raw: dict[int, Broadcast] = {}
         self._inferred: dict[int, Broadcast] = {}
+        self._detections: dict[int, Broadcast] = {}
 
     # -- subscriptions (called by HTTP handlers) ---------------------------
 
@@ -85,10 +89,16 @@ class FrameRouter:
     def subscribe_inferred(self, name: str) -> _Subscription:
         return self._subscribe(self._inferred, name)
 
+    def subscribe_detections(self, name: str) -> _Subscription:
+        """Machine-readable per-frame detections (NDJSON) — a new
+        capability over the reference; lets the worker skip drawing and
+        even host pixel decode when nobody watches the annotated video."""
+        return self._subscribe(self._detections, name)
+
     # -- main loop ---------------------------------------------------------
 
     def _prune(self) -> None:
-        for table in (self._raw, self._inferred):
+        for table in (self._raw, self._inferred, self._detections):
             dead = [k for k, chan in table.items()
                     if chan.receiver_count == 0]
             for k in dead:
@@ -111,8 +121,13 @@ class FrameRouter:
                     self._meter.tick_raw_unique()
 
                 inf_chan = self._inferred.get(key)
-                if inf_chan is not None and inf_chan.receiver_count > 0:
-                    job = InferJob(key, msg.data, inf_chan,
+                if inf_chan is not None and inf_chan.receiver_count == 0:
+                    inf_chan = None
+                det_chan = self._detections.get(key)
+                if det_chan is not None and det_chan.receiver_count == 0:
+                    det_chan = None
+                if inf_chan is not None or det_chan is not None:
+                    job = InferJob(key, msg.data, inf_chan, det_chan,
                                    enqueued_at=loop.time())
                     if not self._submit_infer(job):
                         self._meter.tick_dropped()

@@ -314,3 +314,73 @@ def test_tiled_high_res_serving_path(detector, tmp_path):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_detections_ndjson_endpoint(detector, jpeg_dir):
+    import json
+
+    async def run():
+        server, _ = await _start(detector, 18318, 18319)
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18318, "/detections?name=d",
+                          read_bytes=8000, timeout=30.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=20),
+                ClientConfig(address="127.0.0.1:18319", channel="d"),
+                max_frames=8)
+            await asyncio.sleep(1.5)
+            data = await stream_task
+            head, body = data.split(b"\r\n\r\n", 1)
+            assert b"application/x-ndjson" in head
+            # only complete lines (the read may stop mid-record)
+            lines = body.split(b"\n")[:-1]
+            lines = [l for l in lines if l.strip()]
+            assert lines, "no complete detection records received"
+            rec = json.loads(lines[0])
+            assert {"ts", "width", "height", "detections"} <= set(rec)
+            for det in rec["detections"]:
+                assert len(det["bbox"]) == 4
+                assert 0.0 <= det["confidence"] <= 1.0
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_detections_with_coefficient_mode(detector, tmp_path):
+    """Zero-pixel path: detection-only viewers + decode_mode=coefficients
+    (the serving integration of BASELINE config 4)."""
+    import json
+
+    rng = np.random.default_rng(12)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(127 + 100 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+                  + rng.normal(0, 10, (48, 64)), 0, 255)
+    frame = np.stack([img] * 3, axis=-1).astype(np.uint8)
+    (tmp_path / "c.jpg").write_bytes(codec.encode_rgb(frame, 90, "420"))
+
+    async def run():
+        server, _ = await _start(detector, 18320, 18321,
+                                 decode_mode="coefficients")
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18320, "/detections?name=z",
+                          read_bytes=8000, timeout=60.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18321", channel="z"),
+                max_frames=6)
+            await asyncio.sleep(2.0)
+            data = await stream_task
+            body = data.split(b"\r\n\r\n", 1)[1]
+            lines = [l for l in body.split(b"\n")[:-1] if l.strip()]
+            assert lines
+            rec = json.loads(lines[0])
+            assert rec["width"] == 64 and rec["height"] == 48
+        finally:
+            await server.close()
+
+    asyncio.run(run())
