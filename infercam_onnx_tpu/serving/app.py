@@ -17,7 +17,7 @@ from infercam_onnx_tpu.config import (
     ServerConfig,
 )
 from infercam_onnx_tpu.detector import Detector
-from infercam_onnx_tpu.serving.data_socket import spawn_data_socket
+from infercam_onnx_tpu.serving.data_socket import DataSocket, spawn_data_socket
 from infercam_onnx_tpu.serving.http import HttpServer
 from infercam_onnx_tpu.serving.inferer import InferenceWorker
 from infercam_onnx_tpu.serving.meter import METER, meter_logger
@@ -35,14 +35,21 @@ class InferServer:
     http: HttpServer
     ingest_queue: asyncio.Queue
     tasks: list[asyncio.Task]
-    data_server: asyncio.AbstractServer
+    data_server: "DataSocket"
 
     async def close(self) -> None:
+        # closes the listener AND established sender connections, so
+        # clients observe the shutdown and enter their reconnect loop
+        # (reference socket_sender.rs:53-59)
         self.data_server.close()
         await self.http.close()
         for t in self.tasks:
             t.cancel()
         await asyncio.gather(*self.tasks, return_exceptions=True)
+        try:
+            await asyncio.wait_for(self.data_server.wait_closed(), 5.0)
+        except asyncio.TimeoutError:
+            pass
 
 
 def _split_addr(addr: str) -> tuple[str, int]:

@@ -18,27 +18,63 @@ from infercam_onnx_tpu.protocol import read_frame
 log = logging.getLogger("infercam.data_socket")
 
 
+class DataSocket:
+    """Listener plus live-connection registry (Python < 3.13 has no
+    Server.close_clients, and a clean server shutdown must drop existing
+    sender connections so clients enter their reconnect loop)."""
+
+    def __init__(self) -> None:
+        self.server: asyncio.AbstractServer | None = None
+        self._writers: set[asyncio.StreamWriter] = set()
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter,
+                      queue: asyncio.Queue) -> None:
+        peer = writer.get_extra_info("peername")
+        log.info("%s: New TCP connection", peer)
+        self._writers.add(writer)
+        try:
+            while True:
+                frame = await read_frame(reader)
+                await queue.put(frame)
+        except (asyncio.IncompleteReadError, ConnectionError):
+            pass
+        except ValueError as e:
+            log.warning("%s: protocol error: %s", peer, e)
+        finally:
+            self._writers.discard(writer)
+            writer.close()
+            log.info("%s: connection closed", peer)
+
+    async def start(self, queue: asyncio.Queue, host: str,
+                    port: int) -> None:
+        self.server = await asyncio.start_server(
+            lambda r, w: self._handle(r, w, queue), host, port)
+        log.info("data socket listening on %s:%d", host, port)
+
+    def close(self) -> None:
+        if self.server is not None:
+            self.server.close()
+        for w in list(self._writers):
+            transport = w.transport
+            if transport is not None:
+                transport.abort()
+
+    async def wait_closed(self) -> None:
+        if self.server is not None:
+            await self.server.wait_closed()
+
+
 async def handle_incoming(reader: asyncio.StreamReader,
                           writer: asyncio.StreamWriter,
                           queue: asyncio.Queue) -> None:
-    peer = writer.get_extra_info("peername")
-    log.info("%s: New TCP connection", peer)
-    try:
-        while True:
-            frame = await read_frame(reader)
-            await queue.put(frame)
-    except (asyncio.IncompleteReadError, ConnectionError):
-        pass
-    except ValueError as e:
-        log.warning("%s: protocol error: %s", peer, e)
-    finally:
-        writer.close()
-        log.info("%s: connection closed", peer)
+    """Single-connection entry point (kept for direct use/tests)."""
+    sock = DataSocket()
+    await sock._handle(reader, writer, queue)
 
 
 async def spawn_data_socket(queue: asyncio.Queue, host: str,
-                            port: int) -> asyncio.AbstractServer:
-    server = await asyncio.start_server(
-        lambda r, w: handle_incoming(r, w, queue), host, port)
-    log.info("data socket listening on %s:%d", host, port)
-    return server
+                            port: int) -> DataSocket:
+    sock = DataSocket()
+    await sock.start(queue, host, port)
+    return sock

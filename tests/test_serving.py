@@ -384,3 +384,39 @@ def test_detections_with_coefficient_mode(detector, tmp_path):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_sender_reconnects_after_server_restart(detector, jpeg_dir):
+    """The client reconnect contract (reference socket_sender.rs:53-59):
+    any server outage triggers retry with backoff, forever."""
+    from infercam_onnx_tpu.client.sender import run_forever
+
+    async def run():
+        server, _ = await _start(detector, 18322, 18323)
+        sender_task = asyncio.create_task(run_forever(
+            ReplaySource(str(jpeg_dir), fps=50),
+            ClientConfig(address="127.0.0.1:18323", channel="r",
+                         reconnect_backoff_s=0.2)))
+        try:
+            t1 = asyncio.create_task(
+                _http_get(18322, "/stream?name=r", read_bytes=500))
+            d1 = await t1
+            assert d1.count(b"--frame") >= 1
+
+            # restart the server (same ports)
+            await server.close()
+            await asyncio.sleep(0.5)
+            server, _ = await _start(detector, 18322, 18323)
+
+            # the sender must reconnect on its own and frames flow again
+            t2 = asyncio.create_task(
+                _http_get(18322, "/stream?name=r", read_bytes=500,
+                          timeout=20.0))
+            d2 = await t2
+            assert d2.count(b"--frame") >= 1
+        finally:
+            sender_task.cancel()
+            await asyncio.gather(sender_task, return_exceptions=True)
+            await server.close()
+
+    asyncio.run(run())
