@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("image", help="input JPEG path")
     ap.add_argument("-o", "--output", help="annotated output JPEG path")
     ap.add_argument("--variant", default="RFB-320",
-                    choices=["RFB-320", "RFB-640"])
+                    choices=["RFB-320", "RFB-640", "slim-320", "slim-640"])
     ap.add_argument("--min-confidence", type=float, default=0.5)
     ap.add_argument("--max-iou", type=float, default=0.5)
     ap.add_argument("--seed", type=int, default=0,

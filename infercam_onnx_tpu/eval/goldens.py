@@ -81,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--goldens", dest="goldens",
                     help="goldens file to check against")
     ap.add_argument("--variant", default="RFB-640",
-                    choices=["RFB-320", "RFB-640"])
+                    choices=["RFB-320", "RFB-640", "slim-320", "slim-640"])
     ap.add_argument("--min-parity", type=float, default=0.95)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)

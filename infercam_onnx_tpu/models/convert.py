@@ -37,10 +37,13 @@ from infercam_onnx_tpu.models.ultraface import BN_EPS, MIN_BOXES, NUM_CLASSES
 Array = np.ndarray
 StateDict = Mapping[str, Array]
 
-# Download links used by the reference (reference nn.rs:21-22).
+# Download links used by the reference (reference nn.rs:21-22) plus the
+# slim family from the same upstream project.
 ULTRAFACE_URLS = {
     "RFB-640": "https://github.com/onnx/models/raw/main/vision/body_analysis/ultraface/models/version-RFB-640.onnx",
     "RFB-320": "https://github.com/onnx/models/raw/main/vision/body_analysis/ultraface/models/version-RFB-320.onnx",
+    "slim-640": "https://github.com/Linzaer/Ultra-Light-Fast-Generic-Face-Detector-1MB/raw/master/models/onnx/version-slim-640.onnx",
+    "slim-320": "https://github.com/Linzaer/Ultra-Light-Fast-Generic-Face-Detector-1MB/raw/master/models/onnx/version-slim-320.onnx",
 }
 
 
@@ -111,20 +114,25 @@ def params_from_state_dict(sd: StateDict, *, strict: bool = True) -> dict:
 
     g = _Getter(sd)
 
-    rfb = {
-        "branch0": [_basic_conv(g, f"base_net.7.branch0.{j}")
-                    for j in range(3)],
-        "branch1": [_basic_conv(g, f"base_net.7.branch1.{j}")
-                    for j in range(3)],
-        "branch2": [_basic_conv(g, f"base_net.7.branch2.{j}")
-                    for j in range(4)],
-        "conv_linear": _basic_conv(g, "base_net.7.ConvLinear"),
-        "shortcut": _basic_conv(g, "base_net.7.shortcut"),
-    }
+    # block 7: BasicRFB (RFB family) or conv_dw (slim family) — detect
+    # by checkpoint key
+    if "base_net.7.branch0.0.conv.weight" in g.sd:
+        block7 = {
+            "branch0": [_basic_conv(g, f"base_net.7.branch0.{j}")
+                        for j in range(3)],
+            "branch1": [_basic_conv(g, f"base_net.7.branch1.{j}")
+                        for j in range(3)],
+            "branch2": [_basic_conv(g, f"base_net.7.branch2.{j}")
+                        for j in range(4)],
+            "conv_linear": _basic_conv(g, "base_net.7.ConvLinear"),
+            "shortcut": _basic_conv(g, "base_net.7.shortcut"),
+        }
+    else:
+        block7 = _conv_dw(g, "base_net.7")
     base: list[dict] = [
         _cbr(g, "base_net.0.0", "base_net.0.1"),
         *(_conv_dw(g, f"base_net.{i}") for i in range(1, 7)),
-        rfb,
+        block7,
         *(_conv_dw(g, f"base_net.{i}") for i in range(8, 13)),
     ]
 

@@ -38,10 +38,15 @@ import numpy as np
 
 # Variant name -> (width, height), mirroring reference nn.rs:36-41
 # (UltrafaceVariant::{W320H240, W640H480}). Variant names are WxH of the
-# *input image*; the tensor is HxW.
+# *input image*; the tensor is HxW. The reference serves only the RFB
+# variants; the slim family (Mb_Tiny backbone without the
+# receptive-field block — same upstream repo, same priors/heads) is an
+# additional capability here.
 VARIANTS: dict[str, tuple[int, int]] = {
     "RFB-320": (320, 240),
     "RFB-640": (640, 480),
+    "slim-320": (320, 240),
+    "slim-640": (640, 480),
 }
 
 NUM_CLASSES = 2
@@ -225,7 +230,13 @@ def forward(
     x = _cbr(base[0], x, stride=2, padding=1)
     for i in range(1, 7):
         x = _conv_dw(base[i], x, stride=_BASE_STRIDES[i])
-    x = _rfb(base[7], x)
+    # block 7: BasicRFB in the RFB family, plain conv_dw in slim —
+    # dispatch on parameter structure so converted checkpoints of either
+    # family run through the same function
+    if "branch0" in base[7]:
+        x = _rfb(base[7], x)
+    else:
+        x = _conv_dw(base[7], x, stride=1)
     feats.append(x)  # stride 8, 64ch
     for i in range(8, 11):
         x = _conv_dw(base[i], x, stride=_BASE_STRIDES[i])
@@ -305,43 +316,10 @@ def _init_separable(key, cin, cout) -> dict:
     }
 
 
-def init_params(
-    rng: int = 0,
-    *,
-    background_bias: float = 0.0,
-) -> Params:
-    """Random (He-normal) parameters with the exact UltraFace structure.
-
-    Pure NumPy on purpose: parameter init must not touch the device (no
-    tiny device programs, no device->host reads — the latter permanently
-    degrades transfer bandwidth on tunneled TPU rigs; see
-    .claude/skills/verify/SKILL.md). Leaves are converted to device
-    arrays lazily by the first jitted call.
-
-    `background_bias` is added to the background-class logits of every
-    classification head; tests use it to make random-weight detections
-    sparse and realistic (softmax face prob concentrates below threshold).
-    """
-    gen = np.random.default_rng(rng)
-    c = BASE_CHANNEL
-
-    def nk():
-        return gen
-
-    base: list[dict] = []
-    base.append(_init_cbr(nk(), 3, 3, 3, c))  # block 0: conv_bn
-    dw_plan = [  # (cin, cout, )
-        (c, 2 * c), (2 * c, 2 * c), (2 * c, 2 * c), (2 * c, 4 * c),
-        (4 * c, 4 * c), (4 * c, 4 * c),
-    ]
-    for cin, cout in dw_plan:  # blocks 1..6
-        base.append({
-            "dw": _init_cbr(nk(), 3, 3, cin, cin, groups=cin),
-            "pw": _init_cbr(nk(), 1, 1, cin, cout),
-        })
-    # block 7: BasicRFB(64, 64), inter = 64 // 8 = 8
+def _init_rfb_block(nk, c: int) -> dict:
+    # BasicRFB(64, 64), inter = 64 // 8 = 8
     inter = (4 * c) // 8
-    base.append({
+    return {
         "branch0": [
             _init_cbr(nk(), 1, 1, 4 * c, inter),
             _init_cbr(nk(), 3, 3, inter, 2 * inter),
@@ -360,7 +338,52 @@ def init_params(
         ],
         "conv_linear": _init_cbr(nk(), 1, 1, 6 * inter, 4 * c),
         "shortcut": _init_cbr(nk(), 1, 1, 4 * c, 4 * c),
-    })
+    }
+
+
+def init_params(
+    rng: int = 0,
+    *,
+    background_bias: float = 0.0,
+    arch: str = "RFB",
+) -> Params:
+    """Random (He-normal) parameters with the exact UltraFace structure.
+
+    Pure NumPy on purpose: parameter init must not touch the device (no
+    tiny device programs, no device->host reads — the latter permanently
+    degrades transfer bandwidth on tunneled TPU rigs; see
+    .claude/skills/verify/SKILL.md). Leaves are converted to device
+    arrays lazily by the first jitted call.
+
+    `background_bias` is added to the background-class logits of every
+    classification head; tests use it to make random-weight detections
+    sparse and realistic (softmax face prob concentrates below threshold).
+    `arch` is "RFB" (BasicRFB at block 7) or "slim" (conv_dw).
+    """
+    gen = np.random.default_rng(rng)
+    c = BASE_CHANNEL
+
+    def nk():
+        return gen
+
+    base: list[dict] = []
+    base.append(_init_cbr(nk(), 3, 3, 3, c))  # block 0: conv_bn
+    dw_plan = [  # (cin, cout, )
+        (c, 2 * c), (2 * c, 2 * c), (2 * c, 2 * c), (2 * c, 4 * c),
+        (4 * c, 4 * c), (4 * c, 4 * c),
+    ]
+    for cin, cout in dw_plan:  # blocks 1..6
+        base.append({
+            "dw": _init_cbr(nk(), 3, 3, cin, cin, groups=cin),
+            "pw": _init_cbr(nk(), 1, 1, cin, cout),
+        })
+    if arch == "slim":
+        base.append({
+            "dw": _init_cbr(nk(), 3, 3, 4 * c, 4 * c, groups=4 * c),
+            "pw": _init_cbr(nk(), 1, 1, 4 * c, 4 * c),
+        })
+    else:
+        base.append(_init_rfb_block(nk, c))
     dw_plan2 = [
         (4 * c, 8 * c), (8 * c, 8 * c), (8 * c, 8 * c),
         (8 * c, 16 * c), (16 * c, 16 * c),
@@ -370,6 +393,7 @@ def init_params(
             "dw": _init_cbr(nk(), 3, 3, cin, cin, groups=cin),
             "pw": _init_cbr(nk(), 1, 1, cin, cout),
         })
+
 
     extras = {
         "proj": _init_biased(nk(), 1, 1, 16 * c, 4 * c),
@@ -432,7 +456,9 @@ class UltraFace:
             raise ValueError(f"unknown variant {variant!r}; have {list(VARIANTS)}")
         width, height = VARIANTS[variant]
         if params is None:
-            params = init_params(rng, background_bias=background_bias)
+            arch = "slim" if variant.startswith("slim") else "RFB"
+            params = init_params(rng, background_bias=background_bias,
+                                 arch=arch)
         priors = jnp.asarray(generate_priors(width, height))
         return cls(variant=variant, params=params, priors=priors,
                    width=width, height=height)

@@ -27,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--socket-address", default="127.0.0.1:3001",
                     help="TCP ingest address (default %(default)s)")
     ap.add_argument("--variant", default="RFB-320",
-                    choices=["RFB-320", "RFB-640"])
+                    choices=["RFB-320", "RFB-640", "slim-320", "slim-640"])
     ap.add_argument("--min-confidence", type=float, default=0.5)
     ap.add_argument("--max-iou", type=float, default=0.5)
     ap.add_argument("--batch-window-ms", type=float, default=4.0)

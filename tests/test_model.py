@@ -71,3 +71,13 @@ def test_background_bias_sparsifies_detections():
     frac_sparse = float(jnp.mean(s_sparse[..., 1] > 0.5))
     assert frac_sparse < frac_dense
     assert frac_sparse < 0.05
+
+
+def test_slim_variant_forward():
+    model = uf.UltraFace.create("slim-320", rng=0)
+    x = jnp.zeros((1, 240, 320, 3), jnp.float32)
+    scores, boxes = model(x)
+    assert scores.shape == (1, 4420, 2)
+    # slim block 7 is a conv_dw, not an RFB
+    assert "branch0" not in model.params["base"][7]
+    assert "dw" in model.params["base"][7]

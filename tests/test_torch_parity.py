@@ -18,10 +18,11 @@ from infercam_onnx_tpu.models.convert import params_from_state_dict
 from tests.torch_twin import UltraFaceTwin
 
 
-def _build_twin(width: int, height: int, seed: int = 7) -> UltraFaceTwin:
+def _build_twin(width: int, height: int, seed: int = 7,
+                arch: str = "RFB") -> UltraFaceTwin:
     torch.manual_seed(seed)
     priors = torch.from_numpy(uf.generate_priors(width, height))
-    twin = UltraFaceTwin(priors).eval()
+    twin = UltraFaceTwin(priors, arch=arch).eval()
     # randomize BN stats so folding is actually exercised
     with torch.no_grad():
         for m in twin.modules():
@@ -31,10 +32,11 @@ def _build_twin(width: int, height: int, seed: int = 7) -> UltraFaceTwin:
     return twin
 
 
-@pytest.mark.parametrize("variant", ["RFB-320"])
+@pytest.mark.parametrize("variant", ["RFB-320", "slim-320"])
 def test_forward_matches_torch_twin(variant):
     width, height = uf.VARIANTS[variant]
-    twin = _build_twin(width, height)
+    arch = "slim" if variant.startswith("slim") else "RFB"
+    twin = _build_twin(width, height, arch=arch)
 
     sd = {k: v.numpy() for k, v in twin.state_dict().items()}
     params = params_from_state_dict(sd)

@@ -107,11 +107,17 @@ def separable(in_ch, out_ch, kernel_size=3, stride=1, padding=1):
 
 
 class UltraFaceTwin(nn.Module):
-    """Test-mode UltraFace: outputs (softmax scores, decoded corner boxes)."""
+    """Test-mode UltraFace: outputs (softmax scores, decoded corner boxes).
 
-    def __init__(self, priors: torch.Tensor):
+    ``arch="RFB"`` puts the BasicRFB at block 7 (upstream Mb_Tiny_RFB);
+    ``arch="slim"`` uses a plain conv_dw there (upstream Mb_Tiny).
+    """
+
+    def __init__(self, priors: torch.Tensor, arch: str = "RFB"):
         super().__init__()
         c = BASE
+        block7 = (conv_dw(4 * c, 4 * c, 1) if arch == "slim"
+                  else BasicRFB(4 * c, 4 * c, stride=1, scale=1.0))
         self.base_net = nn.Sequential(
             conv_bn(3, c, 2),
             conv_dw(c, 2 * c, 1),
@@ -120,7 +126,7 @@ class UltraFaceTwin(nn.Module):
             conv_dw(2 * c, 4 * c, 2),
             conv_dw(4 * c, 4 * c, 1),
             conv_dw(4 * c, 4 * c, 1),
-            BasicRFB(4 * c, 4 * c, stride=1, scale=1.0),
+            block7,
             conv_dw(4 * c, 8 * c, 2),
             conv_dw(8 * c, 8 * c, 1),
             conv_dw(8 * c, 8 * c, 1),
