@@ -420,3 +420,37 @@ def test_sender_reconnects_after_server_restart(detector, jpeg_dir):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_four_streams_form_real_batches(detector, jpeg_dir):
+    """BASELINE config 3: concurrent streams coalesce into one batched
+    device program (mean batch > 1)."""
+    from infercam_onnx_tpu.serving.meter import Meter
+
+    async def run():
+        server, _ = await _start(detector, 18324, 18325,
+                                 batch_window_ms=60.0)
+        meter = server.worker._meter
+        try:
+            viewers = [asyncio.create_task(
+                _http_get(18324, f"/face_stream?name=s{i}",
+                          read_bytes=600, timeout=45.0))
+                for i in range(4)]
+            await asyncio.sleep(0.3)
+            senders = [asyncio.create_task(send_stream(
+                ReplaySource(str(jpeg_dir), fps=30),
+                ClientConfig(address="127.0.0.1:18325",
+                             channel=f"s{i}"), max_frames=40))
+                for i in range(4)]
+            await asyncio.gather(*senders)
+            await asyncio.gather(*viewers)
+            # batches formed across streams
+            assert meter.batches >= 1 or meter.totals.get("batches", 0) >= 1
+            mean = (meter.batched_frames / meter.batches
+                    if meter.batches else
+                    meter.last_window.get("mean_batch", 0))
+            assert mean > 1.0, f"no cross-stream batching (mean={mean})"
+        finally:
+            await server.close()
+
+    asyncio.run(run())
