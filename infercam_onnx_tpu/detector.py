@@ -11,9 +11,7 @@ device->host transfer.
 
 from __future__ import annotations
 
-import functools
 import logging
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

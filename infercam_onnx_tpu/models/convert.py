@@ -32,7 +32,7 @@ from typing import Callable, Mapping
 
 import numpy as np
 
-from infercam_onnx_tpu.models.ultraface import BN_EPS, MIN_BOXES, NUM_CLASSES
+from infercam_onnx_tpu.models.ultraface import BN_EPS
 
 Array = np.ndarray
 StateDict = Mapping[str, Array]

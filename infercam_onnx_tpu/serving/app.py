@@ -20,7 +20,7 @@ from infercam_onnx_tpu.detector import Detector
 from infercam_onnx_tpu.serving.data_socket import DataSocket, spawn_data_socket
 from infercam_onnx_tpu.serving.http import HttpServer
 from infercam_onnx_tpu.serving.inferer import InferenceWorker
-from infercam_onnx_tpu.serving.meter import METER, meter_logger
+from infercam_onnx_tpu.serving.meter import meter_logger
 from infercam_onnx_tpu.serving.router import FrameRouter
 
 log = logging.getLogger("infercam.app")
