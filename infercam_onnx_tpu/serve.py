@@ -47,6 +47,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(0 disables; e.g. 1000000 for 1080p streams)")
     ap.add_argument("--tile-grid", default="2x2",
                     help="tile grid CxR for high-res frames")
+    ap.add_argument("--assume-frame-dims", default=None,
+                    help="scale bbox drawing by WxH instead of true "
+                         "decoded dims (strict reference parity: the "
+                         "reference hard-codes 1280x720, router.rs:66-67)")
+    ap.add_argument("--distributed", default=None,
+                    help="multi-host: host:port,num_processes=N,"
+                         "process_id=I (jax.distributed over DCN)")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
@@ -75,12 +82,23 @@ def main(argv: list[str] | None = None) -> int:
 
     from infercam_onnx_tpu.utils.profiling import device_trace
 
+    if args.distributed:
+        from infercam_onnx_tpu.parallel.multihost import initialize
+
+        initialize(args.distributed)
+
+    assume_dims = None
+    if args.assume_frame_dims:
+        w, h = args.assume_frame_dims.lower().split("x")
+        assume_dims = (int(w), int(h))
+
     try:
         with device_trace(args.profile_dir):
             asyncio.run(serve_forever(
                 server_config=ServerConfig(
                     http_address=args.server_address,
-                    socket_address=args.socket_address),
+                    socket_address=args.socket_address,
+                    assume_frame_dims=assume_dims),
                 detector_config=DetectorConfig(
                     variant=args.variant,
                     min_confidence=args.min_confidence,

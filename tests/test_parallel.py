@@ -111,3 +111,16 @@ def test_tiled_merge_suppresses_duplicates(detector, rng):
     for i in range(n):
         for j in range(i + 1, n):
             assert iou(boxes[0, i], boxes[0, j]) <= 0.5 + 1e-5
+
+
+def test_distributed_spec_parsing():
+    from infercam_onnx_tpu.parallel.multihost import parse_distributed_spec
+
+    s = parse_distributed_spec(
+        "coord.example:1234,num_processes=4,process_id=2")
+    assert s.coordinator == "coord.example:1234"
+    assert s.num_processes == 4 and s.process_id == 2
+    with pytest.raises(ValueError, match="host:port"):
+        parse_distributed_spec("noport,num_processes=1,process_id=0")
+    with pytest.raises(ValueError, match="num_processes"):
+        parse_distributed_spec("h:1,process_id=0")
