@@ -171,6 +171,13 @@ class InferenceWorker:
         assert self._loop is not None
         self._loop.call_soon_threadsafe(chan.publish, item)
 
+    def _tick_e2e(self, job: InferJob) -> None:
+        """Per-frame end-to-end latency (router enqueue -> publish) — the
+        BASELINE 'p50 per-frame latency' metric, reported via /stats and
+        the meter log."""
+        if job.enqueued_at:
+            STAGES.record("e2e", time.monotonic() - job.enqueued_at)
+
     def _detections_json(self, packed_row: np.ndarray, w: int,
                          h: int) -> bytes:
         import json
@@ -213,6 +220,7 @@ class InferenceWorker:
                     self._publish(job.det_reply,
                                   self._detections_json(packed[i], w, h))
                 if job.reply is None:
+                    self._tick_e2e(job)
                     continue
                 count = int(packed[i, :, 5].sum())
                 dets = [(packed[i, d, :4], float(packed[i, d, 4]))
@@ -224,6 +232,7 @@ class InferenceWorker:
                         annotated, self._server_cfg.jpeg_quality,
                         self._server_cfg.jpeg_subsampling)
                 self._publish(job.reply, as_jpeg_stream_item(jpeg))
+                self._tick_e2e(job)
             self._meter.tick_inferred_unique(min(n, bucket))
 
         # zero-pixel path: coefficient batches -> detections JSON only
@@ -251,6 +260,7 @@ class InferenceWorker:
                 if job.det_reply is not None:
                     self._publish(job.det_reply,
                                   self._detections_json(packed[i], w, h))
+                self._tick_e2e(job)
             self._meter.tick_inferred_unique(min(n, bucket))
 
     def _run_detection(self, batch: np.ndarray, h: int, w: int

@@ -96,3 +96,24 @@ def test_rejects_non_420(rng):
     data = codec.encode_rgb(img, 90, "444")
     with pytest.raises(ValueError, match="4:2:0"):
         jd.read_coefficient_batch([data])
+
+
+def test_progressive_jpeg_coefficients(rng):
+    # jpeg_read_coefficients handles progressive streams too
+    import io
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = np.clip(127 + 100 * np.sin(xx / 9.0) * np.cos(yy / 6.0),
+                  0, 255).astype(np.uint8)
+    img = np.stack([img] * 3, axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90, progressive=True,
+                              subsampling=2)
+    data = buf.getvalue()
+    host = codec.decode_rgb(data).astype(np.float32)
+    y, cb, cr, quant, (w, h) = jd.read_coefficient_batch([data])
+    rgb = np.asarray(jd.decode_rgb_device(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+        jnp.asarray(quant), width=w, height=h))[0]
+    assert np.abs(rgb - host).mean() < 1.5

@@ -42,3 +42,42 @@ def test_device_trace_noop():
 
     with device_trace(None):
         pass  # must be a no-op without a directory
+
+
+def test_broadcast_threadsafe_publish_pattern():
+    """The worker publishes from a thread via call_soon_threadsafe; a
+    stress run must deliver every item without corruption (the closest
+    analog to the reference's Rust-enforced channel safety, SURVEY.md
+    section 5 'race detection')."""
+    import asyncio
+    import threading
+
+    from infercam_onnx_tpu.serving.broadcast import Broadcast
+
+    async def run():
+        chan = Broadcast(capacity=10000)
+        sub = chan.subscribe()
+        loop = asyncio.get_running_loop()
+        n = 500
+
+        def producer():
+            for i in range(n):
+                loop.call_soon_threadsafe(chan.publish,
+                                          f"item-{i}".encode())
+
+        threads = [threading.Thread(target=producer) for _ in range(4)]
+        for t in threads:
+            t.start()
+        got = []
+        while len(got) < 4 * n:
+            got.append(await asyncio.wait_for(sub.receive(), 10))
+        for t in threads:
+            t.join()
+        # all items delivered exactly once
+        from collections import Counter
+
+        counts = Counter(got)
+        assert len(counts) == n
+        assert all(v == 4 for v in counts.values())
+
+    asyncio.run(run())
