@@ -14,3 +14,22 @@ scales over a `jax.sharding.Mesh` for multi-chip serving.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (importing the package stays cheap; jax loads
+    # only when the compute path is touched)
+    if name == "Detector":
+        from infercam_onnx_tpu.detector import Detector
+
+        return Detector
+    if name == "UltraFace":
+        from infercam_onnx_tpu.models import UltraFace
+
+        return UltraFace
+    if name in ("DetectorConfig", "EngineConfig", "ServerConfig",
+                "ClientConfig", "ParallelConfig"):
+        from infercam_onnx_tpu import config
+
+        return getattr(config, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
                "%(message)s",
         datefmt="%Y-%m-%dT%H:%M:%S")
 
+    # SIGUSR1 dumps all thread stacks to stderr (production debugging)
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
+
     from infercam_onnx_tpu.config import (
         DetectorConfig, EngineConfig, ServerConfig)
     from infercam_onnx_tpu.serving.app import serve_forever

@@ -67,6 +67,16 @@ async def start_server(
     if detector is None:
         detector = Detector(detector_config)
 
+    # Trip the tunnel's transfer-mode latch on a 4-byte read NOW: the
+    # first device->host read after healthy-mode traffic can stall for
+    # minutes on tunneled rigs, and serving reads detections back every
+    # batch — take the hit during startup, not on the first live frame
+    # (see .claude/skills/verify/SKILL.md).
+    import jax
+    import numpy as _np
+
+    _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+
     worker = InferenceWorker(detector, engine_config, server_config)
     router = FrameRouter(worker.submit, server_config)
     queue: asyncio.Queue = asyncio.Queue(
