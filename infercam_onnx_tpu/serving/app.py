@@ -93,11 +93,31 @@ async def start_server(
     hhost, hport = _split_addr(server_config.http_address)
     await http.start(hhost, hport)
 
+    async def supervised(name: str, factory, *, backoff_s: float = 1.0):
+        """Restart a crashed core task with backoff — hardening over the
+        reference, whose inference task dies silently on a panic and
+        /face_stream just stops (reference inferer.rs:35-40, SURVEY.md
+        section 5 'failure detection')."""
+        while True:
+            try:
+                await factory()
+                return  # clean exit
+            except asyncio.CancelledError:
+                raise
+            except Exception:
+                log.exception("%s task crashed; restarting in %.1fs",
+                              name, backoff_s)
+                await asyncio.sleep(backoff_s)
+
     tasks = [
-        asyncio.create_task(router.run(queue), name="router"),
-        asyncio.create_task(worker.run(), name="inferer"),
-        asyncio.create_task(meter_logger(server_config.meter_period_s),
-                            name="meter"),
+        asyncio.create_task(
+            supervised("router", lambda: router.run(queue)),
+            name="router"),
+        asyncio.create_task(
+            supervised("inferer", worker.run), name="inferer"),
+        asyncio.create_task(
+            supervised("meter", lambda: meter_logger(
+                server_config.meter_period_s)), name="meter"),
     ]
     return InferServer(router=router, worker=worker, http=http,
                        ingest_queue=queue, tasks=tasks,

@@ -454,3 +454,42 @@ def test_four_streams_form_real_batches(detector, jpeg_dir):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_core_task_supervision_restarts_crashed_worker(detector,
+                                                       jpeg_dir):
+    """A crash inside the inference worker must not kill inference
+    permanently (the reference's inferer dies silently on a panic and
+    /face_stream stops forever; here the supervisor restarts it)."""
+
+    async def run():
+        server, _ = await _start(detector, 18326, 18327)
+        try:
+            # sabotage one batch: first _decode call raises
+            orig = server.worker._decode
+            calls = {"n": 0}
+
+            def bomb(jobs):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise RuntimeError("injected decode crash")
+                return orig(jobs)
+
+            server.worker._decode = bomb
+
+            stream_task = asyncio.create_task(
+                _http_get(18326, "/face_stream?name=v", read_bytes=600,
+                          timeout=40.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=20),
+                ClientConfig(address="127.0.0.1:18327", channel="v"),
+                max_frames=30)
+            await asyncio.sleep(2.5)
+            data = await stream_task
+            assert calls["n"] >= 2, "worker was not restarted"
+            assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
+        finally:
+            await server.close()
+
+    asyncio.run(run())
