@@ -1,0 +1,87 @@
+"""Micro-batcher unit tests (no device work): bucket selection, gather
+window, per-stream coalescing, drop accounting."""
+
+import asyncio
+
+import pytest
+
+from infercam_onnx_tpu.config import EngineConfig
+from infercam_onnx_tpu.serving.broadcast import Broadcast
+from infercam_onnx_tpu.serving.inferer import InferenceWorker
+from infercam_onnx_tpu.serving.meter import Meter
+from infercam_onnx_tpu.serving.router import InferJob
+
+
+class _NullDetector:
+    pass
+
+
+def _worker(**kw):
+    meter = Meter()
+    w = InferenceWorker(_NullDetector(), EngineConfig(**kw), meter=meter)
+    return w, meter
+
+
+def test_bucket_selection():
+    w, _ = _worker(batch_buckets=(1, 2, 4, 8, 16))
+    assert w._bucket_size(1) == 1
+    assert w._bucket_size(2) == 2
+    assert w._bucket_size(3) == 4
+    assert w._bucket_size(9) == 16
+    assert w._bucket_size(16) == 16
+    # above the largest bucket: clamp (batch is truncated downstream)
+    assert w._bucket_size(40) == 16
+
+
+def test_gather_coalesces_latest_per_stream_and_counts_drops():
+    w, meter = _worker(batch_buckets=(1, 2, 4), batch_window_ms=30.0)
+    processed = []
+
+    async def run():
+        # stub out the pipeline stages: capture what reaches stage 2
+        w._decode = lambda jobs: jobs
+        w._infer_publish = lambda staged: processed.append(staged)
+        chan = Broadcast()
+        # 3 frames on stream 1 (two stale), 1 frame on stream 2
+        for i, key in enumerate([1, 1, 1, 2]):
+            w.submit(InferJob(key, f"frame{i}".encode(), chan))
+        task = asyncio.create_task(w.run())
+        await asyncio.sleep(0.4)
+        task.cancel()
+        await asyncio.gather(task, return_exceptions=True)
+
+    asyncio.run(run())
+    assert processed, "no batch reached the device stage"
+    jobs = processed[0]
+    datas = sorted(j.data for j in jobs)
+    # newest frame per stream wins; stale ones dropped and counted
+    assert datas == [b"frame2", b"frame3"]
+    assert meter.dropped == 2
+
+
+def test_submit_backpressure_is_nonblocking():
+    w, _ = _worker(queue_capacity=3)
+    chan = Broadcast()
+    results = [w.submit(InferJob(i, b"x", chan)) for i in range(5)]
+    assert results == [True, True, True, False, False]
+
+
+def test_window_waits_for_more_frames():
+    w, _ = _worker(batch_buckets=(1, 2, 4, 8), batch_window_ms=200.0)
+    processed = []
+
+    async def run():
+        w._decode = lambda jobs: jobs
+        w._infer_publish = lambda staged: processed.append(staged)
+        chan = Broadcast()
+        task = asyncio.create_task(w.run())
+        w.submit(InferJob(1, b"a", chan))
+        await asyncio.sleep(0.05)  # inside the 200 ms window
+        w.submit(InferJob(2, b"b", chan))
+        await asyncio.sleep(0.5)
+        task.cancel()
+        await asyncio.gather(task, return_exceptions=True)
+
+    asyncio.run(run())
+    # both frames landed in ONE batch thanks to the gather window
+    assert len(processed[0]) == 2
