@@ -61,6 +61,8 @@ class InferenceWorker:
             max_workers=1, thread_name_prefix="decode")
         self._device_exec = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="device")
+        self._publish_exec = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="publish")
         self._loop: asyncio.AbstractEventLoop | None = None
         # lazily-built tiled detectors per decoded frame size
         # (BASELINE config 5: high-res frames tile across the detector)
@@ -83,10 +85,18 @@ class InferenceWorker:
         return self._buckets[min(i, len(self._buckets) - 1)]
 
     async def run(self) -> None:
+        """Three-stage pipeline on three single-thread executors:
+        decode(k+2) || device(k+1) || draw+encode+publish(k). Each stage
+        spends most of its time in GIL-releasing C/RPC waits, so the
+        stages genuinely overlap even on a single-core host, and drawing
+        no longer serializes with the next device dispatch."""
+        import collections
+
         self._loop = asyncio.get_running_loop()
         max_bucket = self._buckets[-1]
         window = self._cfg.batch_window_ms / 1e3
         inflight: asyncio.Future | None = None
+        publish_futs: collections.deque = collections.deque()
         while True:
             jobs = [await self._queue.get()]
             deadline = self._loop.time() + window
@@ -107,12 +117,14 @@ class InferenceWorker:
                 latest[job.key] = job
             frames = await self._loop.run_in_executor(
                 self._decode_exec, self._decode, list(latest.values()))
-            # pipeline depth 1: let the previous device batch finish
-            # while this one was decoding, then launch the next
             if inflight is not None:
-                await inflight
+                results = await inflight
+                publish_futs.append(self._loop.run_in_executor(
+                    self._publish_exec, self._publish_results, results))
+                while len(publish_futs) > 2:  # bound publish backlog
+                    await publish_futs.popleft()
             inflight = self._loop.run_in_executor(
-                self._device_exec, self._infer_publish, frames)
+                self._device_exec, self._device_stage, frames)
 
     # -- stage 1: decode (decode thread) -----------------------------------
 
@@ -194,8 +206,12 @@ class InferenceWorker:
             ],
         }) + "\n").encode()
 
-    def _infer_publish(self, staged) -> None:
+    def _device_stage(self, staged) -> list:
+        """Run device programs; returns [(members, packed, w, h), ...]
+        for the publish stage."""
         frames, coef_groups = staged
+        results = []
+
         # group by decoded resolution (device program is per-shape)
         groups: dict[tuple[int, int], list[tuple[InferJob, np.ndarray]]] = {}
         for job, frame in frames:
@@ -212,34 +228,13 @@ class InferenceWorker:
             with STAGES.stage("device"):
                 packed = self._run_detection(batch, h, w)
             self._meter.tick_batch(n, time.monotonic() - t0)
-
-            # 3. draw + encode + publish per frame
-            dims = self._server_cfg.assume_frame_dims
-            for i, (job, frame) in enumerate(members[:bucket]):
-                if job.det_reply is not None:
-                    self._publish(job.det_reply,
-                                  self._detections_json(packed[i], w, h))
-                if job.reply is None:
-                    self._tick_e2e(job)
-                    continue
-                count = int(packed[i, :, 5].sum())
-                dets = [(packed[i, d, :4], float(packed[i, d, 4]))
-                        for d in range(count)]
-                with STAGES.stage("draw"):
-                    annotated = draw_detections(frame, dets, dims)
-                with STAGES.stage("encode"):
-                    jpeg = codec.encode_rgb(
-                        annotated, self._server_cfg.jpeg_quality,
-                        self._server_cfg.jpeg_subsampling)
-                self._publish(job.reply, as_jpeg_stream_item(jpeg))
-                self._tick_e2e(job)
-            self._meter.tick_inferred_unique(min(n, bucket))
+            results.append((members[:bucket], packed, w, h))
 
         # zero-pixel path: coefficient batches -> detections JSON only
         for members in coef_groups:
             n = len(members)
             bucket = self._bucket_size(n)
-            y0, cb0, cr0, q0, (w, h) = members[0][1]
+            _, _, _, _, (w, h) = members[0][1]
             pad = bucket - n
 
             def cat(idx):
@@ -256,12 +251,36 @@ class InferenceWorker:
                         cat(0), cat(1), cat(2), cat(3), (w, h),
                         pack_output=True))
             self._meter.tick_batch(n, time.monotonic() - t0)
-            for i, (job, _) in enumerate(members[:bucket]):
+            results.append(
+                ([(job, None) for job, _ in members[:bucket]],
+                 packed, w, h))
+        return results
+
+    # -- stage 3: draw + encode + publish (publish thread) ------------------
+
+    def _publish_results(self, results: list) -> None:
+        dims = self._server_cfg.assume_frame_dims
+        for members, packed, w, h in results:
+            n = len(members)
+            for i, (job, frame) in enumerate(members):
                 if job.det_reply is not None:
                     self._publish(job.det_reply,
                                   self._detections_json(packed[i], w, h))
+                if job.reply is None or frame is None:
+                    self._tick_e2e(job)
+                    continue
+                count = int(packed[i, :, 5].sum())
+                dets = [(packed[i, d, :4], float(packed[i, d, 4]))
+                        for d in range(count)]
+                with STAGES.stage("draw"):
+                    annotated = draw_detections(frame, dets, dims)
+                with STAGES.stage("encode"):
+                    jpeg = codec.encode_rgb(
+                        annotated, self._server_cfg.jpeg_quality,
+                        self._server_cfg.jpeg_subsampling)
+                self._publish(job.reply, as_jpeg_stream_item(jpeg))
                 self._tick_e2e(job)
-            self._meter.tick_inferred_unique(min(n, bucket))
+            self._meter.tick_inferred_unique(n)
 
     def _run_detection(self, batch: np.ndarray, h: int, w: int
                        ) -> np.ndarray:

@@ -40,7 +40,7 @@ def test_gather_coalesces_latest_per_stream_and_counts_drops():
     async def run():
         # stub out the pipeline stages: capture what reaches stage 2
         w._decode = lambda jobs: jobs
-        w._infer_publish = lambda staged: processed.append(staged)
+        w._device_stage = lambda staged: processed.append(staged)
         chan = Broadcast()
         # 3 frames on stream 1 (two stale), 1 frame on stream 2
         for i, key in enumerate([1, 1, 1, 2]):
@@ -72,7 +72,7 @@ def test_window_waits_for_more_frames():
 
     async def run():
         w._decode = lambda jobs: jobs
-        w._infer_publish = lambda staged: processed.append(staged)
+        w._device_stage = lambda staged: processed.append(staged)
         chan = Broadcast()
         task = asyncio.create_task(w.run())
         w.submit(InferJob(1, b"a", chan))
