@@ -140,3 +140,20 @@ def test_codec_roundtrip_and_corrupt(rng):
         codec.decode_rgb(b"\xff\xd8 not a jpeg")
     outs = codec.decode_batch([enc, enc])
     assert len(outs) == 2 and outs[0].shape == frame.shape
+
+
+def test_codec_pil_fallback(monkeypatch, rng):
+    """Environments without a C++ toolchain fall back to PIL."""
+    from infercam_onnx_tpu import codec as c
+
+    monkeypatch.setattr(c, "_get_native", lambda: None)
+    frame = _random_frame(rng, 64, 48)
+    enc = c.encode_rgb(frame)
+    dec = c.decode_rgb(enc)
+    assert dec.shape == frame.shape
+    half = c.decode_rgb(enc, scale=2)
+    assert half.shape == (24, 32, 3)
+    outs = c.decode_batch([enc, enc], scale=2)
+    assert len(outs) == 2 and outs[0].shape == (24, 32, 3)
+    with pytest.raises(ValueError):
+        c.decode_rgb(b"junk")
