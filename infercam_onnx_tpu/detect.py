@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["RFB-320", "RFB-640", "slim-320", "slim-640"])
     ap.add_argument("--min-confidence", type=float, default=0.5)
     ap.add_argument("--max-iou", type=float, default=0.5)
+    ap.add_argument("--top-k", type=int, default=256,
+                    help="candidates entering NMS (static shape)")
+    ap.add_argument("--max-detections", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0,
                     help="rng seed for offline random-weight fallback")
     args = ap.parse_args(argv)
@@ -43,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
         variant=args.variant,
         min_confidence=args.min_confidence,
         max_iou=args.max_iou,
+        top_k=args.top_k,
+        max_detections=args.max_detections,
     ), rng=args.seed)
     detections = det.detect(frame)
 

@@ -30,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["RFB-320", "RFB-640", "slim-320", "slim-640"])
     ap.add_argument("--min-confidence", type=float, default=0.5)
     ap.add_argument("--max-iou", type=float, default=0.5)
+    ap.add_argument("--top-k", type=int, default=256)
+    ap.add_argument("--max-detections", type=int, default=64)
     ap.add_argument("--batch-window-ms", type=float, default=4.0)
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--warmup", default="",
@@ -108,7 +110,9 @@ def main(argv: list[str] | None = None) -> int:
                 detector_config=DetectorConfig(
                     variant=args.variant,
                     min_confidence=args.min_confidence,
-                    max_iou=args.max_iou),
+                    max_iou=args.max_iou,
+                    top_k=args.top_k,
+                    max_detections=args.max_detections),
                 engine_config=EngineConfig(
                     batch_buckets=tuple(buckets),
                     batch_window_ms=args.batch_window_ms,
