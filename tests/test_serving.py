@@ -493,3 +493,26 @@ def test_core_task_supervision_restarts_crashed_worker(detector,
             await server.close()
 
     asyncio.run(run())
+
+
+def test_http_malformed_requests(detector):
+    async def run():
+        server, _ = await _start(detector, 18328, 18329)
+        try:
+            # garbage request line -> 400
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18328)
+            writer.write(b"garbage\r\n\r\n")
+            await writer.drain()
+            resp = await asyncio.wait_for(reader.read(65536), 5)
+            assert resp.startswith(b"HTTP/1.1 400")
+            writer.close()
+            # immediate disconnect must not wedge the server
+            r2, w2 = await asyncio.open_connection("127.0.0.1", 18328)
+            w2.close()
+            resp = await _http_get(18328, "/healthcheck")
+            assert resp.endswith(b"healthy")
+        finally:
+            await server.close()
+
+    asyncio.run(run())
