@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warmup", default="",
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
+    ap.add_argument("--decode-mode", default="pixels",
+                    choices=["pixels", "coefficients"],
+                    help="coefficients: detection-only frames skip host "
+                         "pixel decode (device IDCT tail)")
     ap.add_argument("--decode-scale", type=int, default=1,
                     choices=[1, 2, 4, 8],
                     help="decode incoming JPEGs at 1/N resolution "
@@ -117,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
                     batch_buckets=tuple(buckets),
                     batch_window_ms=args.batch_window_ms,
                     decode_scale=args.decode_scale,
+                    decode_mode=args.decode_mode,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(
                         int(v) for v in args.tile_grid.split("x"))),

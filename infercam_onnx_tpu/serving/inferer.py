@@ -309,8 +309,24 @@ class InferenceWorker:
         """Pre-compile device programs for common shape buckets.
 
         Resolutions are as-received from senders; the configured
-        decode_scale is applied (frames reach the device post-decode)."""
+        decode_scale is applied (frames reach the device post-decode).
+        In coefficient mode the coefficient programs compile too (a
+        synthetic JPEG of each resolution supplies exact block geometry).
+        """
         s = self._cfg.decode_scale
         for (h, w) in resolutions or [(480, 640)]:
             for b in self._buckets:
                 self._detector.warmup(b, h // s, w // s, pack_output=True)
+            if self._cfg.decode_mode == "coefficients":
+                import jax
+
+                from infercam_onnx_tpu.ops.jpeg_device import (
+                    read_coefficient_batch)
+
+                probe = codec.encode_rgb(
+                    np.zeros((h, w, 3), np.uint8), 90, "420")
+                for b in self._buckets:
+                    y, cb, cr, q, wh = read_coefficient_batch([probe] * b)
+                    jax.block_until_ready(
+                        self._detector.run_device_coefficients_arrays(
+                            y, cb, cr, q, wh, pack_output=True))
