@@ -4,8 +4,13 @@ Usage::
 
     python -m infercam_onnx_tpu.serve \
         [--server-address 127.0.0.1:3000] [--socket-address 127.0.0.1:3001] \
-        [--variant RFB-320] [--min-confidence 0.5] [--max-iou 0.5] \
-        [--warmup 640x480,1280x720]
+        [--variant RFB-320|RFB-640|slim-320|slim-640] \
+        [--min-confidence 0.5] [--max-iou 0.5] [--top-k 256] \
+        [--max-detections 64] [--max-batch 16] [--batch-window-ms 4] \
+        [--warmup 640x480,1280x720] [--decode-scale 1|2|4|8] \
+        [--decode-mode pixels|coefficients] [--tile-min-pixels N] \
+        [--tile-grid 2x2] [--assume-frame-dims 1280x720] \
+        [--profile-dir DIR] [--distributed host:port,...]
 
 Flag names mirror the reference (reference
 infer_server/src/bin/infer_server.rs:18-28) with the compile-time
