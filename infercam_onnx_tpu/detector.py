@@ -87,6 +87,7 @@ def detect_from_coefficients_impl(
     *,
     width: int,
     height: int,
+    h2v2: bool,
     compute_dtype,
     min_confidence: float,
     max_iou: float,
@@ -97,11 +98,12 @@ def detect_from_coefficients_impl(
     """The zero-host-roundtrip pipeline (BASELINE config 4): JPEG DCT
     coefficients in, detections out — dequant, 8x8 IDCT, chroma
     upsampling, color conversion, resize, CNN, and NMS in ONE XLA
-    program. Host work is entropy decoding only."""
+    program. Host work is entropy decoding only. ``h2v2`` selects 4:2:0
+    (True) vs 4:4:4 (False) chroma geometry — must match the stream."""
     from infercam_onnx_tpu.ops.jpeg_device import decode_rgb_device
 
     rgb = decode_rgb_device(y_coefs, cb_coefs, cr_coefs, quant,
-                            width=width, height=height)
+                            width=width, height=height, h2v2=h2v2)
     return detect_program_impl(
         params, priors, rgb, r_h, r_w,
         compute_dtype=compute_dtype, min_confidence=min_confidence,
@@ -112,8 +114,8 @@ def detect_from_coefficients_impl(
 detect_from_coefficients = jax.jit(
     detect_from_coefficients_impl,
     static_argnames=(
-        "width", "height", "compute_dtype", "min_confidence", "max_iou",
-        "top_k", "max_detections", "pack_output",
+        "width", "height", "h2v2", "compute_dtype", "min_confidence",
+        "max_iou", "top_k", "max_detections", "pack_output",
     ),
 )
 
@@ -192,14 +194,18 @@ class Detector:
         from infercam_onnx_tpu.ops.jpeg_device import (
             read_coefficient_batch)
 
-        y, cb, cr, quant, wh = read_coefficient_batch(datas)
+        y, cb, cr, quant, wh, sampling = read_coefficient_batch(datas)
         return self.run_device_coefficients_arrays(
-            y, cb, cr, quant, wh, pack_output=pack_output)
+            y, cb, cr, quant, wh, sampling=sampling,
+            pack_output=pack_output)
 
     def run_device_coefficients_arrays(self, y, cb, cr, quant,
                                        wh: tuple[int, int], *,
+                                       sampling: tuple[int, int] = (2, 2),
                                        pack_output: bool = False):
-        """Device half of the coefficient path (pre-stacked planes)."""
+        """Device half of the coefficient path (pre-stacked planes).
+        ``sampling`` is the stream's luma sampling factors: (2, 2) for
+        4:2:0, (1, 1) for 4:4:4."""
         w, h = wh
         r_h, r_w = self.preprocessor.matrices(w, h)
         c = self.config
@@ -207,7 +213,7 @@ class Detector:
             self.model.params, self.model.priors,
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
             jnp.asarray(quant), r_h, r_w,
-            width=w, height=h,
+            width=w, height=h, h2v2=(sampling == (2, 2)),
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,
             top_k=c.top_k, max_detections=c.max_detections,

@@ -141,8 +141,14 @@ int64_t ic_jpeg_encode_rgb(const uint8_t* rgb, int32_t w, int32_t h,
   jerr.pub.error_exit = error_exit;
   jerr.pub.output_message = silence_output;
 
-  uint8_t* buf = nullptr;
-  unsigned long buf_size = 0;
+  // thread_local (not automatic) so the longjmp error path reads a
+  // well-defined value: locals modified after setjmp are indeterminate
+  // when read after longjmp (C semantics), and jpeg_mem_dest updates
+  // these during compression.
+  static thread_local uint8_t* buf;
+  static thread_local unsigned long buf_size;
+  buf = nullptr;
+  buf_size = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_compress(&cinfo);
     if (buf) free(buf);

@@ -99,8 +99,10 @@ def read_coefficient_batch(datas: list[bytes]):
     """Host half: entropy-decode a batch of same-geometry JPEGs.
 
     Returns (y[B,...], cb[B,...], cr[B,...], quant[B,3,64],
-    (width, height)). Raises ValueError on corrupt/unsupported input or
-    mixed geometries.
+    (width, height), (h_samp, v_samp)). The sampling factors (2, 2) =
+    4:2:0 or (1, 1) = 4:4:4 must be passed through to the device decode
+    so chroma upsampling matches the actual stream. Raises ValueError on
+    corrupt/unsupported input or mixed geometries/samplings.
     """
     from infercam_onnx_tpu.native import jpeg as native_jpeg
 
@@ -109,15 +111,13 @@ def read_coefficient_batch(datas: list[bytes]):
     geom = None
     for d in datas:
         y, cb, cr, quant, (w, h), (hs, vs) = n.read_coefficients(d)
-        if hs != 2 or vs != 2:
-            raise ValueError("batch coefficient path expects 4:2:0")
         if geom is None:
-            geom = (w, h, y.shape, cb.shape)
-        elif geom != (w, h, y.shape, cb.shape):
+            geom = (w, h, y.shape, cb.shape, hs, vs)
+        elif geom != (w, h, y.shape, cb.shape, hs, vs):
             raise ValueError("mixed JPEG geometries in batch")
         ys.append(y)
         cbs.append(cb)
         crs.append(cr)
         quants.append(quant)
     return (np.stack(ys), np.stack(cbs), np.stack(crs),
-            np.stack(quants), (geom[0], geom[1]))
+            np.stack(quants), (geom[0], geom[1]), (geom[4], geom[5]))

@@ -69,7 +69,9 @@ def decode_proto_msg(buf: bytes) -> ProtoMsg | None:
 
     The reference silently skips frames that fail to deserialize
     (reference router.rs:56 ``if let Ok(...)``); returning None lets the
-    router do the same.
+    router do the same. Trailing bytes after a fully parsed message are
+    accepted and ignored, matching bincode 1.x legacy ``deserialize``
+    (AllowTrailing, used by reference router.rs:56).
     """
     try:
         if len(buf) < 4:
@@ -79,17 +81,19 @@ def decode_proto_msg(buf: bytes) -> ProtoMsg | None:
         if tag == CONNECT_REQ_TAG:
             (n,) = struct.unpack_from("<Q", buf, pos)
             pos += 8
-            if pos + n != len(buf):
+            if pos + n > len(buf):
                 return None
             return ConnectReq(buf[pos:pos + n].decode("utf-8"))
         if tag == FRAME_MSG_TAG:
             (n,) = struct.unpack_from("<Q", buf, pos)
             pos += 8
+            if pos + n > len(buf):
+                return None
             ident = buf[pos:pos + n].decode("utf-8")
             pos += n
             (m,) = struct.unpack_from("<Q", buf, pos)
             pos += 8
-            if pos + m != len(buf):
+            if pos + m > len(buf):
                 return None
             return FrameMsg(ident, bytes(buf[pos:pos + m]))
         return None

@@ -25,6 +25,15 @@ import logging
 import sys
 
 
+def bucket_ladder(max_batch: int) -> list[int]:
+    """Doubling batch-size ladder capped at ``max_batch`` (a non-power-
+    of-two cap must never dispatch a larger padded batch than asked)."""
+    buckets = [1]
+    while buckets[-1] < max_batch:
+        buckets.append(min(buckets[-1] * 2, max_batch))
+    return buckets
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--server-address", default="127.0.0.1:3000",
@@ -87,9 +96,7 @@ def main(argv: list[str] | None = None) -> int:
 
     enable_compilation_cache()
 
-    buckets = [1]
-    while buckets[-1] < args.max_batch:
-        buckets.append(buckets[-1] * 2)
+    buckets = bucket_ladder(args.max_batch)
 
     warmup = []
     if args.warmup:

@@ -167,7 +167,8 @@ class InferenceWorker:
                         read_coefficient_batch)
 
                     planes = read_coefficient_batch([job.data])
-                    geom = (planes[4], planes[0].shape, planes[1].shape)
+                    geom = (planes[4], planes[5],
+                            planes[0].shape, planes[1].shape)
                     by_geom.setdefault(geom, []).append((job, planes))
                 except ValueError as e:
                     log.warning("coefficient decode failed on stream "
@@ -234,7 +235,7 @@ class InferenceWorker:
         for members in coef_groups:
             n = len(members)
             bucket = self._bucket_size(n)
-            _, _, _, _, (w, h) = members[0][1]
+            _, _, _, _, (w, h), sampling = members[0][1]
             pad = bucket - n
 
             def cat(idx):
@@ -249,7 +250,7 @@ class InferenceWorker:
                 packed = np.asarray(
                     self._detector.run_device_coefficients_arrays(
                         cat(0), cat(1), cat(2), cat(3), (w, h),
-                        pack_output=True))
+                        sampling=sampling, pack_output=True))
             self._meter.tick_batch(n, time.monotonic() - t0)
             results.append(
                 ([(job, None) for job, _ in members[:bucket]],
@@ -326,7 +327,9 @@ class InferenceWorker:
                 probe = codec.encode_rgb(
                     np.zeros((h, w, 3), np.uint8), 90, "420")
                 for b in self._buckets:
-                    y, cb, cr, q, wh = read_coefficient_batch([probe] * b)
+                    y, cb, cr, q, wh, samp = read_coefficient_batch(
+                        [probe] * b)
                     jax.block_until_ready(
                         self._detector.run_device_coefficients_arrays(
-                            y, cb, cr, q, wh, pack_output=True))
+                            y, cb, cr, q, wh, sampling=samp,
+                            pack_output=True))

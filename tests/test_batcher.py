@@ -85,3 +85,12 @@ def test_window_waits_for_more_frames():
     asyncio.run(run())
     # both frames landed in ONE batch thanks to the gather window
     assert len(processed[0]) == 2
+
+
+def test_bucket_ladder_caps_at_max_batch():
+    from infercam_onnx_tpu.serve import bucket_ladder
+
+    assert bucket_ladder(16) == [1, 2, 4, 8, 16]
+    assert bucket_ladder(12) == [1, 2, 4, 8, 12]
+    assert bucket_ladder(1) == [1]
+    assert bucket_ladder(3) == [1, 2, 3]

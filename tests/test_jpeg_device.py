@@ -32,7 +32,7 @@ def _jpeg(rng, w=128, h=96, quality=90):
 def test_reconstruction_matches_host_decode(rng):
     data = _jpeg(rng)
     host = codec.decode_rgb(data).astype(np.float32)
-    y, cb, cr, quant, (w, h) = jd.read_coefficient_batch([data])
+    y, cb, cr, quant, (w, h), _ = jd.read_coefficient_batch([data])
     rgb = np.asarray(jd.decode_rgb_device(
         jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
         jnp.asarray(quant), width=w, height=h))[0]
@@ -89,13 +89,34 @@ def test_rejects_mixed_geometries(rng):
         jd.read_coefficient_batch([a, b])
 
 
-def test_rejects_non_420(rng):
-    yy, xx = np.mgrid[0:32, 0:32]
-    img = np.clip(127 + 50 * np.sin(xx / 3.0), 0, 255).astype(np.uint8)
+def test_444_coefficients_reconstruct(rng):
+    # 4:4:4 streams thread their sampling through to the device decode
+    # (no spurious 2x chroma upsample; ADVICE round-1 item 4)
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = np.clip(np.stack([
+        127 + 100 * np.sin(xx / 9.0) * np.cos(yy / 6.0),
+        127 + 90 * np.cos(xx / 5.0),
+        127 + 80 * np.sin(yy / 7.0),
+    ], axis=-1), 0, 255).astype(np.uint8)
+    data = codec.encode_rgb(img, 92, "444")
+    host = codec.decode_rgb(data).astype(np.float32)
+    y, cb, cr, quant, (w, h), samp = jd.read_coefficient_batch([data])
+    assert samp == (1, 1)
+    rgb = np.asarray(jd.decode_rgb_device(
+        jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+        jnp.asarray(quant), width=w, height=h, h2v2=False))[0]
+    assert np.abs(rgb - host).mean() < 1.0
+
+
+def test_rejects_mixed_sampling(rng):
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = np.clip(127 + 50 * np.sin(xx / 3.0) + 0 * yy,
+                  0, 255).astype(np.uint8)
     img = np.stack([img] * 3, axis=-1)
-    data = codec.encode_rgb(img, 90, "444")
-    with pytest.raises(ValueError, match="4:2:0"):
-        jd.read_coefficient_batch([data])
+    a = codec.encode_rgb(img, 90, "420")
+    b = codec.encode_rgb(img, 90, "444")
+    with pytest.raises(ValueError, match="mixed"):
+        jd.read_coefficient_batch([a, b])
 
 
 def test_progressive_jpeg_coefficients(rng):
@@ -112,7 +133,7 @@ def test_progressive_jpeg_coefficients(rng):
                               subsampling=2)
     data = buf.getvalue()
     host = codec.decode_rgb(data).astype(np.float32)
-    y, cb, cr, quant, (w, h) = jd.read_coefficient_batch([data])
+    y, cb, cr, quant, (w, h), _ = jd.read_coefficient_batch([data])
     rgb = np.asarray(jd.decode_rgb_device(
         jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
         jnp.asarray(quant), width=w, height=h))[0]

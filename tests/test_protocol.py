@@ -43,12 +43,19 @@ def test_decode_malformed_returns_none():
     # truncated payload
     good = p.encode_proto_msg(p.FrameMsg("x", b"12345"))
     assert p.decode_proto_msg(good[:-1]) is None
-    # trailing garbage
-    assert p.decode_proto_msg(good + b"z") is None
     # invalid utf-8 in id
     bad = b"\x01\x00\x00\x00\x02\x00\x00\x00\x00\x00\x00\x00\xff\xfe" \
           b"\x00\x00\x00\x00\x00\x00\x00\x00"
     assert p.decode_proto_msg(bad) is None
+
+
+def test_decode_accepts_trailing_bytes():
+    # bincode 1.x legacy deserialize (reference router.rs:56) is
+    # AllowTrailing: padding after a fully parsed message is ignored
+    msg = p.FrameMsg("x", b"12345")
+    assert p.decode_proto_msg(p.encode_proto_msg(msg) + b"zzz") == msg
+    req = p.ConnectReq("simon")
+    assert p.decode_proto_msg(p.encode_proto_msg(req) + b"\x00") == req
 
 
 def test_length_framing_roundtrip():
