@@ -163,16 +163,276 @@ def params_from_state_dict(sd: StateDict, *, strict: bool = True) -> dict:
     return jax.tree.map(jnp.asarray, params)
 
 
-def params_from_onnx(path: str, *, strict: bool = True) -> dict:
-    """Load an UltraFace ONNX file and convert its initializers.
+# -- structural graph conversion + topology validation ---------------------
+#
+# The reference *executes* the downloaded graph (reference nn.rs:166-174),
+# so a wrong/unexpected export fails at load. Name-based conversion alone
+# cannot give that guarantee: torch's constant-folding export fuses BN and
+# RENAMES the fused conv initializers (e.g. "onnx::Conv_469"), and nothing
+# would catch a changed pad/stride/dilation. params_from_graph instead
+# walks the graph's Conv nodes in traced order, asserts each one's full
+# signature (kernel/stride/pads/dilations/groups/channels) against the
+# published architecture, and places weights by STRUCTURE, not name —
+# loading both BN-folded and unfolded exports and failing loudly on any
+# topology mismatch.
 
-    Uses the minimal protobuf reader in models/onnx_reader.py. Expects
-    torch-export initializer naming (see module docstring).
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """Expected signature of one Conv slot in traced graph order."""
+
+    path: tuple  # pytree placement, e.g. ("base", 3, "dw")
+    kind: str  # "cbr" (conv+foldable BN) or "biased" (conv with bias)
+    in_ch: int
+    out_ch: int
+    k: int = 3
+    s: int = 1
+    p: int = 0
+    d: int = 1
+    depthwise: bool = False
+
+
+def _conv_dw_slots(i: int, inp: int, oup: int, stride: int):
+    return [
+        ConvSpec(("base", i, "dw"), "cbr", inp, inp, 3, stride, 1,
+                 depthwise=True),
+        ConvSpec(("base", i, "pw"), "cbr", inp, oup, 1),
+    ]
+
+
+def _sep_slots(path: tuple, in_ch: int, out_ch: int, stride: int = 1):
+    return [
+        ConvSpec(path + ("dw",), "biased", in_ch, in_ch, 3, stride, 1,
+                 depthwise=True),
+        ConvSpec(path + ("pw",), "biased", in_ch, out_ch, 1),
+    ]
+
+
+def expected_conv_slots(arch: str, base: int = 16) -> list[ConvSpec]:
+    """All Conv slots of the UltraFace graph in traced (export) order.
+
+    Mirrors the upstream Ultra-Light-Fast-Generic-Face-Detector-1MB
+    Mb_Tiny_RFB / Mb_Tiny + SSD structure the reference's ONNX artifacts
+    contain (reference README.md:145, nn.rs:21-22).
     """
-    from infercam_onnx_tpu.models.onnx_reader import read_onnx_initializers
+    c = base
+    slots: list[ConvSpec] = [
+        ConvSpec(("base", 0), "cbr", 3, c, 3, 2, 1),
+        *_conv_dw_slots(1, c, 2 * c, 1),
+        *_conv_dw_slots(2, 2 * c, 2 * c, 2),
+        *_conv_dw_slots(3, 2 * c, 2 * c, 1),
+        *_conv_dw_slots(4, 2 * c, 4 * c, 2),
+        *_conv_dw_slots(5, 4 * c, 4 * c, 1),
+        *_conv_dw_slots(6, 4 * c, 4 * c, 1),
+    ]
+    if arch == "RFB":
+        t = 4 * c // 8  # BasicRFB inter channels (map_reduce=8)
+        b7 = ("base", 7)
+        slots += [
+            # branch0: 1x1 -> 3x3 -> 3x3 dilation 2
+            ConvSpec(b7 + ("branch0", 0), "cbr", 4 * c, t, 1),
+            ConvSpec(b7 + ("branch0", 1), "cbr", t, 2 * t, 3, 1, 1),
+            ConvSpec(b7 + ("branch0", 2), "cbr", 2 * t, 2 * t, 3, 1, 2,
+                     d=2),
+            # branch1: 1x1 -> 3x3 -> 3x3 dilation 3
+            ConvSpec(b7 + ("branch1", 0), "cbr", 4 * c, t, 1),
+            ConvSpec(b7 + ("branch1", 1), "cbr", t, 2 * t, 3, 1, 1),
+            ConvSpec(b7 + ("branch1", 2), "cbr", 2 * t, 2 * t, 3, 1, 3,
+                     d=3),
+            # branch2: 1x1 -> 3x3 -> 3x3 -> 3x3 dilation 5
+            ConvSpec(b7 + ("branch2", 0), "cbr", 4 * c, t, 1),
+            ConvSpec(b7 + ("branch2", 1), "cbr", t, (t // 2) * 3, 3, 1, 1),
+            ConvSpec(b7 + ("branch2", 2), "cbr", (t // 2) * 3, 2 * t, 3,
+                     1, 1),
+            ConvSpec(b7 + ("branch2", 3), "cbr", 2 * t, 2 * t, 3, 1, 5,
+                     d=5),
+            ConvSpec(b7 + ("conv_linear",), "cbr", 6 * t, 4 * c, 1),
+            ConvSpec(b7 + ("shortcut",), "cbr", 4 * c, 4 * c, 1),
+        ]
+    else:  # slim
+        slots += _conv_dw_slots(7, 4 * c, 4 * c, 1)
+    slots += [
+        *_conv_dw_slots(8, 4 * c, 8 * c, 2),
+        *_conv_dw_slots(9, 8 * c, 8 * c, 1),
+        *_conv_dw_slots(10, 8 * c, 8 * c, 1),
+        *_conv_dw_slots(11, 8 * c, 16 * c, 2),
+        *_conv_dw_slots(12, 16 * c, 16 * c, 1),
+        ConvSpec(("extras", "proj"), "biased", 16 * c, 4 * c, 1),
+        *_sep_slots(("extras", "sep"), 4 * c, 16 * c, 2),
+    ]
+    # SSD heads: traced per level, classification then regression
+    feat_ch = [4 * c, 8 * c, 16 * c, 16 * c]
+    priors_per_cell = [3, 2, 2, 3]
+    for level in range(4):
+        ch = feat_ch[level]
+        n = priors_per_cell[level]
+        for head, out_mult in (("cls_heads", 2), ("reg_heads", 4)):
+            if level < 3:
+                slots += _sep_slots((head, level), ch, n * out_mult)
+            else:
+                slots.append(ConvSpec((head, level), "biased", ch,
+                                      n * out_mult, 3, 1, 1))
+    return slots
 
-    inits = read_onnx_initializers(path)
-    return params_from_state_dict(inits, strict=strict)
+
+def _check_conv(node, spec: ConvSpec, w: Array) -> None:
+    got = {
+        "kernel_shape": node.attrs.get("kernel_shape", [spec.k, spec.k]),
+        "strides": node.attrs.get("strides", [1, 1]),
+        "pads": node.attrs.get("pads", [0, 0, 0, 0]),
+        "dilations": node.attrs.get("dilations", [1, 1]),
+        "group": node.attrs.get("group", 1),
+        "out_ch": int(w.shape[0]),
+        "in_ch": int(w.shape[1]) * int(node.attrs.get("group", 1)),
+    }
+    want = {
+        "kernel_shape": [spec.k, spec.k],
+        "strides": [spec.s, spec.s],
+        "pads": [spec.p] * 4,
+        "dilations": [spec.d, spec.d],
+        "group": spec.in_ch if spec.depthwise else 1,
+        "out_ch": spec.out_ch,
+        "in_ch": spec.in_ch,
+    }
+    for key, expect in want.items():
+        if got[key] != expect:
+            raise ValueError(
+                f"ONNX graph mismatch at {'.'.join(map(str, spec.path))} "
+                f"(node {node.name!r}): {key} = {got[key]}, expected "
+                f"{expect} — the export does not match the published "
+                f"UltraFace architecture")
+
+
+def _place(tree: dict, path: tuple, value) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node[key]
+    node[path[-1]] = value
+
+
+def infer_graph_arch(graph) -> str:
+    """RFB (has dilated convs) vs slim, from topology alone."""
+    for node in graph.nodes:
+        if (node.op_type == "Conv"
+                and node.attrs.get("dilations", [1, 1]) != [1, 1]):
+            return "RFB"
+    return "slim"
+
+
+def params_from_graph(graph) -> dict:
+    """Validate graph topology and convert weights by STRUCTURE.
+
+    Accepts both torch export styles: eval exports with
+    BatchNormalization nodes intact (original initializer names) and
+    constant-folded exports (BN fused into renamed Conv initializers).
+    Raises ValueError with the offending slot on any signature mismatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    arch = infer_graph_arch(graph)
+    slots = expected_conv_slots(arch)
+    convs = [n for n in graph.nodes if n.op_type == "Conv"]
+    if len(convs) != len(slots):
+        raise ValueError(
+            f"ONNX graph has {len(convs)} Conv nodes; the {arch} "
+            f"architecture has {len(slots)}")
+
+    # basic IO contract (reference nn.rs:166-167: one NCHW image input;
+    # nn.rs:99-105: scores [1,K,2] + boxes [1,K,4] outputs)
+    if len(graph.inputs) != 1 or len(graph.outputs) != 2:
+        raise ValueError(
+            f"expected 1 input / 2 outputs, got {len(graph.inputs)} / "
+            f"{len(graph.outputs)}")
+    in_shape = graph.inputs[0].shape
+    if len(in_shape) != 4 or in_shape[1] != 3:
+        raise ValueError(f"expected NCHW image input, got {in_shape}")
+
+    consumers: dict[str, list] = {}
+    producers: dict[str, object] = {}
+    for node in graph.nodes:
+        for name in node.inputs:
+            consumers.setdefault(name, []).append(node)
+        for name in node.outputs:
+            producers[name] = node
+
+    def tensor(name: str) -> Array:
+        # follow Identity chains (torch exports route some weights
+        # through Identity nodes) and accept Constant-node weights
+        seen = 0
+        while name not in graph.initializers and seen < 16:
+            prod = producers.get(name)
+            if prod is not None and prod.op_type == "Identity":
+                name = prod.inputs[0]
+                seen += 1
+            elif prod is not None and prod.op_type == "Constant":
+                return np.asarray(prod.attrs["value"], np.float32)
+            else:
+                raise ValueError(
+                    f"graph value {name!r} is not an initializer "
+                    "(dynamic weights unsupported)")
+        if name not in graph.initializers:
+            raise ValueError(f"graph value {name!r} is not an "
+                             "initializer (dynamic weights unsupported)")
+        return np.asarray(graph.initializers[name], np.float32)
+
+    # skeleton to _place into
+    tree: dict = {
+        "base": [{"dw": {}, "pw": {}} for _ in range(13)],
+        "extras": {"sep": {}},
+        "cls_heads": [{} for _ in range(4)],
+        "reg_heads": [{} for _ in range(4)],
+    }
+    if arch == "RFB":
+        tree["base"][7] = {"branch0": [{}, {}, {}],
+                           "branch1": [{}, {}, {}],
+                           "branch2": [{}, {}, {}, {}]}
+
+    for node, spec in zip(convs, slots):
+        w = tensor(node.inputs[1])
+        _check_conv(node, spec, w)
+        if spec.kind == "cbr":
+            bn = [n for n in consumers.get(node.outputs[0], [])
+                  if n.op_type == "BatchNormalization"]
+            if bn:
+                if len(node.inputs) > 2:
+                    raise ValueError(
+                        f"conv {node.name!r} has both a bias and a "
+                        "following BatchNorm — unexpected export")
+                gamma, beta, mean, var = (tensor(i) for i in
+                                          bn[0].inputs[1:5])
+                eps = bn[0].attrs.get("epsilon", BN_EPS)
+                scale, bias = _fold_bn(gamma, beta, mean, var, eps)
+            elif len(node.inputs) > 2:  # BN already folded into the conv
+                scale = np.ones(spec.out_ch, np.float32)
+                bias = tensor(node.inputs[2])
+            else:
+                raise ValueError(
+                    f"conv {node.name!r} ({'.'.join(map(str, spec.path))})"
+                    " has neither a bias nor a following BatchNorm")
+            value = {"w": _oihw_to_hwio(w), "scale": scale, "bias": bias}
+        else:
+            bias = (tensor(node.inputs[2]) if len(node.inputs) > 2
+                    else np.zeros(spec.out_ch, np.float32))
+            value = {"w": _oihw_to_hwio(w), "b": bias}
+        _place(tree, spec.path, value)
+
+    return jax.tree.map(jnp.asarray, tree)
+
+
+def params_from_onnx(path: str, *, strict: bool = True) -> dict:
+    """Load an UltraFace ONNX file: parse the graph, VALIDATE its
+    topology against the published architecture, and convert weights
+    structurally (name-independent; handles BN-folded exports).
+
+    ``strict`` is kept for API compatibility; structural conversion is
+    inherently strict (every Conv slot must match).
+    """
+    from infercam_onnx_tpu.models.onnx_reader import read_onnx_graph
+
+    return params_from_graph(read_onnx_graph(path))
 
 
 def cached_model_path(variant: str) -> str:

@@ -1,0 +1,202 @@
+"""ONNX graph contract tests: parse -> validate -> execute -> convert.
+
+The reference executes the downloaded ONNX graph (reference
+infer_server/src/nn.rs:166-174), so its topology is verified by
+construction. These tests close the same gap offline: a REAL
+torch.onnx.export of the twin (the only exporter reachable without
+network) is parsed by the dependency-free reader, validated+converted
+structurally by models/convert.params_from_graph, and executed directly
+by models/onnx_exec.GraphExecutor — all three must agree with the torch
+twin to float32 exactness, for both export styles (BatchNorm kept vs
+constant-folded into renamed initializers).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from infercam_onnx_tpu.models import ultraface as uf  # noqa: E402
+from infercam_onnx_tpu.models.convert import (  # noqa: E402
+    expected_conv_slots,
+    infer_graph_arch,
+    params_from_graph,
+    params_from_onnx,
+    params_from_state_dict,
+)
+from infercam_onnx_tpu.models.onnx_exec import GraphExecutor  # noqa: E402
+from infercam_onnx_tpu.models.onnx_reader import (  # noqa: E402
+    read_onnx_graph,
+)
+from torch_twin import UltraFaceTwin  # noqa: E402
+
+
+def _export(twin, path, width, height, fold):
+    """torch.onnx.export without the `onnx` package: the final
+    _add_onnxscript_fn step only post-processes custom onnxscript ops
+    (absent here), so patch it to identity."""
+    import warnings
+
+    from torch.onnx._internal.torchscript_exporter import (
+        onnx_proto_utils)
+
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = lambda b, c: b
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            torch.onnx.export(
+                twin, torch.zeros(1, 3, height, width), str(path),
+                input_names=["input"], output_names=["scores", "boxes"],
+                opset_version=11, do_constant_folding=fold, dynamo=False)
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+@pytest.fixture(scope="module")
+def twin():
+    torch.manual_seed(3)
+    return UltraFaceTwin(
+        torch.from_numpy(uf.generate_priors(320, 240))).eval()
+
+
+@pytest.fixture(scope="module")
+def exports(twin, tmp_path_factory):
+    d = tmp_path_factory.mktemp("onnx")
+    paths = {}
+    for fold in (True, False):
+        p = d / f"rfb320_fold{fold}.onnx"
+        _export(twin, p, 320, 240, fold)
+        paths[fold] = str(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def twin_outputs(twin):
+    x = np.random.default_rng(7).normal(
+        size=(1, 3, 240, 320)).astype(np.float32)
+    with torch.no_grad():
+        scores, boxes = twin(torch.from_numpy(x))
+    return x, scores.numpy(), boxes.numpy()
+
+
+def test_graph_parse_io_contract(exports):
+    for path in exports.values():
+        g = read_onnx_graph(path)
+        assert [i.shape for i in g.inputs] == [[1, 3, 240, 320]]
+        assert [o.shape for o in g.outputs] == [[1, 4420, 2],
+                                                [1, 4420, 4]]
+        assert infer_graph_arch(g) == "RFB"
+
+
+@pytest.mark.parametrize("fold", [True, False])
+def test_graph_executor_matches_twin(exports, twin_outputs, fold):
+    x, want_s, want_b = twin_outputs
+    ex = GraphExecutor(read_onnx_graph(exports[fold]))
+    s, b = jax.jit(ex)(x)
+    np.testing.assert_allclose(np.asarray(s), want_s, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), want_b, atol=1e-5)
+
+
+@pytest.mark.parametrize("fold", [True, False])
+def test_structural_conversion_matches_twin(exports, twin_outputs, fold):
+    x, want_s, want_b = twin_outputs
+    params = params_from_onnx(exports[fold])
+    s, b = uf.forward(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(uf.generate_priors(320, 240)),
+        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s), want_s, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), want_b, atol=1e-5)
+
+
+def test_structural_equals_name_based_conversion(exports, twin):
+    # the unfolded export preserves state-dict names, so the structural
+    # walk and the name map must recover the SAME parameter pytree
+    by_name = params_from_state_dict(
+        {k: v.numpy() for k, v in twin.state_dict().items()
+         if k != "priors"})
+    by_graph = params_from_onnx(exports[False])
+    flat_n, _ = jax.tree.flatten(by_name)
+    flat_g, _ = jax.tree.flatten(by_graph)
+    assert len(flat_n) == len(flat_g)
+    for a, b in zip(flat_n, flat_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
+def test_end_to_end_detector_from_onnx_file(exports, rng):
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+
+    params = params_from_onnx(exports[True])
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"),
+                   params=params)
+    frame = rng.integers(0, 256, size=(240, 320, 3), dtype=np.uint8)
+    dets = det.detect(frame)  # exercises the whole fused program
+    for bbox, conf in dets:
+        assert 0.5 < conf <= 1.0
+        assert np.all(np.isfinite(bbox))
+
+
+def test_validator_rejects_wrong_dilation(exports):
+    g = read_onnx_graph(exports[False])
+    bad = [n for n in g.nodes if n.op_type == "Conv"
+           and n.attrs.get("dilations", [1, 1]) == [2, 2]]
+    bad[0].attrs["dilations"] = [4, 4]
+    with pytest.raises(ValueError, match="dilations"):
+        params_from_graph(g)
+
+
+def test_validator_rejects_wrong_conv_count(exports):
+    g = read_onnx_graph(exports[False])
+    g.nodes.remove(next(n for n in g.nodes if n.op_type == "Conv"))
+    with pytest.raises(ValueError, match="Conv nodes"):
+        params_from_graph(g)
+
+
+def test_validator_rejects_wrong_pads(exports):
+    g = read_onnx_graph(exports[False])
+    conv0 = next(n for n in g.nodes if n.op_type == "Conv")
+    conv0.attrs["pads"] = [0, 0, 0, 0]
+    with pytest.raises(ValueError, match="pads"):
+        params_from_graph(g)
+
+
+def test_expected_slots_counts():
+    # 2 convs per conv_dw block x 12 + first conv + 12 RFB convs +
+    # 3 extras + 4 levels x (cls + reg): 3 levels separable (2 each) +
+    # 1 plain
+    rfb = expected_conv_slots("RFB")
+    slim = expected_conv_slots("slim")
+    assert len(rfb) == 52
+    assert len(slim) == 42
+    assert len({s.path for s in rfb}) == len(rfb)
+
+
+def test_slim_export_roundtrip(rng):
+    torch.manual_seed(4)
+    slim = UltraFaceTwin(
+        torch.from_numpy(uf.generate_priors(320, 240)),
+        arch="slim").eval()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/slim.onnx"
+        _export(slim, path, 320, 240, True)
+        g = read_onnx_graph(path)
+        assert infer_graph_arch(g) == "slim"
+        params = params_from_graph(g)
+    x = rng.normal(size=(1, 3, 240, 320)).astype(np.float32)
+    with torch.no_grad():
+        want_s, want_b = slim(torch.from_numpy(x))
+    s, b = uf.forward(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(uf.generate_priors(320, 240)),
+        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(s), want_s.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), want_b.numpy(), atol=1e-5)
