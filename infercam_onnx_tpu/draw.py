@@ -2,10 +2,11 @@
 
 Reproduces the reference's drawing: hollow green Rgb(0,255,0) rectangles
 from relative coords scaled by the frame dims, with a "{:.2}%" confidence
-label in 16 px DejaVu Sans Mono at the box's top-left corner. The font is
-resolved from matplotlib's bundled DejaVuSansMono.ttf (the reference embeds
-the same face via include_bytes!, reference inferer.rs:94-101) with a
-graceful fallback to PIL's default bitmap font.
+label in 16 px DejaVu Sans Mono at the box's top-left corner. The font
+ships inside the package (resources/DejaVuSansMono.ttf + its license —
+the reference embeds the same face via include_bytes!, reference
+inferer.rs:94-101), with matplotlib's copy and PIL's default bitmap font
+as fallbacks.
 """
 
 from __future__ import annotations
@@ -22,9 +23,16 @@ FONT_SIZE = 16
 
 @functools.lru_cache(maxsize=1)
 def _font() -> ImageFont.ImageFont:
+    import os
+
+    vendored = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "resources", "DejaVuSansMono.ttf")
+    try:
+        return ImageFont.truetype(vendored, FONT_SIZE)
+    except Exception:
+        pass
     try:
         import matplotlib
-        import os
 
         path = os.path.join(
             os.path.dirname(matplotlib.__file__),

@@ -163,6 +163,76 @@ def params_from_state_dict(sd: StateDict, *, strict: bool = True) -> dict:
     return jax.tree.map(jnp.asarray, params)
 
 
+# -- inverse conversion: pytree -> upstream-named state dict ---------------
+
+
+def _hwio_to_oihw(w) -> Array:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def state_dict_from_params(params) -> dict[str, Array]:
+    """Export the JAX parameter pytree as an upstream-named state dict.
+
+    The folded conv affine (scale, bias) is represented as an identity-
+    statistics BatchNorm (mean = 0, var = 1 - eps, gamma = scale,
+    beta = bias), so `params_from_state_dict` round-trips exactly and
+    torch models with the upstream module structure (tests/torch_twin.py)
+    can `load_state_dict` the result. Used to freeze deterministic test
+    weights that both the torch oracle and the detector share
+    (tools/make_fixtures.py).
+    """
+    out: dict[str, Array] = {}
+
+    def inv_cbr(p: dict, conv: str, bn: str) -> None:
+        out[f"{conv}.weight"] = _hwio_to_oihw(p["w"])
+        n = np.asarray(p["scale"]).shape[0]
+        out[f"{bn}.weight"] = np.asarray(p["scale"], np.float32)
+        out[f"{bn}.bias"] = np.asarray(p["bias"], np.float32)
+        out[f"{bn}.running_mean"] = np.zeros(n, np.float32)
+        out[f"{bn}.running_var"] = np.full(n, 1.0 - BN_EPS, np.float32)
+
+    def inv_conv_dw(p: dict, prefix: str) -> None:
+        inv_cbr(p["dw"], f"{prefix}.0", f"{prefix}.1")
+        inv_cbr(p["pw"], f"{prefix}.3", f"{prefix}.4")
+
+    def inv_biased(p: dict, prefix: str) -> None:
+        out[f"{prefix}.weight"] = _hwio_to_oihw(p["w"])
+        out[f"{prefix}.bias"] = np.asarray(p["b"], np.float32)
+
+    def inv_separable(p: dict, prefix: str) -> None:
+        inv_biased(p["dw"], f"{prefix}.0")
+        inv_biased(p["pw"], f"{prefix}.2")
+
+    base = params["base"]
+    inv_cbr(base[0], "base_net.0.0", "base_net.0.1")
+    for i in list(range(1, 7)) + list(range(8, 13)):
+        inv_conv_dw(base[i], f"base_net.{i}")
+    if "branch0" in base[7]:
+        for bname in ("branch0", "branch1", "branch2"):
+            for j, blk in enumerate(base[7][bname]):
+                inv_cbr(blk, f"base_net.7.{bname}.{j}.conv",
+                        f"base_net.7.{bname}.{j}.bn")
+        inv_cbr(base[7]["conv_linear"], "base_net.7.ConvLinear.conv",
+                "base_net.7.ConvLinear.bn")
+        inv_cbr(base[7]["shortcut"], "base_net.7.shortcut.conv",
+                "base_net.7.shortcut.bn")
+    else:
+        inv_conv_dw(base[7], "base_net.7")
+
+    inv_biased(params["extras"]["proj"], "extras.0.0")
+    inv_separable(params["extras"]["sep"], "extras.0.2")
+
+    for level in range(4):
+        for head, key in (("classification_headers", "cls_heads"),
+                          ("regression_headers", "reg_heads")):
+            p = params[key][level]
+            if level < 3:
+                inv_separable(p, f"{head}.{level}")
+            else:
+                inv_biased(p, f"{head}.{level}")
+    return out
+
+
 # -- structural graph conversion + topology validation ---------------------
 #
 # The reference *executes* the downloaded graph (reference nn.rs:166-174),
