@@ -10,6 +10,7 @@ config 5).
 
 from infercam_onnx_tpu.parallel.mesh import make_mesh  # noqa: F401
 from infercam_onnx_tpu.parallel.data_parallel import (  # noqa: F401
+    ShardedDetector,
     shard_detect,
 )
 from infercam_onnx_tpu.parallel.tiling import (  # noqa: F401

@@ -7,6 +7,16 @@ replicates; activations shard on batch) and the only communication is the
 host-side scatter/gather of inputs/outputs — there is no cross-chip
 dependence in per-image detection, so serving scales linearly over ICI-
 connected chips (BASELINE.json config 5: 64 streams on v5e-4).
+
+Two entry points:
+
+- ``shard_detect(detector, mesh)``: the raw sharded program (batch must
+  divide the mesh), used by tests and the driver dryrun.
+- ``ShardedDetector(detector, mesh)``: a drop-in ``Detector`` replacement
+  for the serving tier — same ``run_device`` /
+  ``run_device_coefficients_arrays`` / ``warmup`` / ``detect_batch`` API,
+  padding any batch up to a mesh multiple and slicing the results back,
+  so the micro-batcher (serving/inferer.py) shards transparently.
 """
 
 from __future__ import annotations
@@ -14,9 +24,15 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from infercam_onnx_tpu.detector import Detector, detect_program_impl
+from infercam_onnx_tpu.detector import (
+    Detector,
+    detect_from_coefficients_impl,
+    detect_program_impl,
+)
 
 
 def shard_detect(detector: Detector, mesh: Mesh, *, axis: str = "data"):
@@ -24,31 +40,121 @@ def shard_detect(detector: Detector, mesh: Mesh, *, axis: str = "data"):
     B sharded over ``mesh[axis]`` (B must be divisible by the axis size).
     """
     n = mesh.shape[axis]
-    batch_sharded = NamedSharding(mesh, P(axis))
-    replicated = NamedSharding(mesh, P())
-
-    c = detector.config
-    program = functools.partial(
-        detect_program_impl,
-        compute_dtype=detector._compute_dtype,
-        min_confidence=c.min_confidence, max_iou=c.max_iou,
-        top_k=c.top_k, max_detections=c.max_detections)
-
-    sharded = jax.jit(
-        program,
-        in_shardings=(replicated, replicated, batch_sharded,
-                      replicated, replicated),
-        out_shardings=(batch_sharded, batch_sharded, batch_sharded))
-
-    params = jax.device_put(detector.model.params, replicated)
-    priors = jax.device_put(detector.model.priors, replicated)
+    sharded = ShardedDetector(detector, mesh, axis=axis)
 
     def run(images):
         b = images.shape[0]
         if b % n:
             raise ValueError(f"batch {b} not divisible by mesh size {n}")
-        _, h, w, _ = images.shape
-        r_h, r_w = detector.preprocessor.matrices(w, h)
-        return sharded(params, priors, images, r_h, r_w)
+        return sharded.run_device(images)
 
     return run
+
+
+class ShardedDetector(Detector):
+    """A Detector whose device programs shard the batch over a mesh.
+
+    Constructed FROM a single-device Detector (weights load once); jit
+    signatures carry explicit in/out shardings so XLA scatters inputs,
+    replicates params, and runs per-chip conv trunks with no collectives
+    in the hot loop. Batches that don't divide the mesh are zero-padded
+    up (powers-of-two buckets pad to the mesh size at worst) and outputs
+    sliced back, keeping the serving worker oblivious.
+    """
+
+    # pylint: disable=super-init-not-called  (adopts an existing
+    # Detector's loaded state instead of re-loading weights)
+    def __init__(self, detector: Detector, mesh: Mesh,
+                 *, axis: str = "data"):
+        self.config = detector.config
+        self.model = detector.model
+        self.preprocessor = detector.preprocessor
+        self._compute_dtype = detector._compute_dtype
+        self.mesh = mesh
+        self.axis = axis
+        self.n = mesh.shape[axis]
+        self.dispatches = 0  # sharded-program dispatch counter (tests)
+
+        batch = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        c = detector.config
+        static = dict(
+            compute_dtype=detector._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections)
+
+        self._packed = jax.jit(
+            functools.partial(detect_program_impl, pack_output=True,
+                              **static),
+            in_shardings=(repl, repl, batch, repl, repl),
+            out_shardings=batch)
+        self._tuple = jax.jit(
+            functools.partial(detect_program_impl, pack_output=False,
+                              **static),
+            in_shardings=(repl, repl, batch, repl, repl),
+            out_shardings=(batch, batch, batch))
+        # pjit rejects kwargs when in_shardings is given, so the static
+        # geometry (width/height/h2v2) is baked per-shape into a cached
+        # closure instead of passed as static kwargs
+        self._static = static
+        self._batch_sharding = batch
+        self._repl_sharding = repl
+        self._coef_programs: dict[tuple, object] = {}
+
+        self._params = jax.device_put(detector.model.params, repl)
+        self._priors = jax.device_put(detector.model.priors, repl)
+
+    def _coef_program(self, w: int, h: int, h2v2: bool, pack: bool):
+        key = (w, h, h2v2, pack)
+        prog = self._coef_programs.get(key)
+        if prog is None:
+            batch, repl = self._batch_sharding, self._repl_sharding
+            fn = functools.partial(
+                detect_from_coefficients_impl,
+                width=w, height=h, h2v2=h2v2, pack_output=pack,
+                **self._static)
+            prog = jax.jit(
+                fn,
+                in_shardings=(repl, repl, batch, batch, batch, batch,
+                              repl, repl),
+                out_shardings=(batch if pack
+                               else (batch, batch, batch)))
+            self._coef_programs[key] = prog
+        return prog
+
+    def _pad(self, arr, b: int):
+        pad = (-b) % self.n
+        if pad == 0:
+            return np.asarray(arr)
+        widths = [(0, pad)] + [(0, 0)] * (np.ndim(arr) - 1)
+        return np.pad(np.asarray(arr), widths)
+
+    def run_device(self, images, *, pack_output: bool = False):
+        b = images.shape[0]
+        _, h, w, _ = images.shape
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        padded = self._pad(images, b)
+        self.dispatches += 1
+        if pack_output:
+            return self._packed(self._params, self._priors,
+                                jnp.asarray(padded), r_h, r_w)[:b]
+        boxes, confs, counts = self._tuple(
+            self._params, self._priors, jnp.asarray(padded), r_h, r_w)
+        return boxes[:b], confs[:b], counts[:b]
+
+    def run_device_coefficients_arrays(self, y, cb, cr, quant,
+                                       wh, *, sampling=(2, 2),
+                                       pack_output: bool = False):
+        w, h = wh
+        b = y.shape[0]
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        args = (self._params, self._priors,
+                jnp.asarray(self._pad(y, b)), jnp.asarray(self._pad(cb, b)),
+                jnp.asarray(self._pad(cr, b)),
+                jnp.asarray(self._pad(quant, b)), r_h, r_w)
+        prog = self._coef_program(w, h, sampling == (2, 2), pack_output)
+        self.dispatches += 1
+        if pack_output:
+            return prog(*args)[:b]
+        boxes, confs, counts = prog(*args)
+        return boxes[:b], confs[:b], counts[:b]

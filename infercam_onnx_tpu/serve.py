@@ -10,6 +10,7 @@ Usage::
         [--warmup 640x480,1280x720] [--decode-scale 1|2|4|8] \
         [--decode-mode pixels|coefficients] [--tile-min-pixels N] \
         [--tile-grid 2x2] [--assume-frame-dims 1280x720] \
+        [--data-parallel auto|on|off] \
         [--profile-dir DIR] [--distributed host:port,...]
 
 Flag names mirror the reference (reference
@@ -71,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="scale bbox drawing by WxH instead of true "
                          "decoded dims (strict reference parity: the "
                          "reference hard-codes 1280x720, router.rs:66-67)")
+    ap.add_argument("--data-parallel", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="shard stream batches across all visible chips "
+                         "(auto: when >1 device; on: require a mesh)")
     ap.add_argument("--distributed", default=None,
                     help="multi-host: host:port,num_processes=N,"
                          "process_id=I (jax.distributed over DCN)")
@@ -138,6 +143,7 @@ def main(argv: list[str] | None = None) -> int:
                     tile_grid=tuple(
                         int(v) for v in args.tile_grid.split("x"))),
                 warmup_resolutions=warmup or None,
+                data_parallel=args.data_parallel,
             ))
     except KeyboardInterrupt:
         pass

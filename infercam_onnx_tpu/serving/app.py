@@ -63,9 +63,29 @@ async def start_server(
     engine_config: EngineConfig = EngineConfig(),
     detector: Detector | None = None,
     warmup_resolutions: list[tuple[int, int]] | None = None,
+    data_parallel: str = "auto",
+    mesh=None,
 ) -> InferServer:
+    """``data_parallel``: "auto" shards batches across all visible
+    devices when more than one is present, "on" requires a multi-device
+    mesh, "off" always serves single-device (BASELINE config 5 wiring).
+    An explicit ``mesh`` overrides the policy."""
     if detector is None:
         detector = Detector(detector_config)
+
+    if mesh is None and data_parallel != "off":
+        import jax as _jax
+
+        n = len(_jax.devices())
+        if n > 1:
+            from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n)
+            log.info("data-parallel serving over %d devices (%s)",
+                     n, _jax.devices()[0].platform)
+        elif data_parallel == "on":
+            raise ValueError(
+                "--data-parallel on requires >1 device, have 1")
 
     # Trip the tunnel's transfer-mode latch on a 4-byte read NOW: the
     # first device->host read after healthy-mode traffic can stall for
@@ -77,7 +97,8 @@ async def start_server(
 
     _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
 
-    worker = InferenceWorker(detector, engine_config, server_config)
+    worker = InferenceWorker(detector, engine_config, server_config,
+                             mesh=mesh)
     router = FrameRouter(worker.submit, server_config)
     queue: asyncio.Queue = asyncio.Queue(
         maxsize=server_config.ingest_capacity)

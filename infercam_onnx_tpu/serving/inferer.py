@@ -46,7 +46,19 @@ class InferenceWorker:
         engine_config: EngineConfig = EngineConfig(),
         server_config: ServerConfig = ServerConfig(),
         meter: Meter = METER,
+        mesh=None,
     ):
+        """``mesh``: a jax.sharding.Mesh — batches shard their stream
+        dimension across it (BASELINE config 5: data-parallel serving)
+        and high-res tile batches shard-constrain onto it. None =
+        single-device programs."""
+        self._mesh = mesh
+        if mesh is not None:
+            from infercam_onnx_tpu.parallel.data_parallel import (
+                ShardedDetector)
+
+            if not isinstance(detector, ShardedDetector):
+                detector = ShardedDetector(detector, mesh)
         self._detector = detector
         self._cfg = engine_config
         self._server_cfg = server_config
@@ -97,8 +109,31 @@ class InferenceWorker:
         window = self._cfg.batch_window_ms / 1e3
         inflight: asyncio.Future | None = None
         publish_futs: collections.deque = collections.deque()
+
+        async def flush_inflight():
+            nonlocal inflight
+            results = await inflight
+            inflight = None
+            publish_futs.append(self._loop.run_in_executor(
+                self._publish_exec, self._publish_results, results))
+            while len(publish_futs) > 2:  # bound publish backlog
+                await publish_futs.popleft()
+
         while True:
-            jobs = [await self._queue.get()]
+            # wait for the next job — but if the in-flight batch finishes
+            # while the queue is idle, publish it immediately instead of
+            # holding its results hostage to future traffic (the trailing
+            # batch of a burst must not wait for the next burst)
+            get_task = asyncio.ensure_future(self._queue.get())
+            while inflight is not None:
+                done, _ = await asyncio.wait(
+                    {get_task, inflight},
+                    return_when=asyncio.FIRST_COMPLETED)
+                if inflight in done:
+                    await flush_inflight()
+                if get_task in done:
+                    break
+            jobs = [await get_task]
             deadline = self._loop.time() + window
             while len(jobs) < max_bucket:
                 timeout = deadline - self._loop.time()
@@ -118,11 +153,7 @@ class InferenceWorker:
             frames = await self._loop.run_in_executor(
                 self._decode_exec, self._decode, list(latest.values()))
             if inflight is not None:
-                results = await inflight
-                publish_futs.append(self._loop.run_in_executor(
-                    self._publish_exec, self._publish_results, results))
-                while len(publish_futs) > 2:  # bound publish backlog
-                    await publish_futs.popleft()
+                await flush_inflight()
             inflight = self._loop.run_in_executor(
                 self._device_exec, self._device_stage, frames)
 
@@ -294,7 +325,7 @@ class InferenceWorker:
 
                 tiled = TiledDetector(
                     self._detector, (w, h), grid=self._cfg.tile_grid,
-                    overlap=self._cfg.tile_overlap)
+                    overlap=self._cfg.tile_overlap, mesh=self._mesh)
                 self._tiled[(h, w)] = tiled
             boxes, confs, counts = (
                 np.asarray(a) for a in tiled.run_device(batch))

@@ -52,12 +52,16 @@ async def _start(detector, http_port, sock_port, **engine_kw):
         http_address=f"127.0.0.1:{http_port}",
         socket_address=f"127.0.0.1:{sock_port}")
     # small bucket list: CPU test compiles are slow (one per bucket+shape);
-    # the persistent compile cache makes reruns fast
+    # the persistent compile cache makes reruns fast. data_parallel off:
+    # most tests exercise single-device semantics (the dedicated sharded
+    # test below passes a pre-built ShardedDetector instead, avoiding a
+    # recompile per start_server call on the 8-device mesh).
     engine_kw.setdefault("batch_buckets", (1, 4))
     server = await start_server(
         server_config=cfg,
         engine_config=EngineConfig(**engine_kw),
-        detector=detector)
+        detector=detector,
+        data_parallel="off")
     return server, cfg
 
 
@@ -516,3 +520,87 @@ def test_http_malformed_requests(detector):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_data_parallel_serving_on_mesh(detector, jpeg_dir):
+    """BASELINE config 5 serving integration: 8 concurrent streams shard
+    their micro-batch across the 8-device mesh inside the serving worker
+    and annotated MJPEG still flows to every viewer."""
+    from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
+
+    mesh = make_mesh(8)
+    shard_det = ShardedDetector(detector, mesh)
+
+    async def run():
+        cfg = ServerConfig(http_address="127.0.0.1:18340",
+                           socket_address="127.0.0.1:18341")
+        server = await start_server(
+            server_config=cfg,
+            engine_config=EngineConfig(batch_buckets=(1, 8),
+                                       batch_window_ms=60.0),
+            detector=shard_det,
+            mesh=mesh)
+        # the worker must adopt the sharded detector as-is (no rewrap)
+        assert server.worker._detector is shard_det
+        try:
+            viewers = [asyncio.create_task(
+                _http_get(18340, f"/face_stream?name=m{i}",
+                          read_bytes=600, timeout=60.0))
+                for i in range(8)]
+            await asyncio.sleep(0.3)
+            senders = [asyncio.create_task(send_stream(
+                ReplaySource(str(jpeg_dir), fps=30),
+                ClientConfig(address="127.0.0.1:18341",
+                             channel=f"m{i}"), max_frames=30))
+                for i in range(8)]
+            await asyncio.gather(*senders)
+            parts = await asyncio.gather(*viewers)
+            # every stream's viewer received annotated MJPEG parts
+            for i, data in enumerate(parts):
+                assert data.count(b"--frame") >= 1, f"stream m{i} starved"
+            # and the batches really went through the SHARDED programs
+            assert shard_det.dispatches >= 1
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_sharded_detector_matches_single_device(detector, rng):
+    """Padding path: batches NOT divisible by the mesh (e.g. 3 streams on
+    8 chips) pad up, shard, and slice back to identical results."""
+    from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
+
+    shard_det = ShardedDetector(detector, make_mesh(8))
+    frames = rng.integers(0, 256, size=(3, 48, 64, 3), dtype=np.uint8)
+    packed_s = np.asarray(shard_det.run_device(frames, pack_output=True))
+    packed_1 = np.asarray(detector.run_device(frames, pack_output=True))
+    assert packed_s.shape == packed_1.shape  # sliced back to B=3
+    np.testing.assert_allclose(packed_s, packed_1, atol=1e-5)
+
+    b_s, c_s, n_s = (np.asarray(a) for a in shard_det.run_device(frames))
+    b_1, c_1, n_1 = (np.asarray(a) for a in detector.run_device(frames))
+    np.testing.assert_array_equal(n_s, n_1)
+    np.testing.assert_allclose(b_s, b_1, atol=1e-5)
+
+
+def test_sharded_coefficient_path_matches_single_device(detector, rng):
+    from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(np.stack([
+        127 + 100 * np.sin(xx / 7.0) * np.cos(yy / 5.0),
+        127 + 90 * np.cos(xx / 4.0),
+        127 + 80 * np.sin(yy / 6.0),
+    ], axis=-1), 0, 255).astype(np.uint8)
+    datas = [codec.encode_rgb(img, 90, "420") for _ in range(3)]
+
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+
+    y, cb, cr, q, wh, samp = read_coefficient_batch(datas)
+    shard_det = ShardedDetector(detector, make_mesh(8))
+    p_s = np.asarray(shard_det.run_device_coefficients_arrays(
+        y, cb, cr, q, wh, sampling=samp, pack_output=True))
+    p_1 = np.asarray(detector.run_device_coefficients_arrays(
+        y, cb, cr, q, wh, sampling=samp, pack_output=True))
+    np.testing.assert_allclose(p_s, p_1, atol=1e-5)
