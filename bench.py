@@ -1,12 +1,22 @@
 """Headline benchmark: frames/sec/chip, UltraFace-320 over 640x480 streams.
 
 Measures the BASELINE.json north-star configuration: 16 concurrent
-640x480 streams micro-batched into one fused TPU program (JPEG decode on
-the host feeding batch-16 device dispatches of preprocess + CNN + NMS),
-against a CPU baseline runner that mirrors the reference's tract pipeline
-(single image at a time — the reference pins batch=1, reference
+640x480 streams micro-batched into one fused TPU program, against a CPU
+baseline runner that mirrors the reference's tract pipeline (single image
+at a time — the reference pins batch=1, reference
 infer_server/src/nn.rs:83,167 — torch conv stack + the same resize
 matrices + the NumPy reference NMS).
+
+The headline path is the transfer-optimal split (BASELINE config 4):
+host does entropy decode + scaled IDCT only (native decode_ycbcr_batch);
+the device receives ONE packed uint8 buffer per batch (Y + folded
+chroma, ~half the bytes of RGB) and fuses chroma upsampling, color
+conversion, resize, CNN, and NMS in one XLA program. Dispatches overlap
+decode (3-deep pipeline) and results stream back via async host copies.
+
+Also reported: the plain host-RGB-decode path, device-only throughput,
+single-stream serving e2e latency through the REAL server (BASELINE
+config 2), and 1080p tiled detection (config 5, single-chip slice).
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps_per_chip, "unit": "frames/s",
@@ -15,6 +25,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 import sys
@@ -29,8 +40,11 @@ def _load_frames(n_streams: int = 16) -> list[bytes]:
     from PIL import Image
 
     frames: list[bytes] = []
-    src = "/root/reference/resources/test_pics"
-    if os.path.isdir(src):
+    for src in ("/root/reference/resources/test_pics",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "resources", "test_pics_synthetic")):
+        if not os.path.isdir(src):
+            continue
         for f in sorted(os.listdir(src)):
             if not f.lower().endswith(".jpg"):
                 continue
@@ -48,15 +62,12 @@ def _load_frames(n_streams: int = 16) -> list[bytes]:
     return frames[:n_streams]
 
 
-def bench_tpu(frames: list[bytes], *, seconds: float = 10.0,
-              batch: int = 16, decode_scale: int = 2) -> dict:
-    """Decode->device pipeline throughput with decode/compute overlap.
-
-    ``decode_scale=2``: JPEGs decode at half resolution via libjpeg IDCT
-    scaling — 640x480 streams land directly at the 320x240 model input,
-    cutting both host decode time and host->device bytes 4x. Detections
-    remain relative coords, so the output contract is unchanged.
-    """
+def _pipeline_fps(detector, frames: list[bytes], *, mode: str,
+                  batch: int, seconds: float, decode_scale: int = 2,
+                  depth: int = 3) -> float:
+    """Throughput of the 3-stage pipeline: decode+put (thread) ||
+    dispatch || async result copy. ``mode``: "ycbcr" (packed-plane
+    transfer) or "pixels" (host RGB decode)."""
     import threading
     import queue as pyqueue
 
@@ -64,8 +75,68 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 10.0,
     import numpy as np
 
     from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+
+    n = native_jpeg.load()
+    stop = threading.Event()
+    q: pyqueue.Queue = pyqueue.Queue(maxsize=depth)
+
+    def decoder():
+        i = 0
+        while not stop.is_set():
+            batch_frames = [frames[(i + j) % len(frames)]
+                            for j in range(batch)]
+            if mode == "ycbcr":
+                packed, geom = n.decode_ycbcr_batch(
+                    batch_frames, scale=decode_scale)
+                item = (jax.device_put(packed), geom)
+            else:
+                imgs = np.stack(
+                    codec.decode_batch(batch_frames, scale=decode_scale))
+                item = (jax.device_put(imgs), None)
+            try:
+                q.put(item, timeout=1.0)
+            except pyqueue.Full:
+                continue
+            i += batch
+
+    def dispatch(arr, geom):
+        if mode == "ycbcr":
+            return detector.run_device_ycbcr_packed(
+                arr, geom, pack_output=True)
+        return detector.run_device(arr, pack_output=True)
+
+    t = threading.Thread(target=decoder, daemon=True)
+    t.start()
+    arr, geom = q.get()
+    jax.device_get(dispatch(arr, geom))  # warm/compile
+
+    pending: collections.deque = collections.deque()
+    done = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        arr, geom = q.get()
+        out = dispatch(arr, geom)
+        out.copy_to_host_async()
+        pending.append(out)
+        while len(pending) > 2:
+            np.asarray(pending.popleft())
+            done += batch
+    while pending:
+        np.asarray(pending.popleft())
+        done += batch
+    stop.set()
+    return done / (time.perf_counter() - t0)
+
+
+def bench_tpu(frames: list[bytes], *, seconds: float = 8.0,
+              batch: int = 16, decode_scale: int = 2) -> dict:
+    import jax
+    import numpy as np
+
     from infercam_onnx_tpu.config import DetectorConfig
     from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
 
     # Trip the tunnel's transfer-mode latch NOW, on a 4-byte read: the
     # first device->host read after heavy healthy-mode traffic can stall
@@ -74,44 +145,28 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 10.0,
     np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
 
     detector = Detector(DetectorConfig(variant="RFB-320"), rng=0)
-    h0, w0 = 480 // decode_scale, 640 // decode_scale
-    detector.warmup(batch, h0, w0, pack_output=True)
+    n = native_jpeg.load()
 
-    stop = threading.Event()
-    decoded_q: pyqueue.Queue = pyqueue.Queue(maxsize=2)
-
-    def decoder():
-        i = 0
-        while not stop.is_set():
-            batch_frames = [frames[(i + j) % len(frames)]
-                            for j in range(batch)]
-            imgs = np.stack(
-                codec.decode_batch(batch_frames, scale=decode_scale))
-            try:
-                decoded_q.put(imgs, timeout=1.0)
-            except pyqueue.Full:
-                continue
-            i += batch
-
-    t = threading.Thread(target=decoder, daemon=True)
-    t.start()
-
-    # warm pass + unpipelined latency sample (p50 per-dispatch), with the
-    # detection readback the serving path performs (device_get of padded
-    # boxes/confs/counts)
-    imgs = decoded_q.get()
-    jax.device_get(detector.run_device(imgs, pack_output=True))
+    # unpipelined dispatch latency sample (p50), with the detection
+    # readback the serving path performs
+    packed, geom = n.decode_ycbcr_batch(frames[:batch],
+                                        scale=decode_scale)
+    jax.device_get(detector.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
     lat: list[float] = []
     for _ in range(10):
         t0 = time.perf_counter()
-        jax.device_get(detector.run_device(imgs, pack_output=True))
+        jax.device_get(detector.run_device_ycbcr_packed(
+            packed, geom, pack_output=True))
         lat.append(time.perf_counter() - t0)
     lat.sort()
 
     # device-compute-only figure (input resident, pipelined dispatch,
     # block once): the chip's intrinsic throughput, excluding this rig's
     # tunnel transfer costs and per-call round-trips
-    resident = jax.device_put(imgs)
+    h0, w0 = 480 // decode_scale, 640 // decode_scale
+    resident = jax.device_put(
+        np.zeros((batch, h0, w0, 3), np.uint8))
     jax.block_until_ready(detector.run_device(resident, pack_output=True))
     n_pipe = 50
     t0 = time.perf_counter()
@@ -120,34 +175,127 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 10.0,
     jax.block_until_ready(outs[-1])
     device_ms = (time.perf_counter() - t0) / n_pipe * 1e3
 
-    # throughput: 2-deep software pipeline — dispatch batch k+1 before
-    # fetching batch k's detections, so decode (host), transfers, and
-    # device exec overlap. Best of two windows (this rig's transfer
-    # bandwidth fluctuates run to run).
-    def window() -> float:
-        done_frames = 0
-        pending = None
-        t_start = time.perf_counter()
-        while time.perf_counter() - t_start < seconds:
-            imgs = decoded_q.get()
-            out = detector.run_device(imgs, pack_output=True)  # async
-            if pending is not None:
-                jax.device_get(pending)  # host needs the detections
-                done_frames += batch
-            pending = out
-        if pending is not None:
-            jax.device_get(pending)
-            done_frames += batch
-        return done_frames / (time.perf_counter() - t_start)
+    # throughput: best of two windows per mode (this rig's transfer
+    # bandwidth fluctuates run to run)
+    def best(mode):
+        return max(
+            _pipeline_fps(detector, frames, mode=mode, batch=batch,
+                          seconds=seconds, decode_scale=decode_scale)
+            for _ in range(2))
 
-    fps = max(window(), window())
-    stop.set()
+    fps_ycbcr = best("ycbcr")
+    fps_pixels = best("pixels")
+
+    # 1080p tiled detection (BASELINE config 5, single-chip slice)
+    from infercam_onnx_tpu.parallel.tiling import TiledDetector
+
+    tiled = TiledDetector(detector, (1920, 1080), grid=(2, 2))
+    frame_hd = jax.device_put(
+        np.zeros((1, 1080, 1920, 3), np.uint8))
+    jax.block_until_ready(tiled.run_device(frame_hd))
+    t0 = time.perf_counter()
+    outs = [tiled.run_device(frame_hd) for _ in range(20)]
+    jax.block_until_ready(outs[-1])
+    tiled_ms = (time.perf_counter() - t0) / 20 * 1e3
+
     return {
-        "fps": fps,
+        "fps": max(fps_ycbcr, fps_pixels),
+        "fps_ycbcr": fps_ycbcr,
+        "fps_pixels": fps_pixels,
         "p50_batch_ms": lat[len(lat) // 2] * 1e3,
         "p50_frame_ms": lat[len(lat) // 2] * 1e3 / batch,
         "device_compute_ms_per_batch": device_ms,
         "device_only_fps": batch / (device_ms / 1e3),
+        "tiled_1080p_ms_per_frame": tiled_ms,
+        "tiled_1080p_fps": 1e3 / tiled_ms,
+    }
+
+
+def bench_serving_latency(*, frames_count: int = 40,
+                          fps_in: float = 5.0) -> dict:
+    """BASELINE config 2: single live stream through the REAL server
+    (TCP ingest -> router -> micro-batcher -> device -> draw -> encode ->
+    MJPEG publish); reports the per-frame end-to-end p50. The input rate
+    is kept below the single-dispatch rate so this measures LATENCY
+    (queueing-free), not throughput — config 3/4 cover throughput."""
+    import asyncio
+
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import (
+        ClientConfig,
+        DetectorConfig,
+        EngineConfig,
+        ServerConfig,
+    )
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.serving.app import start_server
+    from infercam_onnx_tpu.utils.profiling import STAGES
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_replay_")
+    for i, f in enumerate(_load_frames(4)):
+        with open(os.path.join(tmp, f"f{i}.jpg"), "wb") as fh:
+            fh.write(f)
+
+    detector = Detector(DetectorConfig(variant="RFB-320"), rng=0)
+    detector.warmup(1, 480, 640, pack_output=True)
+    detector.warmup(2, 480, 640, pack_output=True)
+
+    # the meter task drains STAGES every 2 s, so collect the e2e samples
+    # (router enqueue -> MJPEG publish per frame) directly as they are
+    # recorded
+    e2e_s: list[float] = []
+    orig_record = STAGES.record
+
+    def record(name: str, seconds: float) -> None:
+        if name == "e2e":
+            e2e_s.append(seconds)
+        orig_record(name, seconds)
+
+    STAGES.record = record  # type: ignore[method-assign]
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address="127.0.0.1:38600",
+                socket_address="127.0.0.1:38601"),
+            engine_config=EngineConfig(batch_buckets=(1, 2),
+                                       batch_window_ms=4.0),
+            detector=detector,
+            data_parallel="off")
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 38600)
+            writer.write(b"GET /face_stream?name=bench HTTP/1.1\r\n"
+                         b"Host: x\r\n\r\n")
+            await writer.drain()
+            drain = asyncio.create_task(reader.read(-1))
+            await asyncio.sleep(0.3)
+            await send_stream(
+                ReplaySource(tmp, fps=fps_in),
+                ClientConfig(address="127.0.0.1:38601",
+                             channel="bench"),
+                max_frames=frames_count)
+            await asyncio.sleep(1.0)
+            writer.close()
+            drain.cancel()
+        finally:
+            await server.close()
+
+    try:
+        asyncio.run(run())
+    finally:
+        STAGES.record = orig_record  # type: ignore[method-assign]
+    e2e_s.sort()
+    if not e2e_s:
+        return {"serving_p50_e2e_ms": -1.0, "serving_frames": 0}
+    n = len(e2e_s)
+    return {
+        "serving_p50_e2e_ms": round(e2e_s[n // 2] * 1e3, 1),
+        "serving_p95_e2e_ms": round(
+            e2e_s[min(n - 1, int(n * 0.95))] * 1e3, 1),
+        "serving_frames": n,
     }
 
 
@@ -209,7 +357,7 @@ def main() -> int:
     enable_compilation_cache()
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "10"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "8"))
 
     frames = _load_frames(batch)
     cpu = bench_cpu_baseline(frames)
@@ -219,6 +367,7 @@ def main() -> int:
     for _ in range(3):
         try:
             tpu = bench_tpu(frames, seconds=seconds, batch=batch)
+            serving = bench_serving_latency()
             break
         except Exception as e:  # pragma: no cover - flaky-rig guard
             last_err = e
@@ -238,7 +387,11 @@ def main() -> int:
         "p50_batch_ms": round(tpu["p50_batch_ms"], 2),
         "batch": batch,
         "cpu_baseline_fps": round(cpu["fps"], 2),
+        "fps_ycbcr_path": round(tpu["fps_ycbcr"], 1),
+        "fps_pixels_path": round(tpu["fps_pixels"], 1),
         "device_only_fps": round(tpu["device_only_fps"], 1),
+        "tiled_1080p_fps": round(tpu["tiled_1080p_fps"], 1),
+        **serving,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -58,6 +58,10 @@ class EngineConfig:
     # "coefficients": for detection-only consumers (/detections viewers
     # with no /face_stream viewer) the host does entropy decoding only
     # and dequant+IDCT+color run fused on the device (BASELINE config 4).
+    # "ycbcr": detection-only consumers get the transfer-optimal split —
+    # host entropy+IDCT, device chroma-upsample+color+detect over ONE
+    # packed uint8 buffer (~half the bytes of RGB for 4:2:0; the bench
+    # headline path).
     decode_mode: str = "pixels"
     # Tiled high-res detection (BASELINE config 5): frames with at least
     # this many pixels (post-decode) run through the overlapping tile grid

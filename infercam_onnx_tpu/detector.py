@@ -120,6 +120,59 @@ detect_from_coefficients = jax.jit(
 )
 
 
+def detect_from_ycbcr_impl(
+    params,
+    priors: jax.Array,
+    packed: jax.Array,  # [B, n] uint8: Y ++ Cb ++ Cr padded planes
+    r_h: jax.Array,
+    r_w: jax.Array,
+    *,
+    width: int,
+    height: int,
+    y_pw: int,
+    y_ph: int,
+    c_pw: int,
+    c_ph: int,
+    h2v2: bool,
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+    pack_output: bool = False,
+):
+    """The transfer-optimal pipeline: host does entropy decode + scaled
+    IDCT (native decode_ycbcr_batch), the device gets ONE packed uint8
+    buffer (~half the bytes of RGB for 4:2:0) and fuses chroma
+    upsampling, color conversion, resize, CNN, and NMS. This is the
+    serving headline path on transfer-bound links (the reference decodes
+    fully on the host, reference inferer.rs:35-36)."""
+    from infercam_onnx_tpu.ops.jpeg_device import (
+        combine_ycbcr,
+        unpack_ycbcr_planes,
+    )
+
+    y, cb, cr = unpack_ycbcr_planes(packed, y_pw=y_pw, y_ph=y_ph,
+                                    c_pw=c_pw, c_ph=c_ph)
+    rgb = combine_ycbcr(y, cb, cr, width=width, height=height,
+                        h2v2=h2v2)
+    return detect_program_impl(
+        params, priors, rgb, r_h, r_w,
+        compute_dtype=compute_dtype, min_confidence=min_confidence,
+        max_iou=max_iou, top_k=top_k, max_detections=max_detections,
+        pack_output=pack_output)
+
+
+detect_from_ycbcr = jax.jit(
+    detect_from_ycbcr_impl,
+    static_argnames=(
+        "width", "height", "y_pw", "y_ph", "c_pw", "c_ph", "h2v2",
+        "compute_dtype", "min_confidence", "max_iou", "top_k",
+        "max_detections", "pack_output",
+    ),
+)
+
+
 def unpack_detections(packed: np.ndarray) -> list[list[Detection]]:
     """Host-side inverse of ``pack_output=True``."""
     out: list[list[Detection]] = []
@@ -214,6 +267,36 @@ class Detector:
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
             jnp.asarray(quant), r_h, r_w,
             width=w, height=h, h2v2=(sampling == (2, 2)),
+            compute_dtype=self._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections,
+            pack_output=pack_output)
+
+    def run_device_ycbcr(self, datas: list[bytes], *, scale: int = 1,
+                         pack_output: bool = False):
+        """Transfer-optimal path: host entropy+IDCT at 1/scale, device
+        upsample+color+resize+CNN+NMS fused, ONE uint8 transfer/batch."""
+        from infercam_onnx_tpu.native import jpeg as native_jpeg
+
+        packed, geom = native_jpeg.load().decode_ycbcr_batch(
+            datas, scale=scale)
+        return self.run_device_ycbcr_packed(packed, geom,
+                                            pack_output=pack_output)
+
+    def run_device_ycbcr_packed(self, packed, geom: dict, *,
+                                pack_output: bool = False):
+        """Device half of the YCbCr path (packed planes from
+        native decode_ycbcr_batch)."""
+        w, h = geom["width"], geom["height"]
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        c = self.config
+        return detect_from_ycbcr(
+            self.model.params, self.model.priors, jnp.asarray(packed),
+            r_h, r_w,
+            width=w, height=h,
+            y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+            c_pw=geom["c_pw"], c_ph=geom["c_ph"],
+            h2v2=(geom["sampling"] == (2, 2)),
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,
             top_k=c.top_k, max_detections=c.max_detections,

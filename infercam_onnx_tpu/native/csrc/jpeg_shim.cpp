@@ -225,6 +225,196 @@ void ic_jpeg_decode_batch(const uint8_t* const* datas, const int64_t* lens,
 
 }  // extern "C"
 
+namespace {
+
+#if JPEG_LIB_VERSION >= 80
+inline int dct_scaled_size(const jpeg_component_info* c) {
+  return c->DCT_v_scaled_size;
+}
+#else
+inline int dct_scaled_size(const jpeg_component_info* c) {
+  return c->DCT_scaled_size;
+}
+#endif
+
+}  // namespace
+
+extern "C" {
+
+// Raw-plane decode: entropy decode + (scaled) IDCT on the host, NO chroma
+// upsampling and NO color conversion — those run fused on the TPU
+// (ops/jpeg_device.py ycbcr path). Compared to RGB decode this roughly
+// halves host->device bytes for 4:2:0 (Y + Cb/4 + Cr/4 = 1.5 B/px vs
+// 3 B/px) and skips ~30% of host decode work, which is exactly what the
+// transfer-bound serving pipeline needs.
+//
+// The three planes are written CONSECUTIVELY into `out` (one packed
+// buffer -> one host->device transfer): Y[y_ph][y_pw], Cb[c_ph][c_pw],
+// Cr[c_ph][c_pw], where the padded dims are iMCU-aligned as libjpeg
+// requires for raw output. dims_out[8]: out_w, out_h (true scaled frame
+// dims), y_pw, y_ph, c_pw, c_ph (padded plane dims), h_samp, v_samp.
+// Returns 0, -1 corrupt, -2 buffer too small, -3 unsupported layout
+// (needs 3-component YCbCr, chroma 1x1, luma 1x1 or 2x2).
+int ic_jpeg_decode_ycbcr_scaled(const uint8_t* data, int64_t len,
+                                uint8_t* out, int64_t max_bytes,
+                                int32_t scale_denom, int32_t* dims_out) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  if (cinfo.num_components != 3 ||
+      cinfo.jpeg_color_space != JCS_YCbCr) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  const int hs = cinfo.comp_info[0].h_samp_factor;
+  const int vs = cinfo.comp_info[0].v_samp_factor;
+  const bool s420 = (hs == 2 && vs == 2);
+  const bool s444 = (hs == 1 && vs == 1);
+  if ((!s420 && !s444) || cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  cinfo.raw_data_out = TRUE;
+  if (scale_denom > 1) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned int>(scale_denom);
+  }
+  jpeg_start_decompress(&cinfo);
+
+  // padded (iMCU-aligned) plane geometry after IDCT scaling
+  int bs[3];
+  int64_t pw[3], ph[3], plane_off[3];
+  const JDIMENSION total_imcu_rows =
+      (cinfo.output_height +
+       static_cast<JDIMENSION>(cinfo.max_v_samp_factor *
+                               dct_scaled_size(&cinfo.comp_info[0])) - 1) /
+      (cinfo.max_v_samp_factor * dct_scaled_size(&cinfo.comp_info[0]));
+  int64_t total = 0;
+  for (int c = 0; c < 3; ++c) {
+    jpeg_component_info* comp = &cinfo.comp_info[c];
+    bs[c] = dct_scaled_size(comp);
+    pw[c] = static_cast<int64_t>(comp->width_in_blocks) * bs[c];
+    ph[c] = static_cast<int64_t>(total_imcu_rows) *
+            comp->v_samp_factor * bs[c];
+    plane_off[c] = total;
+    total += pw[c] * ph[c];
+  }
+  if (total > max_bytes) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+
+  // row-pointer scaffolding: per call, component c receives
+  // v_samp_factor * DCT_scaled_size rows
+  std::vector<JSAMPROW> rows[3];
+  JSAMPARRAY image[3];
+  int rows_per_call[3];
+  for (int c = 0; c < 3; ++c) {
+    rows_per_call[c] = cinfo.comp_info[c].v_samp_factor * bs[c];
+    rows[c].resize(rows_per_call[c]);
+    image[c] = rows[c].data();
+  }
+  const JDIMENSION luma_lines_per_call =
+      cinfo.max_v_samp_factor * bs[0];
+  int64_t row_base[3] = {0, 0, 0};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    for (int c = 0; c < 3; ++c) {
+      for (int r = 0; r < rows_per_call[c]; ++r) {
+        rows[c][r] = out + plane_off[c] +
+                     (row_base[c] + r) * pw[c];
+      }
+    }
+    JDIMENSION got =
+        jpeg_read_raw_data(&cinfo, image, luma_lines_per_call);
+    if (got == 0) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      return -1;
+    }
+    for (int c = 0; c < 3; ++c) row_base[c] += rows_per_call[c];
+  }
+  // With IDCT scaling, libjpeg scales chroma LESS on 4:2:0 streams (it
+  // emerges at scaled-luma resolution), which would forfeit the 2x
+  // transfer saving. Fold chroma back to half resolution with a rounded
+  // 2x2 box average, in place (fold writes trail the reads).
+  if (s420 && pw[1] == pw[0] && ph[1] == ph[0]) {
+    const int64_t cw2 = pw[1] / 2, ch2 = ph[1] / 2;
+    const int64_t csz2 = cw2 * ch2;
+    for (int c = 1; c < 3; ++c) {
+      const uint8_t* src = out + plane_off[c];
+      uint8_t* dst = out + pw[0] * ph[0] + (c - 1) * csz2;
+      for (int64_t r = 0; r < ch2; ++r) {
+        const uint8_t* r0 = src + (2 * r) * pw[c];
+        const uint8_t* r1 = r0 + pw[c];
+        uint8_t* d = dst + r * cw2;
+        for (int64_t x = 0; x < cw2; ++x) {
+          d[x] = static_cast<uint8_t>(
+              (static_cast<uint32_t>(r0[2 * x]) + r0[2 * x + 1] +
+               r1[2 * x] + r1[2 * x + 1] + 2) >> 2);
+        }
+      }
+    }
+    pw[1] = cw2;
+    ph[1] = ch2;
+  }
+  dims_out[0] = static_cast<int32_t>(cinfo.output_width);
+  dims_out[1] = static_cast<int32_t>(cinfo.output_height);
+  dims_out[2] = static_cast<int32_t>(pw[0]);
+  dims_out[3] = static_cast<int32_t>(ph[0]);
+  dims_out[4] = static_cast<int32_t>(pw[1]);
+  dims_out[5] = static_cast<int32_t>(ph[1]);
+  dims_out[6] = hs;
+  dims_out[7] = vs;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Threaded batch variant: slot i's packed planes land at
+// outs + i * max_bytes_each, its dims at dims_out + i * 8, status[i] as
+// ic_jpeg_decode_ycbcr_scaled.
+void ic_jpeg_decode_ycbcr_batch(const uint8_t* const* datas,
+                                const int64_t* lens, int32_t n,
+                                uint8_t* outs, int64_t max_bytes_each,
+                                int32_t* dims_out, int32_t* status,
+                                int32_t num_threads,
+                                int32_t scale_denom) {
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+  std::vector<std::thread> workers;
+  std::atomic<int32_t> next{0};
+  auto work = [&]() {
+    while (true) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = ic_jpeg_decode_ycbcr_scaled(
+          datas[i], lens[i], outs + static_cast<int64_t>(i) * max_bytes_each,
+          max_bytes_each, scale_denom, dims_out + i * 8);
+    }
+  };
+  for (int t = 0; t < num_threads; ++t) workers.emplace_back(work);
+  for (auto& th : workers) th.join();
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Entropy-decode only: export quantized DCT coefficient blocks + quant

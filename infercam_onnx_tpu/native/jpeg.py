@@ -77,6 +77,19 @@ class NativeJpeg:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.ic_jpeg_decode_ycbcr_scaled.restype = ctypes.c_int
+        lib.ic_jpeg_decode_ycbcr_scaled.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ic_jpeg_decode_ycbcr_batch.restype = None
+        lib.ic_jpeg_decode_ycbcr_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
 
     def probe(self, data: bytes, scale: int = 1) -> tuple[int, int]:
         w = ctypes.c_int32()
@@ -130,6 +143,52 @@ class NativeJpeg:
             w, h = ow[i], oh[i]
             out.append(bufs[i, :w * h * 3].reshape(h, w, 3).copy())
         return out
+
+    def decode_ycbcr_batch(self, datas: list[bytes],
+                           threads: int | None = None,
+                           scale: int = 1):
+        """Raw-plane batch decode: host entropy+IDCT only, packed planes.
+
+        Returns ``(packed[B, n_bytes] uint8, geom)`` where each row is
+        Y[y_ph][y_pw] ++ Cb[c_ph][c_pw] ++ Cr[c_ph][c_pw] (iMCU-padded
+        plane dims) and ``geom = dict(width, height, y_pw, y_ph, c_pw,
+        c_ph, sampling)``. The device half (ops/jpeg_device.py) does
+        chroma upsampling + color conversion fused with detection —
+        ~half the host->device bytes of RGB for 4:2:0 and ONE transfer
+        for the whole batch. All frames must share geometry.
+        """
+        n = len(datas)
+        if n == 0:
+            raise ValueError("empty batch")
+        # capacity bound: padded planes are at most (dim + 2 iMCU) wide
+        w0, h0 = self.probe(datas[0], scale)
+        max_each = 3 * (w0 + 32) * (h0 + 32)
+        bufs = np.empty((n, max_each), np.uint8)
+        dims = (ctypes.c_int32 * (8 * n))()
+        st = (ctypes.c_int32 * n)()
+        arr_p = (ctypes.c_char_p * n)(*datas)
+        arr_l = (ctypes.c_int64 * n)(*[len(d) for d in datas])
+        self._lib.ic_jpeg_decode_ycbcr_batch(
+            arr_p, arr_l, n,
+            bufs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            max_each, dims, st, threads or _DEFAULT_THREADS, scale)
+        geom0 = tuple(dims[0:8])
+        for i in range(n):
+            if st[i] != 0:
+                raise ValueError(
+                    f"YCbCr decode failed in batch slot {i} (rc={st[i]})")
+            if tuple(dims[8 * i:8 * i + 8]) != geom0:
+                raise ValueError("mixed JPEG geometries in batch")
+        # note: on scaled 4:2:0 decodes the shim folds chroma back to
+        # half resolution in place (libjpeg's IDCT scaling would
+        # otherwise emit chroma at luma resolution and forfeit the 2x
+        # transfer saving); dims already reflect the folded planes
+        w, h, y_pw, y_ph, c_pw, c_ph, hs, vs = geom0
+        used = y_pw * y_ph + 2 * c_pw * c_ph
+        return bufs[:, :used], {
+            "width": w, "height": h, "y_pw": y_pw, "y_ph": y_ph,
+            "c_pw": c_pw, "c_ph": c_ph, "sampling": (hs, vs),
+        }
 
     def read_coefficients(self, data: bytes):
         """Entropy-decode only: quantized DCT blocks + quant tables.

@@ -73,11 +73,26 @@ def decode_rgb_device(
 ) -> jax.Array:
     """Coefficient blocks -> [B, height, width, 3] float32 RGB (0..255,
     rounded to the u8 grid like a host decode would produce)."""
-    y = decode_plane(y_coefs, quant[:, 0])[:, :height, :width]
+    y = decode_plane(y_coefs, quant[:, 0])
     cb = decode_plane(cb_coefs, quant[:, 1])
     cr = decode_plane(cr_coefs, quant[:, 2])
+    return combine_ycbcr(y, cb, cr, width=width, height=height,
+                         h2v2=h2v2)
+
+
+def combine_ycbcr(y: jax.Array, cb: jax.Array, cr: jax.Array, *,
+                  width: int, height: int, h2v2: bool) -> jax.Array:
+    """[B, h, w] float planes (0..255, chroma at subsampled res) ->
+    [B, height, width, 3] RGB on the u8 grid. Chroma upsampling uses the
+    triangle-filter matrices (equivalent to libjpeg's fancy h2v2
+    upsampling incl. edge replication) as MXU matmuls; BT.601 full-range
+    constants match libjpeg jdcolor."""
+    y = y[:, :height, :width]
     if h2v2:
-        ch, cw = cb.shape[1], cb.shape[2]
+        ch = (height + 1) // 2
+        cw = (width + 1) // 2
+        cb = cb[:, :ch, :cw]
+        cr = cr[:, :ch, :cw]
         up_h = jnp.asarray(triangle_resize_matrix(ch, ch * 2))
         up_w = jnp.asarray(triangle_resize_matrix(cw, cw * 2))
         cb = jnp.einsum("oH,bHW->boW", up_h, cb)
@@ -87,12 +102,26 @@ def decode_rgb_device(
     cb = cb[:, :height, :width] - 128.0
     cr = cr[:, :height, :width] - 128.0
 
-    # BT.601 full range (libjpeg jdcolor constants)
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr
-    bch = y + 1.772 * cb
-    rgb = jnp.stack([r, g, bch], axis=-1)
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(jnp.round(rgb), 0.0, 255.0)
+
+
+def unpack_ycbcr_planes(packed: jax.Array, *, y_pw: int, y_ph: int,
+                        c_pw: int, c_ph: int):
+    """[B, n] packed uint8 (native decode_ycbcr_batch layout) -> float
+    (y, cb, cr) planes. One packed array = ONE host->device transfer."""
+    b = packed.shape[0]
+    ysz = y_pw * y_ph
+    csz = c_pw * c_ph
+    y = packed[:, :ysz].reshape(b, y_ph, y_pw).astype(jnp.float32)
+    cb = packed[:, ysz:ysz + csz].reshape(
+        b, c_ph, c_pw).astype(jnp.float32)
+    cr = packed[:, ysz + csz:ysz + 2 * csz].reshape(
+        b, c_ph, c_pw).astype(jnp.float32)
+    return y, cb, cr
 
 
 def read_coefficient_batch(datas: list[bytes]):

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from infercam_onnx_tpu.detector import (
     Detector,
     detect_from_coefficients_impl,
+    detect_from_ycbcr_impl,
     detect_program_impl,
 )
 
@@ -103,6 +104,42 @@ class ShardedDetector(Detector):
 
         self._params = jax.device_put(detector.model.params, repl)
         self._priors = jax.device_put(detector.model.priors, repl)
+
+    def _ycbcr_program(self, geom: dict, pack: bool):
+        key = ("ycbcr", tuple(sorted(
+            (k, tuple(v) if isinstance(v, tuple) else v)
+            for k, v in geom.items())), pack)
+        prog = self._coef_programs.get(key)
+        if prog is None:
+            batch, repl = self._batch_sharding, self._repl_sharding
+            fn = functools.partial(
+                detect_from_ycbcr_impl,
+                width=geom["width"], height=geom["height"],
+                y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+                c_pw=geom["c_pw"], c_ph=geom["c_ph"],
+                h2v2=(geom["sampling"] == (2, 2)), pack_output=pack,
+                **self._static)
+            prog = jax.jit(
+                fn,
+                in_shardings=(repl, repl, batch, repl, repl),
+                out_shardings=(batch if pack
+                               else (batch, batch, batch)))
+            self._coef_programs[key] = prog
+        return prog
+
+    def run_device_ycbcr_packed(self, packed, geom: dict, *,
+                                pack_output: bool = False):
+        b = packed.shape[0]
+        r_h, r_w = self.preprocessor.matrices(geom["width"],
+                                              geom["height"])
+        prog = self._ycbcr_program(geom, pack_output)
+        self.dispatches += 1
+        args = (self._params, self._priors,
+                jnp.asarray(self._pad(packed, b)), r_h, r_w)
+        if pack_output:
+            return prog(*args)[:b]
+        boxes, confs, counts = prog(*args)
+        return boxes[:b], confs[:b], counts[:b]
 
     def _coef_program(self, w: int, h: int, h2v2: bool, pack: bool):
         key = (w, h, h2v2, pack)

@@ -53,9 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
     ap.add_argument("--decode-mode", default="pixels",
-                    choices=["pixels", "coefficients"],
+                    choices=["pixels", "coefficients", "ycbcr"],
                     help="coefficients: detection-only frames skip host "
-                         "pixel decode (device IDCT tail)")
+                         "pixel decode (device IDCT tail); ycbcr: host "
+                         "entropy+IDCT only, packed-plane transfer "
+                         "(~half the bytes, the bench headline path)")
     ap.add_argument("--decode-scale", type=int, default=1,
                     choices=[1, 2, 4, 8],
                     help="decode incoming JPEGs at 1/N resolution "

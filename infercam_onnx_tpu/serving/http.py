@@ -45,12 +45,14 @@ _NDJSON_HEADERS = (
 
 
 def _simple_response(status: str, body: bytes,
-                     content_type: str = "text/plain") -> bytes:
+                     content_type: str = "text/plain",
+                     keep_alive: bool = False) -> bytes:
+    conn = "keep-alive" if keep_alive else "close"
     return (
         f"HTTP/1.1 {status}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n"
-        f"Connection: close\r\n\r\n"
+        f"Connection: {conn}\r\n\r\n"
     ).encode() + body
 
 
@@ -84,61 +86,79 @@ class HttpServer:
 
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
+        """Request loop: non-streaming endpoints serve multiple requests
+        per connection (HTTP/1.1 keep-alive, like the reference's axum —
+        /stats pollers reuse one socket); streaming endpoints hold the
+        connection until the client disconnects, then close."""
         try:
-            request_line = await asyncio.wait_for(reader.readline(), 30.0)
-            if not request_line:
-                return
-            parts = request_line.decode("latin-1").split()
-            if len(parts) < 2:
-                writer.write(_simple_response("400 Bad Request", b"bad"))
-                return
-            method, target = parts[0], parts[1]
-            # drain headers
             while True:
-                line = await asyncio.wait_for(reader.readline(), 30.0)
-                if line in (b"\r\n", b"\n", b""):
-                    break
+                request_line = await asyncio.wait_for(
+                    reader.readline(), 30.0)
+                if not request_line:
+                    return
+                parts = request_line.decode("latin-1").split()
+                if len(parts) < 2:
+                    writer.write(_simple_response("400 Bad Request",
+                                                  b"bad"))
+                    return
+                method, target = parts[0], parts[1]
+                version = parts[2] if len(parts) >= 3 else "HTTP/1.0"
+                conn_hdr = ""
+                while True:
+                    line = await asyncio.wait_for(reader.readline(), 30.0)
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    if line.lower().startswith(b"connection:"):
+                        conn_hdr = line.split(b":", 1)[1].strip(
+                        ).decode("latin-1").lower()
+                keep = (version == "HTTP/1.1" and conn_hdr != "close")
 
-            url = urllib.parse.urlsplit(target)
-            query = urllib.parse.parse_qs(url.query)
-            name = query.get("name", ["unknown"])[0]
+                url = urllib.parse.urlsplit(target)
+                query = urllib.parse.parse_qs(url.query)
+                name = query.get("name", ["unknown"])[0]
 
-            if method != "GET":
-                writer.write(_simple_response(
-                    "405 Method Not Allowed", b"method not allowed"))
-                return
+                if method != "GET":
+                    writer.write(_simple_response(
+                        "405 Method Not Allowed", b"method not allowed",
+                        keep_alive=keep))
+                elif url.path == "/healthcheck":
+                    writer.write(_simple_response("200 OK", b"healthy",
+                                                  keep_alive=keep))
+                elif url.path == "/stats":
+                    import json
 
-            if url.path == "/healthcheck":
-                writer.write(_simple_response("200 OK", b"healthy"))
-                return
-            if url.path == "/stats":
-                import json
-
-                body = json.dumps(self._meter.stats()).encode()
-                writer.write(_simple_response("200 OK", body,
-                                              "application/json"))
-                return
-            if url.path == "/stream":
-                log.info("Stream for %s requested", name)
-                await self._stream(
-                    reader, writer, self._router.subscribe_raw(name),
-                    self._meter.tick_raw)
-                return
-            if url.path == "/face_stream":
-                log.info("Infered stream for %s requested", name)
-                await self._stream(
-                    reader, writer, self._router.subscribe_inferred(name),
-                    self._meter.tick_inferred)
-                return
-            if url.path == "/detections":
-                log.info("Detections stream for %s requested", name)
-                await self._stream(
-                    reader, writer,
-                    self._router.subscribe_detections(name),
-                    self._meter.tick_inferred,
-                    headers=_NDJSON_HEADERS)
-                return
-            writer.write(_simple_response("404 Not Found", b"not found"))
+                    body = json.dumps(self._meter.stats()).encode()
+                    writer.write(_simple_response(
+                        "200 OK", body, "application/json",
+                        keep_alive=keep))
+                elif url.path == "/stream":
+                    log.info("Stream for %s requested", name)
+                    await self._stream(
+                        reader, writer, self._router.subscribe_raw(name),
+                        self._meter.tick_raw)
+                    return
+                elif url.path == "/face_stream":
+                    log.info("Infered stream for %s requested", name)
+                    await self._stream(
+                        reader, writer,
+                        self._router.subscribe_inferred(name),
+                        self._meter.tick_inferred)
+                    return
+                elif url.path == "/detections":
+                    log.info("Detections stream for %s requested", name)
+                    await self._stream(
+                        reader, writer,
+                        self._router.subscribe_detections(name),
+                        self._meter.tick_inferred,
+                        headers=_NDJSON_HEADERS)
+                    return
+                else:
+                    writer.write(_simple_response("404 Not Found",
+                                                  b"not found",
+                                                  keep_alive=keep))
+                await writer.drain()
+                if not keep:
+                    return
         except (asyncio.TimeoutError, ConnectionError):
             pass
         except Exception:

@@ -160,15 +160,20 @@ class InferenceWorker:
     # -- stage 1: decode (decode thread) -----------------------------------
 
     def _decode(self, jobs: list[InferJob]):
-        """Pixel-decode jobs that need host pixels; entropy-decode only
-        for detection-only jobs in coefficient mode. Corrupt frames are
+        """Pixel-decode jobs that need host pixels; device-decode-tail
+        modes ("coefficients": entropy only; "ycbcr": entropy+IDCT,
+        packed planes) apply to detection-only jobs. Corrupt frames are
         dropped, not fatal — hardening over the reference's panic,
         reference inferer.rs:35-36."""
         coef_mode = self._cfg.decode_mode == "coefficients"
+        ycbcr_mode = self._cfg.decode_mode == "ycbcr"
         pixel_jobs = [j for j in jobs
-                      if j.reply is not None or not coef_mode]
+                      if j.reply is not None
+                      or not (coef_mode or ycbcr_mode)]
         coef_jobs = [j for j in jobs
                      if j.reply is None and coef_mode]
+        ycbcr_jobs = [j for j in jobs
+                      if j.reply is None and ycbcr_mode]
 
         frames: list[tuple[InferJob, np.ndarray]] = []
         scale = self._cfg.decode_scale
@@ -207,7 +212,29 @@ class InferenceWorker:
                     self._meter.tick_dropped()
             for geom, members in by_geom.items():
                 coef_groups.append(members)
-        return frames, coef_groups
+
+            # entropy+IDCT decode to packed planes, grouped by geometry
+            ycbcr_groups = []
+            yc_by_geom: dict = {}
+            for job in ycbcr_jobs:
+                try:
+                    from infercam_onnx_tpu.native import (
+                        jpeg as native_jpeg)
+
+                    packed, geom = native_jpeg.load().decode_ycbcr_batch(
+                        [job.data], scale=scale)
+                    key = tuple(sorted(
+                        (k, tuple(v) if isinstance(v, tuple) else v)
+                        for k, v in geom.items()))
+                    yc_by_geom.setdefault(key, ([], geom))[0].append(
+                        (job, packed[0]))
+                except ValueError as e:
+                    log.warning("ycbcr decode failed on stream %x (%s); "
+                                "dropping", job.key, e)
+                    self._meter.tick_dropped()
+            for members, geom in yc_by_geom.values():
+                ycbcr_groups.append((members, geom))
+        return frames, coef_groups, ycbcr_groups
 
     # -- stage 2: device + draw + encode + publish (device thread) ---------
 
@@ -241,7 +268,7 @@ class InferenceWorker:
     def _device_stage(self, staged) -> list:
         """Run device programs; returns [(members, packed, w, h), ...]
         for the publish stage."""
-        frames, coef_groups = staged
+        frames, coef_groups, ycbcr_groups = staged
         results = []
 
         # group by decoded resolution (device program is per-shape)
@@ -282,6 +309,25 @@ class InferenceWorker:
                     self._detector.run_device_coefficients_arrays(
                         cat(0), cat(1), cat(2), cat(3), (w, h),
                         sampling=sampling, pack_output=True))
+            self._meter.tick_batch(n, time.monotonic() - t0)
+            results.append(
+                ([(job, None) for job, _ in members[:bucket]],
+                 packed, w, h))
+
+        # ycbcr zero-pixel path: packed-plane batches -> detections only
+        for members, geom in ycbcr_groups:
+            n = len(members)
+            bucket = self._bucket_size(n)
+            rows = [m[1] for m in members[:bucket]]
+            if bucket > n:
+                rows.extend([np.zeros_like(rows[0])] * (bucket - n))
+            batch = np.stack(rows)
+            w, h = geom["width"], geom["height"]
+            t0 = time.monotonic()
+            with STAGES.stage("device_ycbcr"):
+                packed = np.asarray(
+                    self._detector.run_device_ycbcr_packed(
+                        batch, geom, pack_output=True))
             self._meter.tick_batch(n, time.monotonic() - t0)
             results.append(
                 ([(job, None) for job, _ in members[:bucket]],
@@ -364,3 +410,16 @@ class InferenceWorker:
                         self._detector.run_device_coefficients_arrays(
                             y, cb, cr, q, wh, sampling=samp,
                             pack_output=True))
+            if self._cfg.decode_mode == "ycbcr":
+                import jax
+
+                from infercam_onnx_tpu.native import jpeg as native_jpeg
+
+                probe = codec.encode_rgb(
+                    np.zeros((h, w, 3), np.uint8), 90, "420")
+                for b in self._buckets:
+                    packed, geom = native_jpeg.load().decode_ycbcr_batch(
+                        [probe] * b, scale=s)
+                    jax.block_until_ready(
+                        self._detector.run_device_ycbcr_packed(
+                            packed, geom, pack_output=True))

@@ -37,7 +37,8 @@ def _wait_port(port, timeout=120.0):
 
 def _http_get(port, path, read_bytes=0, timeout=20.0):
     s = socket.create_connection(("127.0.0.1", port), timeout)
-    s.sendall(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+    s.sendall(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+              "Connection: close\r\n\r\n".encode())
     s.settimeout(timeout)
     data = b""
     try:

@@ -138,3 +138,63 @@ def test_progressive_jpeg_coefficients(rng):
         jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
         jnp.asarray(quant), width=w, height=h))[0]
     assert np.abs(rgb - host).mean() < 1.5
+
+
+def test_ycbcr_raw_decode_reconstructs(rng):
+    """Raw-plane host decode + device upsample/color == host RGB decode
+    (within fixed-point-vs-float wiggle)."""
+    data = _jpeg(rng, 128, 96)
+    host = codec.decode_rgb(data).astype(np.float32)
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+    from infercam_onnx_tpu.ops.jpeg_device import (
+        combine_ycbcr, unpack_ycbcr_planes)
+
+    packed, geom = native_jpeg.load().decode_ycbcr_batch([data, data])
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    rgb = np.asarray(combine_ycbcr(
+        y, cb, cr, width=geom["width"], height=geom["height"],
+        h2v2=geom["sampling"] == (2, 2)))
+    assert np.abs(rgb[0] - host).mean() < 1.0
+    np.testing.assert_array_equal(rgb[0], rgb[1])
+
+
+def test_ycbcr_scaled_decode_folds_chroma(rng):
+    """At IDCT scale 2 on 4:2:0, chroma folds back to half resolution
+    (the 2x transfer saving) with bounded fidelity loss."""
+    data = _jpeg(rng, 128, 96)
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+    from infercam_onnx_tpu.ops.jpeg_device import (
+        combine_ycbcr, unpack_ycbcr_planes)
+
+    packed, geom = native_jpeg.load().decode_ycbcr_batch([data], scale=2)
+    assert geom["width"] == 64 and geom["height"] == 48
+    assert geom["c_pw"] * 2 == geom["y_pw"]  # folded
+    # packed bytes ~ 1.5 B/px, not 3
+    assert packed.shape[1] <= geom["y_pw"] * geom["y_ph"] * 3 // 2
+    host = codec.decode_rgb(data, scale=2).astype(np.float32)
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    rgb = np.asarray(combine_ycbcr(
+        y, cb, cr, width=geom["width"], height=geom["height"],
+        h2v2=True))[0]
+    # luma path is exact; chroma does a box-down + triangle-up roundtrip
+    assert np.abs(rgb - host).mean() < 4.0
+
+
+def test_fused_ycbcr_detection_matches_standard(rng):
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector, unpack_detections
+    from infercam_onnx_tpu.eval.parity import parity_report
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    datas = [_jpeg(rng, 160, 120) for _ in range(2)]
+    frames = np.stack([codec.decode_rgb(d) for d in datas])
+    std = det.detect_batch(frames)
+    packed = np.asarray(det.run_device_ycbcr(datas, pack_output=True))
+    fused = unpack_detections(packed)
+    report = parity_report(fused, std, iou_thresh=0.8, conf_tol=0.05)
+    assert report.box_parity >= 0.9, report.as_dict()

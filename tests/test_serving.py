@@ -67,7 +67,8 @@ async def _start(detector, http_port, sock_port, **engine_kw):
 
 async def _http_get(port, path, *, read_bytes=0, timeout=10.0):
     reader, writer = await asyncio.open_connection("127.0.0.1", port)
-    writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+    writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+                 "Connection: close\r\n\r\n".encode())
     await writer.drain()
     if read_bytes:
         data = b""
@@ -603,4 +604,116 @@ def test_sharded_coefficient_path_matches_single_device(detector, rng):
         y, cb, cr, q, wh, sampling=samp, pack_output=True))
     p_1 = np.asarray(detector.run_device_coefficients_arrays(
         y, cb, cr, q, wh, sampling=samp, pack_output=True))
+    np.testing.assert_allclose(p_s, p_1, atol=1e-5)
+
+
+def test_http_keep_alive_multiple_requests(detector):
+    """Non-streaming endpoints serve multiple requests per connection
+    (HTTP/1.1 keep-alive, like the reference's axum server); a
+    Connection: close request ends the connection."""
+
+    async def read_response(reader):
+        header = b""
+        while b"\r\n\r\n" not in header:
+            chunk = await asyncio.wait_for(reader.readline(), 5.0)
+            assert chunk, "connection closed mid-headers"
+            header += chunk
+        length = None
+        for line in header.split(b"\r\n"):
+            if line.lower().startswith(b"content-length:"):
+                length = int(line.split(b":")[1])
+        body = await asyncio.wait_for(reader.readexactly(length), 5.0)
+        return header, body
+
+    async def run():
+        server, _ = await _start(detector, 18350, 18351)
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18350)
+            # three requests over ONE connection
+            for path in ("/healthcheck", "/stats", "/healthcheck"):
+                writer.write(
+                    f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+                await writer.drain()
+                header, body = await read_response(reader)
+                assert header.startswith(b"HTTP/1.1 200 OK")
+                assert b"Connection: keep-alive" in header
+            # explicit close is honored
+            writer.write(b"GET /healthcheck HTTP/1.1\r\nHost: x\r\n"
+                         b"Connection: close\r\n\r\n")
+            await writer.drain()
+            header, body = await read_response(reader)
+            assert b"Connection: close" in header
+            assert body == b"healthy"
+            tail = await asyncio.wait_for(reader.read(64), 5.0)
+            assert tail == b""  # server closed
+            writer.close()
+
+            # HTTP/1.0 requests close after one response
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18350)
+            writer.write(b"GET /healthcheck HTTP/1.0\r\nHost: x\r\n\r\n")
+            await writer.drain()
+            data = await asyncio.wait_for(reader.read(-1), 5.0)
+            assert data.endswith(b"healthy")
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_detections_with_ycbcr_mode(detector, tmp_path):
+    """Transfer-optimal zero-pixel path: detection-only viewers +
+    decode_mode=ycbcr (host entropy+IDCT, device upsample+color+detect
+    over one packed buffer)."""
+    import json
+
+    rng = np.random.default_rng(12)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(127 + 100 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+                  + rng.normal(0, 10, (48, 64)), 0, 255)
+    frame = np.stack([img] * 3, axis=-1).astype(np.uint8)
+    (tmp_path / "y.jpg").write_bytes(codec.encode_rgb(frame, 90, "420"))
+
+    async def run():
+        server, _ = await _start(detector, 18360, 18361,
+                                 decode_mode="ycbcr")
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18360, "/detections?name=y",
+                          read_bytes=8000, timeout=60.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18361", channel="y"),
+                max_frames=6)
+            await asyncio.sleep(2.0)
+            data = await stream_task
+            body = data.split(b"\r\n\r\n", 1)[1]
+            lines = [ln for ln in body.split(b"\n")[:-1] if ln.strip()]
+            assert lines
+            rec = json.loads(lines[0])
+            assert rec["width"] == 64 and rec["height"] == 48
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
+def test_sharded_ycbcr_path_matches_single_device(detector):
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+    from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(127 + 90 * np.sin(xx / 6.0) * np.cos(yy / 4.0),
+                  0, 255).astype(np.uint8)
+    img = np.stack([img] * 3, axis=-1)
+    datas = [codec.encode_rgb(img, 90, "420") for _ in range(3)]
+    packed, geom = native_jpeg.load().decode_ycbcr_batch(datas)
+    shard_det = ShardedDetector(detector, make_mesh(8))
+    p_s = np.asarray(shard_det.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
+    p_1 = np.asarray(detector.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
     np.testing.assert_allclose(p_s, p_1, atol=1e-5)
