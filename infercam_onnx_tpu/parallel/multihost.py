@@ -14,6 +14,15 @@ Run one server process per host::
 
     python -m infercam_onnx_tpu.serve \
         --distributed coordinator_host:1234,num_processes=4,process_id=0
+
+Data layout across hosts: the batch axis shards over the global mesh, so
+each host feeds the frames of ITS streams (its addressable shard of the
+global input) and reads back its own detections via
+``out.addressable_shards`` — only the jit-internal collectives (none in
+per-image detection) would cross DCN. The executed 2-process dryrun for
+this path lives in tests/multihost_worker.py (spawned by
+tests/test_parallel.py::test_multihost_two_process_dryrun; CPU backend,
+Gloo standing in for DCN).
 """
 
 from __future__ import annotations

@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -124,3 +126,46 @@ def test_distributed_spec_parsing():
         parse_distributed_spec("noport,num_processes=1,process_id=0")
     with pytest.raises(ValueError, match="num_processes"):
         parse_distributed_spec("h:1,process_id=0")
+
+
+def test_multihost_two_process_dryrun(tmp_path):
+    """Two real processes join jax.distributed over localhost (CPU
+    backend; Gloo stands in for DCN), build the process-spanning mesh,
+    and run the sharded detection program — the executed code path for
+    parallel/multihost.py, not just its spec parser."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    worker = repo / "tests" / "multihost_worker.py"
+    cache = repo / "tests" / ".jax_cache"
+    env = dict(os.environ)
+    # children must see exactly ONE local CPU device each and must not
+    # attach to the TPU tunnel
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo)
+    port = "39710"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), port, str(pid), str(cache)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        outs.append(out)
+        assert p.returncode == 0, out
+    lines = [o.strip().splitlines()[-1] for o in outs]
+    assert all(ln.startswith("MULTIHOST_OK") for ln in lines), outs
+    # replicated global results agree across the two processes
+    assert lines[0] == lines[1], lines
