@@ -224,12 +224,17 @@ class GraphExecutor:
         if absent:
             raise ValueError(f"graph outputs never produced: {absent}")
 
-    def __call__(self, *inputs):
+    def __call__(self, *inputs, initializers=None):
+        """Run the graph. ``initializers`` (optional dict) substitutes
+        the weights — pass them as jit ARGUMENTS to keep multi-MB
+        weights out of the compiled executable's constant pool."""
         if len(inputs) != len(self.input_names):
             raise ValueError(
                 f"expected {len(self.input_names)} inputs "
                 f"({self.input_names}), got {len(inputs)}")
         env: dict[str, object] = dict(self.graph.initializers)
+        if initializers is not None:
+            env.update(initializers)
         env.update(zip(self.input_names, inputs))
         for node in self.graph.nodes:
             args = [env[name] for name in node.inputs if name != ""]
@@ -247,3 +252,101 @@ def load_graph_executor(path: str) -> GraphExecutor:
     from infercam_onnx_tpu.models.onnx_reader import read_onnx_graph
 
     return GraphExecutor(read_onnx_graph(path))
+
+
+class GraphDetector:
+    """A full detector whose CNN is the INTERPRETED ONNX graph.
+
+    The tract-parity runtime (reference nn.rs:166-186: load the
+    downloaded graph, optimize, run): preprocess (triangle resize +
+    normalize), the graph executor, and the reference postprocess
+    (filter + greedy NMS) fuse into ONE jitted program, so the
+    interpreted graph costs the same as the hand-written forward after
+    compilation. Works with any export that consumes ``1x3xHxW`` float
+    and yields ``(scores[1,K,2], boxes[1,K,4])`` — no initializer-name
+    or graph-structure assumptions beyond that IO contract (the batch
+    dimension is vmapped over, so exports with batch-1 constants in
+    their Reshape chains still serve batched traffic).
+
+    Float weights are passed as jit arguments (not baked constants);
+    integer shape tensors stay concrete so dynamic-looking reshapes
+    resolve statically. Compute is float32 (the graph's own dtype).
+    API-compatible with detector.Detector for the host-level calls
+    (run_device / detect_batch / detect / warmup).
+    """
+
+    def __init__(self, path_or_graph,
+                 config=None):
+        from infercam_onnx_tpu.config import DetectorConfig
+        from infercam_onnx_tpu.models.onnx_reader import (
+            OnnxGraph,
+            read_onnx_graph,
+        )
+        from infercam_onnx_tpu.ops.preprocess import Preprocessor
+
+        self.config = config or DetectorConfig(compute_dtype="float32")
+        graph = (path_or_graph if isinstance(path_or_graph, OnnxGraph)
+                 else read_onnx_graph(path_or_graph))
+        self.executor = GraphExecutor(graph)
+        shape = graph.inputs[0].shape
+        if len(shape) != 4 or shape[1] != 3:
+            raise ValueError(f"expected NCHW image input, got {shape}")
+        self.height, self.width = int(shape[2]), int(shape[3])
+        self.preprocessor = Preprocessor(self.width, self.height)
+        # float tensors become jit arguments; integer tensors (shape
+        # math) must stay concrete
+        self._weights = {
+            k: v for k, v in graph.initializers.items()
+            if np.issubdtype(v.dtype, np.floating)
+        }
+        self._program = jax.jit(self._forward)
+
+    def _forward(self, weights, images, r_h, r_w):
+        from infercam_onnx_tpu.ops.postprocess import batched_postprocess
+        from infercam_onnx_tpu.ops.preprocess import preprocess_images
+
+        x = preprocess_images(images, r_h, r_w)
+        x = jnp.transpose(x, (0, 3, 1, 2))
+
+        def one(xi):
+            scores, boxes = self.executor(xi[None],
+                                          initializers=weights)
+            return scores[0], boxes[0]
+
+        scores, boxes = jax.vmap(one)(x)
+        c = self.config
+        sel_boxes, sel_conf, count = batched_postprocess(
+            scores, boxes, min_confidence=c.min_confidence,
+            max_iou=c.max_iou, top_k=c.top_k,
+            max_detections=c.max_detections)
+        return sel_boxes, sel_conf, count
+
+    def run_device(self, images, *, pack_output: bool = False):
+        _, h, w, _ = images.shape
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        boxes, confs, count = self._program(
+            self._weights, jnp.asarray(images), r_h, r_w)
+        if not pack_output:
+            return boxes, confs, count
+        d = boxes.shape[1]
+        valid = (jnp.arange(d)[None, :]
+                 < count[:, None]).astype(jnp.float32)
+        return jnp.concatenate(
+            [boxes, confs[..., None], valid[..., None]], axis=-1)
+
+    def warmup(self, batch_size: int, height: int, width: int, *,
+               pack_output: bool = False) -> None:
+        dummy = np.zeros((batch_size, height, width, 3), np.uint8)
+        jax.block_until_ready(
+            self.run_device(dummy, pack_output=pack_output))
+
+    def detect_batch(self, frames):
+        boxes, confs, counts = jax.device_get(self.run_device(frames))
+        return [
+            [(boxes[b, i], float(confs[b, i]))
+             for i in range(int(counts[b]))]
+            for b in range(frames.shape[0])
+        ]
+
+    def detect(self, frame):
+        return self.detect_batch(frame[None])[0]

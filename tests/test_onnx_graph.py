@@ -200,3 +200,38 @@ def test_slim_export_roundtrip(rng):
         compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(s), want_s.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(b), want_b.numpy(), atol=1e-5)
+
+
+def test_graph_detector_matches_native_detector(exports, rng):
+    """The interpreted-graph runtime (GraphDetector) and the native
+    forward with structurally-converted weights produce the same
+    detections end-to-end — tract-parity as a product path, batch > 1
+    included (the folded export's Reshape constants pin batch 1; the
+    runtime vmaps over the batch)."""
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+
+    cfg = DetectorConfig(variant="RFB-320", compute_dtype="float32")
+    native = Detector(cfg, params=params_from_onnx(exports[True]))
+    graph = GraphDetector(exports[True], cfg)
+    frames = rng.integers(0, 256, size=(2, 240, 320, 3), dtype=np.uint8)
+    a = native.detect_batch(frames)
+    b = graph.detect_batch(frames)
+    assert [len(x) for x in a] == [len(x) for x in b]
+    for da, db in zip(a, b):
+        for (box_a, conf_a), (box_b, conf_b) in zip(da, db):
+            np.testing.assert_allclose(box_a, box_b, atol=1e-4)
+            assert abs(conf_a - conf_b) < 1e-4
+
+
+def test_graph_detector_cli(exports, tmp_path, rng):
+    from infercam_onnx_tpu import codec, detect
+
+    frame = rng.integers(0, 256, size=(120, 160, 3), dtype=np.uint8)
+    img = tmp_path / "in.jpg"
+    img.write_bytes(codec.encode_rgb(frame))
+    out = tmp_path / "out.jpg"
+    rc = detect.main([str(img), "-o", str(out), "--onnx", exports[True],
+                      "--runtime", "graph", "--variant", "RFB-320"])
+    assert rc == 0 and out.is_file()
