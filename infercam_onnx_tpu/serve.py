@@ -11,6 +11,7 @@ Usage::
         [--decode-mode pixels|coefficients] [--tile-min-pixels N] \
         [--tile-grid 2x2] [--assume-frame-dims 1280x720] \
         [--data-parallel auto|on|off] \
+        [--onnx model.onnx [--runtime native|graph]] \
         [--profile-dir DIR] [--distributed host:port,...]
 
 Flag names mirror the reference (reference
@@ -78,6 +79,14 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["auto", "on", "off"],
                     help="shard stream batches across all visible chips "
                          "(auto: when >1 device; on: require a mesh)")
+    ap.add_argument("--onnx", default=None,
+                    help="explicit ONNX file to load weights from "
+                         "(validated + structurally converted)")
+    ap.add_argument("--runtime", default="native",
+                    choices=["native", "graph"],
+                    help="graph: serve through the jitted ONNX graph "
+                         "interpreter (requires --onnx; pixels decode "
+                         "mode, single device)")
     ap.add_argument("--distributed", default=None,
                     help="multi-host: host:port,num_processes=N,"
                          "process_id=I (jax.distributed over DCN)")
@@ -123,6 +132,34 @@ def main(argv: list[str] | None = None) -> int:
         w, h = args.assume_frame_dims.lower().split("x")
         assume_dims = (int(w), int(h))
 
+    detector_config = DetectorConfig(
+        variant=args.variant,
+        min_confidence=args.min_confidence,
+        max_iou=args.max_iou,
+        top_k=args.top_k,
+        max_detections=args.max_detections,
+        compute_dtype=("float32" if args.runtime == "graph"
+                       else DetectorConfig.compute_dtype))
+    detector = None
+    if args.runtime == "graph":
+        if not args.onnx:
+            ap.error("--runtime graph requires --onnx")
+        if args.decode_mode != "pixels" or args.tile_min_pixels:
+            ap.error("--runtime graph supports decode-mode pixels "
+                     "without tiling")
+        if args.data_parallel == "on":
+            ap.error("--runtime graph is single-device")
+        args.data_parallel = "off"
+        from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+
+        detector = GraphDetector(args.onnx, detector_config)
+    elif args.onnx:
+        from infercam_onnx_tpu.detector import Detector
+        from infercam_onnx_tpu.models.convert import params_from_onnx
+
+        detector = Detector(detector_config,
+                            params=params_from_onnx(args.onnx))
+
     try:
         with device_trace(args.profile_dir):
             asyncio.run(serve_forever(
@@ -130,12 +167,8 @@ def main(argv: list[str] | None = None) -> int:
                     http_address=args.server_address,
                     socket_address=args.socket_address,
                     assume_frame_dims=assume_dims),
-                detector_config=DetectorConfig(
-                    variant=args.variant,
-                    min_confidence=args.min_confidence,
-                    max_iou=args.max_iou,
-                    top_k=args.top_k,
-                    max_detections=args.max_detections),
+                detector_config=detector_config,
+                detector=detector,
                 engine_config=EngineConfig(
                     batch_buckets=tuple(buckets),
                     batch_window_ms=args.batch_window_ms,

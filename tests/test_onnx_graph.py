@@ -235,3 +235,69 @@ def test_graph_detector_cli(exports, tmp_path, rng):
     rc = detect.main([str(img), "-o", str(out), "--onnx", exports[True],
                       "--runtime", "graph", "--variant", "RFB-320"])
     assert rc == 0 and out.is_file()
+
+
+def test_serve_cli_validates_graph_runtime_flags(exports):
+    from infercam_onnx_tpu import serve
+
+    with pytest.raises(SystemExit):
+        serve.main(["--runtime", "graph"])  # requires --onnx
+    with pytest.raises(SystemExit):
+        serve.main(["--runtime", "graph", "--onnx", exports[True],
+                    "--decode-mode", "ycbcr"])
+
+
+def test_graph_detector_serves_mjpeg(exports, rng, tmp_path):
+    """The interpreted-graph runtime plugs into the full serving stack:
+    live frames in, annotated MJPEG out."""
+    import asyncio
+
+    from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import (
+        ClientConfig,
+        DetectorConfig,
+        EngineConfig,
+        ServerConfig,
+    )
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+    from infercam_onnx_tpu.serving.app import start_server
+
+    frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(frame))
+    det = GraphDetector(
+        exports[True],
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"))
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address="127.0.0.1:18380",
+                socket_address="127.0.0.1:18381"),
+            engine_config=EngineConfig(batch_buckets=(1, 2),
+                                       batch_window_ms=5.0),
+            detector=det, data_parallel="off")
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18380)
+            writer.write(b"GET /face_stream?name=g HTTP/1.1\r\n"
+                         b"Host: x\r\n\r\n")
+            await writer.drain()
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18381", channel="g"),
+                max_frames=8)
+            data = b""
+            try:
+                while data.count(b"--frame") < 1:
+                    data += await asyncio.wait_for(reader.read(4096),
+                                                   60.0)
+            except asyncio.TimeoutError:
+                pass
+            assert data.count(b"--frame") >= 1, data[:200]
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
