@@ -70,10 +70,12 @@ def _conv(node: OnnxNode, x, w, b=None):
 
 
 def _batch_norm(node: OnnxNode, x, scale, bias, mean, var):
+    # dtype-module-agnostic: the stats may be concrete numpy OR traced
+    # jit arguments (GraphDetector passes weights as arguments)
     eps = node.attrs.get("epsilon", 1e-5)
     shape = (1, -1) + (1,) * (x.ndim - 2)
-    inv = 1.0 / np.sqrt(np.asarray(var) + eps)
-    return (x - mean.reshape(shape)) * (scale * inv).reshape(shape) \
+    inv = scale * (var + eps) ** -0.5
+    return (x - mean.reshape(shape)) * inv.reshape(shape) \
         + bias.reshape(shape)
 
 

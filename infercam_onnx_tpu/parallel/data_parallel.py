@@ -162,7 +162,7 @@ class ShardedDetector(Detector):
     def _pad(self, arr, b: int):
         pad = (-b) % self.n
         if pad == 0:
-            return np.asarray(arr)
+            return arr  # no copy (and no device->host for jax arrays)
         widths = [(0, pad)] + [(0, 0)] * (np.ndim(arr) - 1)
         return np.pad(np.asarray(arr), widths)
 

@@ -119,43 +119,51 @@ class InferenceWorker:
             while len(publish_futs) > 2:  # bound publish backlog
                 await publish_futs.popleft()
 
-        while True:
-            # wait for the next job — but if the in-flight batch finishes
-            # while the queue is idle, publish it immediately instead of
-            # holding its results hostage to future traffic (the trailing
-            # batch of a burst must not wait for the next burst)
-            get_task = asyncio.ensure_future(self._queue.get())
-            while inflight is not None:
-                done, _ = await asyncio.wait(
-                    {get_task, inflight},
-                    return_when=asyncio.FIRST_COMPLETED)
-                if inflight in done:
+        get_task: asyncio.Future | None = None
+        try:
+            while True:
+                # wait for the next job — but if the in-flight batch
+                # finishes while the queue is idle, publish it
+                # immediately instead of holding its results hostage to
+                # future traffic (the trailing batch of a burst must not
+                # wait for the next burst)
+                get_task = asyncio.ensure_future(self._queue.get())
+                while inflight is not None:
+                    done, _ = await asyncio.wait(
+                        {get_task, inflight},
+                        return_when=asyncio.FIRST_COMPLETED)
+                    if inflight in done:
+                        await flush_inflight()
+                    if get_task in done:
+                        break
+                jobs = [await get_task]
+                deadline = self._loop.time() + window
+                while len(jobs) < max_bucket:
+                    timeout = deadline - self._loop.time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        jobs.append(await asyncio.wait_for(
+                            self._queue.get(), timeout))
+                    except asyncio.TimeoutError:
+                        break
+                # coalesce: latest frame per stream wins
+                latest: dict[int, InferJob] = {}
+                for job in jobs:
+                    if job.key in latest:
+                        self._meter.tick_dropped()
+                    latest[job.key] = job
+                frames = await self._loop.run_in_executor(
+                    self._decode_exec, self._decode, list(latest.values()))
+                if inflight is not None:
                     await flush_inflight()
-                if get_task in done:
-                    break
-            jobs = [await get_task]
-            deadline = self._loop.time() + window
-            while len(jobs) < max_bucket:
-                timeout = deadline - self._loop.time()
-                if timeout <= 0:
-                    break
-                try:
-                    jobs.append(await asyncio.wait_for(
-                        self._queue.get(), timeout))
-                except asyncio.TimeoutError:
-                    break
-            # coalesce: latest frame per stream wins
-            latest: dict[int, InferJob] = {}
-            for job in jobs:
-                if job.key in latest:
-                    self._meter.tick_dropped()
-                latest[job.key] = job
-            frames = await self._loop.run_in_executor(
-                self._decode_exec, self._decode, list(latest.values()))
-            if inflight is not None:
-                await flush_inflight()
-            inflight = self._loop.run_in_executor(
-                self._device_exec, self._device_stage, frames)
+                inflight = self._loop.run_in_executor(
+                    self._device_exec, self._device_stage, frames)
+        finally:
+            # on cancellation (server shutdown / supervisor restart),
+            # don't leave a pending queue-get task behind
+            if get_task is not None:
+                get_task.cancel()
 
     # -- stage 1: decode (decode thread) -----------------------------------
 

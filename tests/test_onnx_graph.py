@@ -301,3 +301,23 @@ def test_graph_detector_serves_mjpeg(exports, rng, tmp_path):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_graph_detector_unfolded_export_with_bn_nodes(exports, rng):
+    """GraphDetector with an export that KEEPS BatchNormalization nodes:
+    the BN statistics are traced jit arguments, exercising the
+    dtype-module-agnostic BN implementation."""
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+
+    cfg = DetectorConfig(variant="RFB-320", compute_dtype="float32")
+    native = Detector(cfg, params=params_from_onnx(exports[False]))
+    graph = GraphDetector(exports[False], cfg)
+    frames = rng.integers(0, 256, size=(1, 120, 160, 3), dtype=np.uint8)
+    a = native.detect_batch(frames)[0]
+    b = graph.detect_batch(frames)[0]
+    assert len(a) == len(b)
+    for (box_a, conf_a), (box_b, conf_b) in zip(a, b):
+        np.testing.assert_allclose(box_a, box_b, atol=1e-4)
+        assert abs(conf_a - conf_b) < 1e-4
