@@ -134,6 +134,10 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
     # always apply dims: an empty dims list means a SCALAR tensor (shape
     # ()), which must not stay as shape (1,) — shape-math consumers
     # (Gather/Unsqueeze chains) depend on the rank
+    if arr.size != int(np.prod(dims, dtype=np.int64)):
+        raise ValueError(
+            f"tensor {name!r}: payload has {arr.size} elements but dims "
+            f"{dims} imply {int(np.prod(dims, dtype=np.int64))}")
     arr = arr.reshape(dims)
     return name, arr
 

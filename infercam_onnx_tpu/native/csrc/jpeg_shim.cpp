@@ -263,6 +263,11 @@ int ic_jpeg_decode_ycbcr_scaled(const uint8_t* data, int64_t len,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.output_message = silence_output;
+  // constructed BEFORE setjmp so the longjmp error path returns through
+  // live objects and their destructors run (no leak on corrupt input)
+  std::vector<JSAMPROW> rows[3];
+  JSAMPARRAY image[3];
+  int rows_per_call[3];
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     return -1;
@@ -323,9 +328,6 @@ int ic_jpeg_decode_ycbcr_scaled(const uint8_t* data, int64_t len,
 
   // row-pointer scaffolding: per call, component c receives
   // v_samp_factor * DCT_scaled_size rows
-  std::vector<JSAMPROW> rows[3];
-  JSAMPARRAY image[3];
-  int rows_per_call[3];
   for (int c = 0; c < 3; ++c) {
     rows_per_call[c] = cinfo.comp_info[c].v_samp_factor * bs[c];
     rows[c].resize(rows_per_call[c]);
