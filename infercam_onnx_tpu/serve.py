@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-detections", type=int, default=64)
     ap.add_argument("--batch-window-ms", type=float, default=4.0)
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--queue-capacity", type=int, default=10,
+                    help="bounded infer queue; frames drop when full "
+                         "(reference cap 10, lib.rs:37). Raise to >= "
+                         "max-batch for full batches under load")
     ap.add_argument("--warmup", default="",
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
@@ -172,6 +176,7 @@ def main(argv: list[str] | None = None) -> int:
                 engine_config=EngineConfig(
                     batch_buckets=tuple(buckets),
                     batch_window_ms=args.batch_window_ms,
+                    queue_capacity=args.queue_capacity,
                     decode_scale=args.decode_scale,
                     decode_mode=args.decode_mode,
                     tile_min_pixels=args.tile_min_pixels,

@@ -94,7 +94,13 @@ class InferenceWorker:
 
     def _bucket_size(self, n: int) -> int:
         i = bisect.bisect_left(self._buckets, n)
-        return self._buckets[min(i, len(self._buckets) - 1)]
+        bucket = self._buckets[min(i, len(self._buckets) - 1)]
+        if self._mesh is not None:
+            # pad to a mesh multiple HERE so the sharded programs never
+            # re-pad (and never pull a device array back to the host)
+            m = self._mesh.shape["data"]
+            bucket = ((bucket + m - 1) // m) * m
+        return bucket
 
     async def run(self) -> None:
         """Three-stage pipeline on three single-thread executors:
@@ -172,7 +178,12 @@ class InferenceWorker:
         modes ("coefficients": entropy only; "ycbcr": entropy+IDCT,
         packed planes) apply to detection-only jobs. Corrupt frames are
         dropped, not fatal — hardening over the reference's panic,
-        reference inferer.rs:35-36."""
+        reference inferer.rs:35-36.
+
+        This stage also ASSEMBLES the padded batches and starts their
+        host->device transfers (async ``jax.device_put``), so batch
+        k+1's upload overlaps batch k's device round-trip — the same
+        discipline as bench.py's pipeline."""
         coef_mode = self._cfg.decode_mode == "coefficients"
         ycbcr_mode = self._cfg.decode_mode == "ycbcr"
         pixel_jobs = [j for j in jobs
@@ -221,28 +232,101 @@ class InferenceWorker:
             for geom, members in by_geom.items():
                 coef_groups.append(members)
 
-            # entropy+IDCT decode to packed planes, grouped by geometry
+            # entropy+IDCT decode to packed planes, grouped by geometry.
+            # Fast path: ONE batched C call when all frames share
+            # geometry (the common case — same cameras); fall back to
+            # per-job decode + grouping on mixed/corrupt batches.
             ycbcr_groups = []
-            yc_by_geom: dict = {}
-            for job in ycbcr_jobs:
-                try:
-                    from infercam_onnx_tpu.native import (
-                        jpeg as native_jpeg)
+            if ycbcr_jobs:
+                from infercam_onnx_tpu.native import jpeg as native_jpeg
 
-                    packed, geom = native_jpeg.load().decode_ycbcr_batch(
-                        [job.data], scale=scale)
-                    key = tuple(sorted(
-                        (k, tuple(v) if isinstance(v, tuple) else v)
-                        for k, v in geom.items()))
-                    yc_by_geom.setdefault(key, ([], geom))[0].append(
-                        (job, packed[0]))
-                except ValueError as e:
-                    log.warning("ycbcr decode failed on stream %x (%s); "
-                                "dropping", job.key, e)
-                    self._meter.tick_dropped()
-            for members, geom in yc_by_geom.values():
-                ycbcr_groups.append((members, geom))
-        return frames, coef_groups, ycbcr_groups
+                native = native_jpeg.load()
+                try:
+                    packed, geom = native.decode_ycbcr_batch(
+                        [j.data for j in ycbcr_jobs], scale=scale)
+                    ycbcr_groups.append(
+                        (list(zip(ycbcr_jobs, packed)), geom))
+                except ValueError:
+                    yc_by_geom: dict = {}
+                    for job in ycbcr_jobs:
+                        try:
+                            packed, geom = native.decode_ycbcr_batch(
+                                [job.data], scale=scale)
+                            key = tuple(sorted(
+                                (k, tuple(v) if isinstance(v, tuple)
+                                 else v)
+                                for k, v in geom.items()))
+                            yc_by_geom.setdefault(
+                                key, ([], geom))[0].append(
+                                (job, packed[0]))
+                        except ValueError as e:
+                            log.warning(
+                                "ycbcr decode failed on stream %x (%s);"
+                                " dropping", job.key, e)
+                            self._meter.tick_dropped()
+                    for members, geom in yc_by_geom.values():
+                        ycbcr_groups.append((members, geom))
+
+        # assemble padded batches + start async uploads (still on the
+        # decode thread: overlaps the device thread's current dispatch).
+        # On a mesh, leave arrays on the host: the sharded jit scatters
+        # them itself (an eager device_put would pin them to one chip).
+        import jax
+
+        def put(arr):
+            return jax.device_put(arr) if self._mesh is None else arr
+
+        units: list[dict] = []
+        with STAGES.stage("upload"):
+            by_shape: dict[tuple[int, int], list] = {}
+            for job, frame in frames:
+                by_shape.setdefault(frame.shape[:2], []).append(
+                    (job, frame))
+            for (h, w), members in by_shape.items():
+                bucket = self._bucket_size(len(members))
+                batch = np.zeros((bucket, h, w, 3), np.uint8)
+                for i, (_, frame) in enumerate(members[:bucket]):
+                    batch[i] = frame
+                units.append({
+                    "kind": "pixels", "members": members[:bucket],
+                    "n": min(len(members), bucket),
+                    "batch": put(batch), "w": w, "h": h,
+                })
+
+            for members in coef_groups:
+                bucket = self._bucket_size(len(members))
+                _, _, _, _, (w, h), sampling = members[0][1]
+                pad = bucket - len(members)
+
+                def cat(idx, members=members, pad=pad, bucket=bucket):
+                    arrs = [m[1][idx] for m in members[:bucket]]
+                    if pad > 0:
+                        arrs.append(np.zeros(
+                            (pad,) + arrs[0].shape[1:], arrs[0].dtype))
+                    return put(np.concatenate(arrs))
+
+                units.append({
+                    "kind": "coef",
+                    "members": members[:bucket],
+                    "n": min(len(members), bucket),
+                    "arrays": (cat(0), cat(1), cat(2), cat(3)),
+                    "w": w, "h": h, "sampling": sampling,
+                })
+
+            for members, geom in ycbcr_groups:
+                bucket = self._bucket_size(len(members))
+                rows = [m[1] for m in members[:bucket]]
+                if bucket > len(members):
+                    rows.extend([np.zeros_like(rows[0])]
+                                * (bucket - len(members)))
+                units.append({
+                    "kind": "ycbcr",
+                    "members": members[:bucket],
+                    "n": min(len(members), bucket),
+                    "packed": put(np.stack(rows)),
+                    "geom": geom,
+                })
+        return units
 
     # -- stage 2: device + draw + encode + publish (device thread) ---------
 
@@ -273,73 +357,42 @@ class InferenceWorker:
             ],
         }) + "\n").encode()
 
-    def _device_stage(self, staged) -> list:
-        """Run device programs; returns [(members, packed, w, h), ...]
-        for the publish stage."""
-        frames, coef_groups, ycbcr_groups = staged
+    def _device_stage(self, units: list[dict]) -> list:
+        """Dispatch the pre-uploaded batches; returns
+        [(members, packed, w, h), ...] for the publish stage. Batch
+        assembly + host->device upload already happened on the decode
+        thread (see _decode), so this stage is dispatch + readback only.
+        """
         results = []
-
-        # group by decoded resolution (device program is per-shape)
-        groups: dict[tuple[int, int], list[tuple[InferJob, np.ndarray]]] = {}
-        for job, frame in frames:
-            groups.setdefault(frame.shape[:2], []).append((job, frame))
-
-        for (h, w), members in groups.items():
-            n = len(members)
-            bucket = self._bucket_size(n)
-            batch = np.zeros((bucket, h, w, 3), np.uint8)
-            for i, (_, frame) in enumerate(members[:bucket]):
-                batch[i] = frame
+        for unit in units:
             t0 = time.monotonic()
-            # packed output: ONE device->host transfer per batch
-            with STAGES.stage("device"):
-                packed = self._run_detection(batch, h, w)
-            self._meter.tick_batch(n, time.monotonic() - t0)
-            results.append((members[:bucket], packed, w, h))
-
-        # zero-pixel path: coefficient batches -> detections JSON only
-        for members in coef_groups:
-            n = len(members)
-            bucket = self._bucket_size(n)
-            _, _, _, _, (w, h), sampling = members[0][1]
-            pad = bucket - n
-
-            def cat(idx):
-                arrs = [m[1][idx] for m in members[:bucket]]
-                if pad > 0:
-                    arrs.append(np.zeros((pad,) + arrs[0].shape[1:],
-                                         arrs[0].dtype))
-                return np.concatenate(arrs)
-
-            t0 = time.monotonic()
-            with STAGES.stage("device_coef"):
-                packed = np.asarray(
-                    self._detector.run_device_coefficients_arrays(
-                        cat(0), cat(1), cat(2), cat(3), (w, h),
-                        sampling=sampling, pack_output=True))
-            self._meter.tick_batch(n, time.monotonic() - t0)
-            results.append(
-                ([(job, None) for job, _ in members[:bucket]],
-                 packed, w, h))
-
-        # ycbcr zero-pixel path: packed-plane batches -> detections only
-        for members, geom in ycbcr_groups:
-            n = len(members)
-            bucket = self._bucket_size(n)
-            rows = [m[1] for m in members[:bucket]]
-            if bucket > n:
-                rows.extend([np.zeros_like(rows[0])] * (bucket - n))
-            batch = np.stack(rows)
-            w, h = geom["width"], geom["height"]
-            t0 = time.monotonic()
-            with STAGES.stage("device_ycbcr"):
-                packed = np.asarray(
-                    self._detector.run_device_ycbcr_packed(
-                        batch, geom, pack_output=True))
-            self._meter.tick_batch(n, time.monotonic() - t0)
-            results.append(
-                ([(job, None) for job, _ in members[:bucket]],
-                 packed, w, h))
+            if unit["kind"] == "pixels":
+                w, h = unit["w"], unit["h"]
+                with STAGES.stage("device"):
+                    packed = self._run_detection(unit["batch"], h, w)
+                members = unit["members"]
+            elif unit["kind"] == "coef":
+                w, h = unit["w"], unit["h"]
+                with STAGES.stage("device_coef"):
+                    packed = (
+                        self._detector.run_device_coefficients_arrays(
+                            *unit["arrays"], (w, h),
+                            sampling=unit["sampling"], pack_output=True))
+                members = [(job, None) for job, _ in unit["members"]]
+            else:  # ycbcr
+                geom = unit["geom"]
+                w, h = geom["width"], geom["height"]
+                with STAGES.stage("device_ycbcr"):
+                    packed = self._detector.run_device_ycbcr_packed(
+                        unit["packed"], geom, pack_output=True)
+                members = [(job, None) for job, _ in unit["members"]]
+            # start the device->host copy without blocking this thread;
+            # the publish stage materializes it (np.asarray) when it
+            # actually needs the numbers
+            if hasattr(packed, "copy_to_host_async"):
+                packed.copy_to_host_async()
+            self._meter.tick_batch(unit["n"], time.monotonic() - t0)
+            results.append((members, packed, w, h))
         return results
 
     # -- stage 3: draw + encode + publish (publish thread) ------------------
@@ -347,6 +400,7 @@ class InferenceWorker:
     def _publish_results(self, results: list) -> None:
         dims = self._server_cfg.assume_frame_dims
         for members, packed, w, h in results:
+            packed = np.asarray(packed)  # completes the async D2H copy
             n = len(members)
             for i, (job, frame) in enumerate(members):
                 if job.det_reply is not None:
@@ -368,9 +422,10 @@ class InferenceWorker:
                 self._tick_e2e(job)
             self._meter.tick_inferred_unique(n)
 
-    def _run_detection(self, batch: np.ndarray, h: int, w: int
-                       ) -> np.ndarray:
-        """Dispatch the right device program; returns packed [B, D, 6]."""
+    def _run_detection(self, batch: np.ndarray, h: int, w: int):
+        """Dispatch the right device program; returns packed [B, D, 6]
+        (a device array on the plain path — the publish stage
+        materializes it after the async host copy)."""
         if (self._cfg.tile_min_pixels
                 and h * w >= self._cfg.tile_min_pixels):
             tiled = self._tiled.get((h, w))
@@ -388,8 +443,7 @@ class InferenceWorker:
                      < counts[:, None]).astype(np.float32)
             return np.concatenate(
                 [boxes, confs[..., None], valid[..., None]], axis=-1)
-        return np.asarray(
-            self._detector.run_device(batch, pack_output=True))
+        return self._detector.run_device(batch, pack_output=True)
 
     def warmup(self, resolutions: list[tuple[int, int]] | None = None):
         """Pre-compile device programs for common shape buckets.
