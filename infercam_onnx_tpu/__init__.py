@@ -27,6 +27,14 @@ def __getattr__(name):
         from infercam_onnx_tpu.models import UltraFace
 
         return UltraFace
+    if name == "GraphDetector":
+        from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+
+        return GraphDetector
+    if name == "ShardedDetector":
+        from infercam_onnx_tpu.parallel import ShardedDetector
+
+        return ShardedDetector
     if name in ("DetectorConfig", "EngineConfig", "ServerConfig",
                 "ClientConfig", "ParallelConfig"):
         from infercam_onnx_tpu import config

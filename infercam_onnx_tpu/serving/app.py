@@ -147,7 +147,25 @@ async def start_server(
 
 async def serve_forever(**kwargs) -> None:
     server = await start_server(**kwargs)
+    # graceful shutdown on SIGTERM (production deployments send TERM;
+    # SIGINT is handled as KeyboardInterrupt by the CLI). Closing the
+    # data socket drops established sender connections so clients enter
+    # their reconnect loop, mirroring a restart.
+    import signal
+
+    loop = asyncio.get_running_loop()
+    stop = asyncio.Event()
     try:
-        await asyncio.gather(*server.tasks)
+        loop.add_signal_handler(signal.SIGTERM, stop.set)
+    except (NotImplementedError, RuntimeError):  # non-unix / nested loop
+        pass
+    try:
+        waiter = asyncio.create_task(stop.wait())
+        done, _ = await asyncio.wait(
+            {waiter, *server.tasks},
+            return_when=asyncio.FIRST_COMPLETED)
+        if waiter in done:
+            log.info("SIGTERM received; shutting down")
+        waiter.cancel()
     finally:
         await server.close()

@@ -94,3 +94,20 @@ def test_bucket_ladder_caps_at_max_batch():
     assert bucket_ladder(12) == [1, 2, 4, 8, 12]
     assert bucket_ladder(1) == [1]
     assert bucket_ladder(3) == [1, 2, 3]
+
+
+def test_bucket_size_rounds_to_mesh_multiple():
+    from infercam_onnx_tpu.config import DetectorConfig, EngineConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.parallel import make_mesh
+    from infercam_onnx_tpu.serving.inferer import InferenceWorker
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    w = InferenceWorker(det, EngineConfig(batch_buckets=(1, 2, 4, 16)),
+                        mesh=make_mesh(8))
+    # buckets below the mesh size pad up to it; larger round to multiples
+    assert w._bucket_size(1) == 8
+    assert w._bucket_size(3) == 8
+    assert w._bucket_size(5) == 16
+    assert w._bucket_size(16) == 16

@@ -109,3 +109,25 @@ def test_two_process_deployment(tmp_path):
             server.wait(10)
         except subprocess.TimeoutExpired:
             server.kill()
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_shutdown(tmp_path):
+    """Production shutdown contract: SIGTERM closes listeners and
+    established connections and the process exits cleanly."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    server = subprocess.Popen(
+        [sys.executable, "-m", "infercam_onnx_tpu.serve",
+         "--server-address", "127.0.0.1:18520",
+         "--socket-address", "127.0.0.1:18521",
+         "--max-batch", "2"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        assert _wait_port(18520), "server HTTP port never opened"
+        server.send_signal(signal.SIGTERM)
+        assert server.wait(30) == 0
+    finally:
+        if server.poll() is None:
+            server.kill()
