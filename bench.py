@@ -300,11 +300,17 @@ def bench_serving_latency(*, frames_count: int = 40,
 
 
 def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
-                             fps_in: float = 30.0) -> dict:
+                             fps_in: float = 30.0, coalesce: bool = True,
+                             max_batch: int | None = None,
+                             port_base: int = 38620) -> dict:
     """Delivered throughput of the REAL serving tier (not a synthetic
     pipeline): 16 live TCP streams -> router -> micro-batcher (ycbcr
     zero-pixel mode, queue sized for full batches) -> sharded-or-single
-    device programs -> NDJSON detection consumers."""
+    device programs -> NDJSON detection consumers.
+
+    ``coalesce=False`` measures the lossless configuration: every queued
+    frame is processed, several frames per stream riding one batch
+    (--no-coalesce / larger --max-batch on the serve CLI)."""
     import asyncio
     import tempfile
 
@@ -324,23 +330,27 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
         with open(os.path.join(tmp, f"f{i}.jpg"), "wb") as fh:
             fh.write(f)
 
+    top = max_batch or streams
     detector = Detector(DetectorConfig(variant="RFB-320"), rng=0)
-    detector.warmup(streams, 240, 320, pack_output=True)
+    detector.warmup(top, 240, 320, pack_output=True)
 
     async def run() -> dict:
         server = await start_server(
             server_config=ServerConfig(
-                http_address="127.0.0.1:38620",
-                socket_address="127.0.0.1:38621"),
+                http_address=f"127.0.0.1:{port_base}",
+                socket_address=f"127.0.0.1:{port_base + 1}"),
             engine_config=EngineConfig(
-                batch_buckets=(1, 2, 4, 8, streams),
-                batch_window_ms=6.0, decode_scale=2,
-                decode_mode="ycbcr", queue_capacity=2 * streams),
+                batch_buckets=(1, 2, 4, 8, 16, top),
+                batch_window_ms=6.0 if coalesce else 15.0,
+                decode_scale=2,
+                decode_mode="ycbcr", queue_capacity=3 * top,
+                coalesce_streams=coalesce),
             detector=detector, data_parallel="off")
         try:
             viewers = []
             for k in range(streams):
-                r, w = await asyncio.open_connection("127.0.0.1", 38620)
+                r, w = await asyncio.open_connection(
+                    "127.0.0.1", port_base)
                 w.write(f"GET /detections?name=s{k} HTTP/1.1\r\n"
                         "Host: x\r\n\r\n".encode())
                 await w.drain()
@@ -348,7 +358,7 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
             await asyncio.sleep(0.5)
             senders = [asyncio.create_task(send_stream(
                 ReplaySource(tmp, fps=fps_in),
-                ClientConfig(address="127.0.0.1:38621",
+                ClientConfig(address=f"127.0.0.1:{port_base + 1}",
                              channel=f"s{k}"),
                 max_frames=int(fps_in * (seconds + 8))))
                 for k in range(streams)]
@@ -446,6 +456,13 @@ def main() -> int:
             tpu = bench_tpu(frames, seconds=seconds, batch=batch)
             serving = bench_serving_latency()
             serving.update(bench_serving_throughput(streams=batch))
+            lossless = bench_serving_throughput(
+                streams=batch, coalesce=False, max_batch=2 * batch,
+                port_base=38640)
+            serving["serving_lossless_fps"] = (
+                lossless["serving_delivered_fps"])
+            serving["serving_lossless_mean_batch"] = (
+                lossless["serving_mean_batch"])
             break
         except Exception as e:  # pragma: no cover - flaky-rig guard
             last_err = e
@@ -456,8 +473,12 @@ def main() -> int:
     import jax
 
     # headline: the better of the standalone pipeline and the REAL
-    # serving tier (both are full decode+preproc+CNN+NMS per frame)
-    best = max(tpu["fps"], serving.get("serving_delivered_fps", 0.0))
+    # serving tier (both are full decode+preproc+CNN+NMS per frame over
+    # 16 concurrent streams; the lossless config batches multiple frames
+    # per stream instead of coalescing to the newest)
+    best = max(tpu["fps"],
+               serving.get("serving_delivered_fps", 0.0),
+               serving.get("serving_lossless_fps", 0.0))
     result = {
         "metric": ("fps/chip, UltraFace-320, 16x 640x480 streams "
                    "micro-batched (decode+preproc+CNN+NMS)"),

@@ -47,6 +47,12 @@ class EngineConfig:
     queue_capacity: int = 10
     # Max time to wait for more frames before dispatching a partial batch.
     batch_window_ms: float = 4.0
+    # Coalesce to the newest frame per stream within a gather window
+    # (True = reference-like freshest-frame-wins degradation). False
+    # processes EVERY queued frame — multiple frames per stream ride one
+    # batch, so N streams can be served losslessly whenever throughput
+    # suffices (overload still drops at the bounded queue).
+    coalesce_streams: bool = True
     # Decode incoming JPEGs at 1/decode_scale resolution (libjpeg IDCT
     # scaling) before inference. 2 turns 640x480 streams directly into the
     # 320x240 model input — 4x less host decode work and host->device

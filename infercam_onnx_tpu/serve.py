@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="bounded infer queue; frames drop when full "
                          "(reference cap 10, lib.rs:37). Raise to >= "
                          "max-batch for full batches under load")
+    ap.add_argument("--no-coalesce", action="store_true",
+                    help="process EVERY queued frame instead of "
+                         "keeping only the newest per stream: several "
+                         "frames of one stream may share a batch "
+                         "(lossless serving when throughput suffices)")
     ap.add_argument("--warmup", default="",
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
@@ -177,6 +182,7 @@ def main(argv: list[str] | None = None) -> int:
                     batch_buckets=tuple(buckets),
                     batch_window_ms=args.batch_window_ms,
                     queue_capacity=args.queue_capacity,
+                    coalesce_streams=not args.no_coalesce,
                     decode_scale=args.decode_scale,
                     decode_mode=args.decode_mode,
                     tile_min_pixels=args.tile_min_pixels,

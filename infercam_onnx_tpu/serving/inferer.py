@@ -153,14 +153,16 @@ class InferenceWorker:
                             self._queue.get(), timeout))
                     except asyncio.TimeoutError:
                         break
-                # coalesce: latest frame per stream wins
-                latest: dict[int, InferJob] = {}
-                for job in jobs:
-                    if job.key in latest:
-                        self._meter.tick_dropped()
-                    latest[job.key] = job
+                if self._cfg.coalesce_streams:
+                    # coalesce: latest frame per stream wins
+                    latest: dict[int, InferJob] = {}
+                    for job in jobs:
+                        if job.key in latest:
+                            self._meter.tick_dropped()
+                        latest[job.key] = job
+                    jobs = list(latest.values())
                 frames = await self._loop.run_in_executor(
-                    self._decode_exec, self._decode, list(latest.values()))
+                    self._decode_exec, self._decode, jobs)
                 if inflight is not None:
                     await flush_inflight()
                 inflight = self._loop.run_in_executor(

@@ -717,3 +717,48 @@ def test_sharded_ycbcr_path_matches_single_device(detector):
     p_1 = np.asarray(detector.run_device_ycbcr_packed(
         packed, geom, pack_output=True))
     np.testing.assert_allclose(p_s, p_1, atol=1e-5)
+
+
+def test_no_coalesce_processes_every_frame(detector, jpeg_dir):
+    """coalesce_streams=False: several frames of ONE stream share a
+    batch and each produces a published result (lossless serving)."""
+    import json
+
+    async def run():
+        server, _ = await _start(detector, 18370, 18371,
+                                 batch_window_ms=80.0,
+                                 coalesce_streams=False,
+                                 queue_capacity=32)
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18370)
+            writer.write(b"GET /detections?name=nc HTTP/1.1\r\n"
+                         b"Host: x\r\n\r\n")
+            await writer.drain()
+            await asyncio.sleep(0.3)
+            sent = await send_stream(
+                ReplaySource(str(jpeg_dir), fps=100),
+                ClientConfig(address="127.0.0.1:18371", channel="nc"),
+                max_frames=8)
+            assert sent == 8
+            data = b""
+            deadline = asyncio.get_running_loop().time() + 40.0
+            # the header block itself carries 5 newlines; 8 records more
+            while (data.count(b"\n") < 13
+                   and asyncio.get_running_loop().time() < deadline):
+                try:
+                    data += await asyncio.wait_for(reader.read(4096),
+                                                   5.0)
+                except asyncio.TimeoutError:
+                    pass
+            body = data.split(b"\r\n\r\n", 1)[1]
+            lines = [ln for ln in body.split(b"\n") if ln.strip()]
+            # every frame produced a detection record (no coalescing
+            # drops); at 100 fps into an 80 ms window they shared batches
+            assert len(lines) >= 8, (len(lines), body[:200])
+            json.loads(lines[0])
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
