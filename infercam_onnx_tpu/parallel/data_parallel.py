@@ -61,6 +61,12 @@ class ShardedDetector(Detector):
     in the hot loop. Batches that don't divide the mesh are zero-padded
     up (powers-of-two buckets pad to the mesh size at worst) and outputs
     sliced back, keeping the serving worker oblivious.
+
+    Scope: single-process meshes (one host's chips over ICI). On a
+    multi-PROCESS mesh the convenience slicing here would try to read
+    non-addressable shards — multi-host callers consume
+    ``out.addressable_shards`` per host instead (see
+    parallel/multihost.py and tests/multihost_worker.py).
     """
 
     # pylint: disable=super-init-not-called  (adopts an existing

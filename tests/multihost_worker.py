@@ -32,7 +32,6 @@ def main() -> int:
     initialize(f"127.0.0.1:{port},num_processes=2,process_id={pid}")
 
     import numpy as np
-    import jax.numpy as jnp  # noqa: F401
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devs = jax.devices()
