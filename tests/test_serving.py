@@ -762,3 +762,44 @@ def test_no_coalesce_processes_every_frame(detector, jpeg_dir):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_mixed_resolution_streams_share_one_server(detector, tmp_path):
+    """Two streams at DIFFERENT resolutions: the worker groups frames by
+    decoded shape (one compiled program per shape) and both annotated
+    streams flow."""
+    rng = np.random.default_rng(21)
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    small.mkdir(), big.mkdir()
+    for i in range(2):
+        (small / f"f{i}.jpg").write_bytes(codec.encode_rgb(
+            rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)))
+        (big / f"f{i}.jpg").write_bytes(codec.encode_rgb(
+            rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)))
+    detector.warmup(1, 96, 128)  # second-shape program
+    detector.warmup(2, 96, 128)
+
+    async def run():
+        server, _ = await _start(detector, 18390, 18391,
+                                 batch_window_ms=20.0,
+                                 batch_buckets=(1, 2, 4))
+        try:
+            viewers = [asyncio.create_task(
+                _http_get(18390, f"/face_stream?name={name}",
+                          read_bytes=600, timeout=45.0))
+                for name in ("sm", "bg")]
+            await asyncio.sleep(0.3)
+            senders = [asyncio.create_task(send_stream(
+                ReplaySource(str(d), fps=20),
+                ClientConfig(address="127.0.0.1:18391", channel=name),
+                max_frames=16))
+                for d, name in ((small, "sm"), (big, "bg"))]
+            await asyncio.gather(*senders)
+            parts = await asyncio.gather(*viewers)
+            for name, data in zip(("sm", "bg"), parts):
+                assert data.count(b"--frame") >= 1, f"{name} starved"
+        finally:
+            await server.close()
+
+    asyncio.run(run())
