@@ -39,3 +39,16 @@ def test_no_detections_is_identity():
     frame = np.arange(100 * 200 * 3, dtype=np.uint8).reshape(100, 200, 3)
     out = draw_detections(frame, [])
     np.testing.assert_array_equal(out, frame)
+
+
+def test_vendored_font_loads():
+    from PIL import ImageFont
+
+    from infercam_onnx_tpu.draw import _font
+
+    _font.cache_clear()
+    font = _font()
+    # the package-bundled DejaVuSansMono must resolve (a FreeTypeFont,
+    # not PIL's bitmap fallback), independent of matplotlib
+    assert isinstance(font, ImageFont.FreeTypeFont)
+    assert "DejaVu" in (font.getname()[0] or "")

@@ -803,3 +803,30 @@ def test_mixed_resolution_streams_share_one_server(detector, tmp_path):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_slim_variant_serves(jpeg_dir):
+    """The slim model family serves end-to-end too (variant coverage at
+    the serving tier, not just the model layer)."""
+
+    async def run():
+        det = Detector(DetectorConfig(variant="slim-320",
+                                      compute_dtype="float32"), rng=0)
+        det.warmup(1, 48, 64)
+        server, _ = await _start(det, 18395, 18396,
+                                 batch_buckets=(1, 2))
+        try:
+            stream_task = asyncio.create_task(
+                _http_get(18395, "/face_stream?name=sl",
+                          read_bytes=600, timeout=45.0))
+            await asyncio.sleep(0.3)
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=20),
+                ClientConfig(address="127.0.0.1:18396", channel="sl"),
+                max_frames=8)
+            data = await stream_task
+            assert data.count(b"--frame") >= 1
+        finally:
+            await server.close()
+
+    asyncio.run(run())
