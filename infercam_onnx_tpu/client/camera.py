@@ -335,6 +335,14 @@ class V4L2Camera:
         fmt.u.pix.pixelformat = V4L2_PIX_FMT_MJPEG
         fmt.u.pix.field = 1  # V4L2_FIELD_NONE
         _ioctl(self._fd, VIDIOC_S_FMT, fmt)
+        # VIDIOC_S_FMT writes the driver-ADJUSTED format back; adopt it
+        # (drivers may clamp the requested size to the nearest mode)
+        if fmt.u.pix.pixelformat != V4L2_PIX_FMT_MJPEG:
+            raise RuntimeError(
+                f"{self.device}: driver refused MJPG "
+                f"(got fourcc {fmt.u.pix.pixelformat:#x})")
+        self.width = int(fmt.u.pix.width)
+        self.height = int(fmt.u.pix.height)
 
         parm = v4l2_streamparm()
         parm.type = V4L2_BUF_TYPE_VIDEO_CAPTURE
