@@ -27,6 +27,22 @@ import logging
 import sys
 
 
+# Named flag bundles (any explicitly-passed flag wins over the preset).
+# "reference": the CLI defaults already mirror the reference's serve-time
+# configuration. "throughput": the measured-best 16-stream setup
+# (docs/PERFORMANCE.md). "lossless": process every frame, multiple
+# frames per stream riding one batch.
+PRESETS: dict[str, dict] = {
+    "reference": {},
+    "throughput": dict(decode_mode="ycbcr", decode_scale=2,
+                       queue_capacity=48, max_batch=16,
+                       batch_window_ms=6.0),
+    "lossless": dict(decode_mode="ycbcr", decode_scale=2,
+                     queue_capacity=96, max_batch=32,
+                     batch_window_ms=15.0, no_coalesce=True),
+}
+
+
 def bucket_ladder(max_batch: int) -> list[int]:
     """Doubling batch-size ladder capped at ``max_batch`` (a non-power-
     of-two cap must never dispatch a larger padded batch than asked)."""
@@ -99,8 +115,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--distributed", default=None,
                     help="multi-host: host:port,num_processes=N,"
                          "process_id=I (jax.distributed over DCN)")
+    ap.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                    help="named flag bundle (explicit flags override): "
+                         "reference = exact reference-parity defaults; "
+                         "throughput = measured-best 16-stream setup; "
+                         "lossless = process every frame")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
+
+    if args.preset:
+        tokens = argv if argv is not None else sys.argv[1:]
+        passed = {t.split("=", 1)[0][2:].replace("-", "_")
+                  for t in tokens if t.startswith("--")}
+        for key, value in PRESETS[args.preset].items():
+            if key not in passed:  # explicitly-passed flags win
+                setattr(args, key, value)
 
     logging.basicConfig(
         level=args.log_level.upper(),

@@ -111,3 +111,43 @@ def test_bucket_size_rounds_to_mesh_multiple():
     assert w._bucket_size(3) == 8
     assert w._bucket_size(5) == 16
     assert w._bucket_size(16) == 16
+
+
+def test_serve_presets_apply_and_explicit_flags_win(monkeypatch):
+    from infercam_onnx_tpu import serve
+
+    captured = {}
+
+    def fake_serve_forever(**kw):
+        captured.update(kw)
+
+    async def noop(**kw):
+        captured.update(kw)
+
+    monkeypatch.setattr("infercam_onnx_tpu.serving.app.serve_forever",
+                        noop)
+    monkeypatch.setattr("asyncio.run", lambda coro: coro.close())
+
+    # capture parsed args by stubbing at the EngineConfig boundary
+    import infercam_onnx_tpu.config as config
+
+    orig = config.EngineConfig
+    seen = {}
+
+    def spy(**kw):
+        seen.update(kw)
+        return orig(**kw)
+
+    monkeypatch.setattr(config, "EngineConfig", spy)
+    serve.main(["--preset", "lossless"])
+    assert seen["decode_mode"] == "ycbcr"
+    assert seen["queue_capacity"] == 96
+    assert seen["coalesce_streams"] is False
+    assert max(seen["batch_buckets"]) == 32
+
+    seen.clear()
+    serve.main(["--preset", "lossless", "--decode-mode", "pixels",
+                "--max-batch", "8"])
+    assert seen["decode_mode"] == "pixels"  # explicit flag wins
+    assert max(seen["batch_buckets"]) == 8
+    assert seen["queue_capacity"] == 96  # preset still fills the rest
