@@ -101,6 +101,15 @@ class ServerConfig:
     # decoded frame differs. We use true decoded dimensions instead
     # (documented divergence, SURVEY.md section 7 "quirks": strictly better).
     assume_frame_dims: tuple[int, int] | None = None
+    # Self-recycle (re-exec) the server process when its RSS exceeds this
+    # many MiB (0 = disabled). Production mitigation for leaky runtime
+    # dependencies — e.g. this rig's TPU-tunnel client leaks every
+    # host->device staging buffer natively. Clients reconnect per the
+    # 3 s-backoff contract (reference socket_sender.rs:53-59), so a
+    # recycle looks like a brief server restart.
+    max_rss_mb: int = 0
+    # How often the RSS watchdog samples, in seconds.
+    rss_check_period_s: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="bounded infer queue; frames drop when full "
                          "(reference cap 10, lib.rs:37). Raise to >= "
                          "max-batch for full batches under load")
+    ap.add_argument("--max-rss-mb", type=int, default=0,
+                    help="self-recycle (re-exec) the server when RSS "
+                         "exceeds this many MiB (0 = off) — mitigation "
+                         "for leaky runtime deps; clients reconnect")
     ap.add_argument("--no-coalesce", action="store_true",
                     help="process EVERY queued frame instead of "
                          "keeping only the newest per stream: several "
@@ -204,7 +208,8 @@ def main(argv: list[str] | None = None) -> int:
                 server_config=ServerConfig(
                     http_address=args.server_address,
                     socket_address=args.socket_address,
-                    assume_frame_dims=assume_dims),
+                    assume_frame_dims=assume_dims,
+                    max_rss_mb=args.max_rss_mb),
                 detector_config=detector_config,
                 detector=detector,
                 engine_config=EngineConfig(

@@ -140,9 +140,57 @@ async def start_server(
             supervised("meter", lambda: meter_logger(
                 server_config.meter_period_s)), name="meter"),
     ]
+    if server_config.max_rss_mb:
+        tasks.append(asyncio.create_task(
+            rss_watchdog(server_config.max_rss_mb,
+                         server_config.rss_check_period_s),
+            name="rss-watchdog"))
     return InferServer(router=router, worker=worker, http=http,
                        ingest_queue=queue, tasks=tasks,
                        data_server=data_server)
+
+
+def _read_rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def _reexec() -> None:
+    """Replace this process with a fresh copy of itself. All fds close
+    on exec (PEP 446 close-on-exec), so listeners free their ports and
+    clients enter their reconnect loops."""
+    import os
+    import sys
+
+    # sys.orig_argv is the EXACT interpreter command line (including
+    # "-m module"), unlike sys.argv which loses the -m context. argv[0]
+    # may be a bare "python" from PATH; execv needs an absolute path, so
+    # substitute the running interpreter's.
+    argv = [sys.executable] + list(sys.orig_argv[1:])
+    log.warning("re-executing: %s", argv)
+    os.execv(argv[0], argv)
+
+
+async def rss_watchdog(max_rss_mb: int, period_s: float = 10.0,
+                       *, read_rss=_read_rss_mb,
+                       on_breach=_reexec) -> None:
+    """Self-recycling guard for leaky runtime dependencies (e.g. a TPU
+    tunnel client that leaks host->device staging buffers): when the
+    process RSS crosses the cap, re-exec for a fresh process. The edge
+    protocol's reconnect contract makes this look like a short restart
+    to clients; the persistent XLA compilation cache makes the re-warm
+    cheap."""
+    while True:
+        await asyncio.sleep(period_s)
+        rss = read_rss()
+        if rss > max_rss_mb:
+            log.warning("RSS %.0f MiB exceeds cap %d MiB; recycling "
+                        "server process", rss, max_rss_mb)
+            on_breach()
+            return
 
 
 async def serve_forever(**kwargs) -> None:

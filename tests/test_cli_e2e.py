@@ -131,3 +131,49 @@ def test_sigterm_graceful_shutdown(tmp_path):
     finally:
         if server.poll() is None:
             server.kill()
+
+
+@pytest.mark.slow
+def test_max_rss_recycles_server_and_clients_reconnect(tmp_path):
+    """--max-rss-mb: the server re-execs itself when the cap is hit; the
+    HTTP port comes back and a sender survives via its reconnect loop."""
+    rng = np.random.default_rng(7)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    server = subprocess.Popen(
+        [sys.executable, "-m", "infercam_onnx_tpu.serve",
+         "--server-address", "127.0.0.1:18550",
+         "--socket-address", "127.0.0.1:18551",
+         "--max-batch", "2",
+         # any real jax process exceeds 64 MiB -> first check recycles
+         "--max-rss-mb", "64"],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    sender = None
+    try:
+        assert _wait_port(18550), "server never came up"
+        sender = subprocess.Popen(
+            [sys.executable, "-m", "infercam_onnx_tpu.client.sender",
+             "--address", "127.0.0.1:18551", "--channel", "r",
+             "--replay-dir", str(tmp_path), "--fps", "5"],
+            env=env, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        # wait for the recycle (watchdog fires ~10 s in), then the port
+        # must come BACK on the re-exec'd process
+        time.sleep(14)
+        assert _wait_port(18550, timeout=120), \
+            "server did not come back after recycle"
+        resp = _http_get(18550, "/healthcheck")
+        assert resp.endswith(b"healthy")
+        assert sender.poll() is None  # sender survived via reconnects
+    finally:
+        if sender is not None:
+            sender.send_signal(signal.SIGINT)
+            sender.wait(10)
+        server.send_signal(signal.SIGTERM)
+        try:
+            server.wait(15)
+        except subprocess.TimeoutExpired:
+            server.kill()

@@ -830,3 +830,40 @@ def test_slim_variant_serves(jpeg_dir):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_rss_watchdog_triggers_on_breach():
+    from infercam_onnx_tpu.serving.app import rss_watchdog
+
+    fired = []
+    readings = iter([100.0, 200.0, 900.0])
+
+    async def run():
+        await rss_watchdog(
+            500, period_s=0.01,
+            read_rss=lambda: next(readings),
+            on_breach=lambda: fired.append(True))
+
+    asyncio.run(run())
+    assert fired == [True]
+
+
+def test_rss_watchdog_quiet_below_cap():
+    from infercam_onnx_tpu.serving.app import rss_watchdog
+
+    fired = []
+
+    async def run():
+        task = asyncio.ensure_future(rss_watchdog(
+            10_000, period_s=0.01,
+            read_rss=lambda: 100.0,
+            on_breach=lambda: fired.append(True)))
+        await asyncio.sleep(0.1)
+        task.cancel()
+        try:
+            await task
+        except asyncio.CancelledError:
+            pass
+
+    asyncio.run(run())
+    assert fired == []
