@@ -31,29 +31,45 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-async def _http_json(host: str, port: int, path: str) -> dict:
-    reader, writer = await asyncio.open_connection(host, port)
-    writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
-                 "Connection: close\r\n\r\n".encode())
-    await writer.drain()
-    data = await asyncio.wait_for(reader.read(-1), 10.0)
-    writer.close()
-    return json.loads(data.split(b"\r\n\r\n", 1)[1])
+async def _http_json(host: str, port: int, path: str,
+                     retries: int = 10) -> dict:
+    last: Exception | None = None
+    for _ in range(retries):
+        try:
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+                         "Connection: close\r\n\r\n".encode())
+            await writer.drain()
+            data = await asyncio.wait_for(reader.read(-1), 10.0)
+            writer.close()
+            return json.loads(data.split(b"\r\n\r\n", 1)[1])
+        except (ConnectionError, OSError, asyncio.TimeoutError) as e:
+            last = e
+            await asyncio.sleep(2.0)  # server may be mid-recycle
+    raise last  # type: ignore[misc]
 
 
 async def _viewer(host: str, port: int, path: str, counts: list,
-                  idx: int, marker: bytes) -> None:
-    try:
-        reader, writer = await asyncio.open_connection(host, port)
-        writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
-        await writer.drain()
-        while True:
-            chunk = await reader.read(65536)
-            if not chunk:
-                return
-            counts[idx] += chunk.count(marker)
-    except (ConnectionError, asyncio.CancelledError, OSError):
-        return
+                  idx: int, marker: bytes,
+                  reconnect: bool = False) -> None:
+    while True:
+        try:
+            reader, writer = await asyncio.open_connection(host, port)
+            writer.write(
+                f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+            await writer.drain()
+            while True:
+                chunk = await reader.read(65536)
+                if not chunk:
+                    break
+                counts[idx] += chunk.count(marker)
+        except (ConnectionError, OSError):
+            pass
+        except asyncio.CancelledError:
+            return
+        if not reconnect:
+            return
+        await asyncio.sleep(1.0)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -70,9 +86,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="JPEGs to stream (default: bundled synthetic "
                          "pics resized to 640x480)")
     ap.add_argument("--channel-prefix", default="load")
+    ap.add_argument("--reconnect", action="store_true",
+                    help="senders retry forever with backoff (soaks "
+                         "across server restarts/recycles); viewers "
+                         "re-subscribe too")
     args = ap.parse_args(argv)
 
-    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.client.sender import (
+        ReplaySource,
+        run_forever,
+        send_stream,
+    )
     from infercam_onnx_tpu.config import ClientConfig
 
     replay_dir = args.replay_dir
@@ -89,17 +113,22 @@ def main(argv: list[str] | None = None) -> int:
         viewers = [asyncio.create_task(_viewer(
             shost, int(sport),
             f"/{args.endpoint}?name={args.channel_prefix}{k}",
-            counts, k, marker))
+            counts, k, marker, reconnect=args.reconnect))
             for k in range(args.streams)]
         await asyncio.sleep(0.5)
         total_frames = int(args.fps
                            * (args.seconds + args.warmup_seconds + 5))
-        senders = [asyncio.create_task(send_stream(
-            ReplaySource(replay_dir, fps=args.fps),
-            ClientConfig(address=args.socket,
-                         channel=f"{args.channel_prefix}{k}"),
-            max_frames=total_frames))
-            for k in range(args.streams)]
+
+        def sender(k):
+            cfg = ClientConfig(address=args.socket,
+                               channel=f"{args.channel_prefix}{k}")
+            src = ReplaySource(replay_dir, fps=args.fps)
+            if args.reconnect:
+                return run_forever(src, cfg)
+            return send_stream(src, cfg, max_frames=total_frames)
+
+        senders = [asyncio.create_task(sender(k))
+                   for k in range(args.streams)]
         await asyncio.sleep(args.warmup_seconds)
         base = await _http_json(shost, int(sport), "/stats")
         base_counts = list(counts)
