@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warmup", default="",
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
+    ap.add_argument("--warmup-async", action="store_true",
+                    help="open listeners immediately and warm the "
+                         "device in the background (fast restarts: raw "
+                         "streams flow at once, inference when warm)")
     ap.add_argument("--decode-mode", default="pixels",
                     choices=["pixels", "coefficients", "ycbcr"],
                     help="coefficients: detection-only frames skip host "
@@ -224,6 +228,7 @@ def main(argv: list[str] | None = None) -> int:
                         int(v) for v in args.tile_grid.split("x"))),
                 warmup_resolutions=warmup or None,
                 data_parallel=args.data_parallel,
+                warmup_async=args.warmup_async,
             ))
     except KeyboardInterrupt:
         pass

@@ -65,11 +65,18 @@ async def start_server(
     warmup_resolutions: list[tuple[int, int]] | None = None,
     data_parallel: str = "auto",
     mesh=None,
+    warmup_async: bool = False,
 ) -> InferServer:
     """``data_parallel``: "auto" shards batches across all visible
     devices when more than one is present, "on" requires a multi-device
     mesh, "off" always serves single-device (BASELINE config 5 wiring).
-    An explicit ``mesh`` overrides the policy."""
+    An explicit ``mesh`` overrides the policy.
+
+    ``warmup_async``: open the listeners IMMEDIATELY and run the
+    device warm-up (transfer-latch trip + program compiles) on the
+    worker's device thread instead of blocking startup — minimizes dark
+    time on restarts/recycles (raw streams flow at once; inference
+    starts when warm)."""
     if detector is None:
         detector = Detector(detector_config)
 
@@ -87,15 +94,21 @@ async def start_server(
             raise ValueError(
                 "--data-parallel on requires >1 device, have 1")
 
-    # Trip the tunnel's transfer-mode latch on a 4-byte read NOW: the
-    # first device->host read after healthy-mode traffic can stall for
-    # minutes on tunneled rigs, and serving reads detections back every
-    # batch — take the hit during startup, not on the first live frame
-    # (see .claude/skills/verify/SKILL.md).
-    import jax
-    import numpy as _np
+    def warm():
+        # Trip the tunnel's transfer-mode latch on a 4-byte read FIRST:
+        # the first device->host read after healthy-mode traffic can
+        # stall for minutes on tunneled rigs, and serving reads
+        # detections back every batch — take the hit during warm-up,
+        # not on the first live frame (.claude/skills/verify/SKILL.md).
+        import jax
+        import numpy as _np
 
-    _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+        _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+        if warmup_resolutions:
+            log.info("warming up device programs for %s",
+                     warmup_resolutions)
+            worker.warmup(warmup_resolutions)
+            log.info("device warm-up complete")
 
     worker = InferenceWorker(detector, engine_config, server_config,
                              mesh=mesh)
@@ -103,9 +116,12 @@ async def start_server(
     queue: asyncio.Queue = asyncio.Queue(
         maxsize=server_config.ingest_capacity)
 
-    if warmup_resolutions:
-        log.info("warming up device programs for %s", warmup_resolutions)
-        worker.warmup(warmup_resolutions)
+    if warmup_async:
+        # the worker's device executor is single-threaded, so the warm-up
+        # strictly precedes any live batch's dispatch
+        worker._device_exec.submit(warm)
+    else:
+        warm()
 
     host, port = _split_addr(server_config.socket_address)
     data_server = await spawn_data_socket(queue, host, port)

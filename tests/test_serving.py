@@ -867,3 +867,59 @@ def test_rss_watchdog_quiet_below_cap():
 
     asyncio.run(run())
     assert fired == []
+
+
+def test_warmup_async_listeners_open_before_warm(detector, jpeg_dir):
+    """--warmup-async: the HTTP listener answers while the device
+    warm-up is still running, and inference works once warm."""
+    import threading
+
+    release = threading.Event()
+    orig_warmup = detector.warmup
+    calls = []
+
+    def slow_warmup(*a, **kw):
+        calls.append(a)
+        release.wait(10.0)
+        orig_warmup(*a, **kw)
+
+    detector.warmup = slow_warmup
+    try:
+        async def run():
+            server = await start_server(
+                server_config=ServerConfig(
+                    http_address="127.0.0.1:18400",
+                    socket_address="127.0.0.1:18401"),
+                engine_config=EngineConfig(batch_buckets=(1, 4)),
+                detector=detector, data_parallel="off",
+                warmup_resolutions=[(48, 64)], warmup_async=True)
+            try:
+                # health answers while warm-up is BLOCKED
+                resp = await _http_get(18400, "/healthcheck",
+                                       timeout=5.0)
+                assert resp.endswith(b"healthy")
+                for _ in range(40):  # warm task scheduling is async
+                    if calls:
+                        break
+                    await asyncio.sleep(0.05)
+                assert calls, "warm-up never started"
+                release.set()
+                # inference works after warm-up completes
+                stream_task = asyncio.create_task(
+                    _http_get(18400, "/face_stream?name=w",
+                              read_bytes=600, timeout=30.0))
+                await asyncio.sleep(0.3)
+                await send_stream(
+                    ReplaySource(str(jpeg_dir), fps=20),
+                    ClientConfig(address="127.0.0.1:18401",
+                                 channel="w"),
+                    max_frames=8)
+                data = await stream_task
+                assert data.count(b"--frame") >= 1
+            finally:
+                await server.close()
+
+        asyncio.run(run())
+    finally:
+        release.set()
+        detector.warmup = orig_warmup
