@@ -131,6 +131,11 @@ class HttpServer:
                     writer.write(_simple_response(
                         "200 OK", body, "application/json",
                         keep_alive=keep))
+                elif url.path == "/metrics":
+                    writer.write(_simple_response(
+                        "200 OK", self._meter.prometheus().encode(),
+                        "text/plain; version=0.0.4",
+                        keep_alive=keep))
                 elif url.path == "/stream":
                     log.info("Stream for %s requested", name)
                     await self._stream(

@@ -102,6 +102,32 @@ class Meter:
             "stages": dict(self.last_stages),
         }
 
+    def prometheus(self) -> str:
+        """Prometheus text exposition of the same counters (for
+        standard scrape-based monitoring; /metrics endpoint)."""
+        s = self.stats()
+        lines = [
+            "# TYPE infercam_uptime_seconds gauge",
+            f"infercam_uptime_seconds {s['uptime_s']}",
+        ]
+        for key, val in sorted(s["totals"].items()):
+            name = f"infercam_{key}_total"
+            lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name} {val}")
+        window = s["window"]
+        for key in ("raw_fps", "inferred_fps", "mean_batch",
+                    "p50_batch_latency_ms"):
+            if key in window:
+                name = f"infercam_window_{key}"
+                lines.append(f"# TYPE {name} gauge")
+                lines.append(f"{name} {window[key]}")
+        for stage, st in sorted(s["stages"].items()):
+            for q in ("p50_ms", "p95_ms", "p99_ms"):
+                name = f"infercam_stage_{stage}_{q}"
+                lines.append(f"# TYPE {name} gauge")
+                lines.append(f"{name} {st[q]}")
+        return "\n".join(lines) + "\n"
+
 
 METER = Meter()
 

@@ -923,3 +923,30 @@ def test_warmup_async_listeners_open_before_warm(detector, jpeg_dir):
     finally:
         release.set()
         detector.warmup = orig_warmup
+
+
+def test_metrics_prometheus_endpoint(detector, jpeg_dir):
+    async def run():
+        server, _ = await _start(detector, 18430, 18431)
+        try:
+            # generate a little traffic so counters are non-trivial
+            stream_task = asyncio.create_task(
+                _http_get(18430, "/face_stream?name=p",
+                          read_bytes=600, timeout=30.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=30),
+                ClientConfig(address="127.0.0.1:18431", channel="p"),
+                max_frames=6)
+            await stream_task
+            await asyncio.sleep(2.2)  # a meter drain cycle
+            resp = await _http_get(18430, "/metrics")
+            assert resp.startswith(b"HTTP/1.1 200 OK")
+            body = resp.split(b"\r\n\r\n", 1)[1].decode()
+            assert "infercam_uptime_seconds" in body
+            assert "infercam_inferred_unique_total" in body
+            assert "# TYPE" in body
+        finally:
+            await server.close()
+
+    asyncio.run(run())
