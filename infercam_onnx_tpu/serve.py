@@ -4,13 +4,16 @@ Usage::
 
     python -m infercam_onnx_tpu.serve \
         [--server-address 127.0.0.1:3000] [--socket-address 127.0.0.1:3001] \
+        [--preset reference|throughput|lossless] \
         [--variant RFB-320|RFB-640|slim-320|slim-640] \
         [--min-confidence 0.5] [--max-iou 0.5] [--top-k 256] \
         [--max-detections 64] [--max-batch 16] [--batch-window-ms 4] \
-        [--warmup 640x480,1280x720] [--decode-scale 1|2|4|8] \
-        [--decode-mode pixels|coefficients] [--tile-min-pixels N] \
+        [--queue-capacity 10] [--no-coalesce] \
+        [--warmup 640x480,1280x720] [--warmup-async] \
+        [--decode-scale 1|2|4|8] \
+        [--decode-mode pixels|coefficients|ycbcr] [--tile-min-pixels N] \
         [--tile-grid 2x2] [--assume-frame-dims 1280x720] \
-        [--data-parallel auto|on|off] \
+        [--data-parallel auto|on|off] [--max-rss-mb N] \
         [--onnx model.onnx [--runtime native|graph]] \
         [--profile-dir DIR] [--distributed host:port,...]
 
