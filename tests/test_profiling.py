@@ -81,3 +81,25 @@ def test_broadcast_threadsafe_publish_pattern():
         assert all(v == 4 for v in counts.values())
 
     asyncio.run(run())
+
+
+def test_meter_prometheus_exposition_format():
+    from infercam_onnx_tpu.serving.meter import Meter
+
+    m = Meter()
+    m.tick_raw()
+    m.tick_batch(4, 0.01)
+    m.drain()
+    text = m.prometheus()
+    lines = text.strip().splitlines()
+    # every sample line is preceded by a TYPE comment and parses as
+    # "name value"
+    assert "infercam_uptime_seconds" in text
+    assert any(ln.startswith("infercam_batches_total") for ln in lines)
+    for ln in lines:
+        if ln.startswith("#"):
+            assert ln.startswith("# TYPE infercam_")
+        else:
+            name, value = ln.split()
+            float(value)
+            assert name.startswith("infercam_")
