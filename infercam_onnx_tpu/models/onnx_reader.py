@@ -300,10 +300,17 @@ def parse_graph(graph_buf: bytes) -> OnnxGraph:
 
 
 def read_onnx_graph(path: str) -> OnnxGraph:
-    """Parse an ONNX ModelProto file into an OnnxGraph."""
+    """Parse an ONNX ModelProto file into an OnnxGraph.
+
+    Malformed input raises ValueError (never IndexError/UnicodeError):
+    truncated varints, out-of-range lengths, and garbage bytes all
+    surface as a clean parse failure."""
     with open(path, "rb") as f:
         model = f.read()
-    for field, wtype, val in iter_fields(model):
-        if field == 7 and wtype == 2:  # ModelProto.graph
-            return parse_graph(val)  # type: ignore[arg-type]
+    try:
+        for field, wtype, val in iter_fields(model):
+            if field == 7 and wtype == 2:  # ModelProto.graph
+                return parse_graph(val)  # type: ignore[arg-type]
+    except (IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"{path}: malformed ONNX file ({e})") from e
     raise ValueError(f"{path}: no graph found (not an ONNX ModelProto?)")

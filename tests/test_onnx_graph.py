@@ -321,3 +321,14 @@ def test_graph_detector_unfolded_export_with_bn_nodes(exports, rng):
     for (box_a, conf_a), (box_b, conf_b) in zip(a, b):
         np.testing.assert_allclose(box_a, box_b, atol=1e-4)
         assert abs(conf_a - conf_b) < 1e-4
+
+
+def test_onnx_reader_rejects_garbage_cleanly(tmp_path, rng):
+    for i in range(30):
+        blob = bytes(rng.integers(0, 256,
+                                  size=int(rng.integers(0, 4096)),
+                                  dtype=np.uint8))
+        path = tmp_path / f"junk{i}.onnx"
+        path.write_bytes(blob)
+        with pytest.raises(ValueError):
+            read_onnx_graph(str(path))

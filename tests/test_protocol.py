@@ -7,6 +7,7 @@ round-tripped by its own test at protocol.rs:31-51) — and tokio
 LengthDelimitedCodec's default u32 big-endian prefix.
 """
 
+import numpy as np
 import pytest
 
 from infercam_onnx_tpu import protocol as p
@@ -91,3 +92,30 @@ def test_mjpeg_part_framing():
 def test_unicode_channel_roundtrip():
     msg = p.FrameMsg("caméra-1", b"\x00\x01\xff")
     assert p.decode_proto_msg(p.encode_proto_msg(msg)) == msg
+
+
+def test_decode_fuzz_never_raises(rng):
+    # the router feeds arbitrary network bytes straight into the
+    # decoder; anything other than (ProtoMsg | None) is a bug
+    for n in (0, 1, 3, 4, 11, 12, 64, 300):
+        for _ in range(50):
+            buf = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            out = p.decode_proto_msg(buf)
+            assert out is None or isinstance(
+                out, (p.ConnectReq, p.FrameMsg))
+
+
+def test_frame_decoder_fuzz_chunking(rng):
+    # valid frames interleaved with arbitrary chunk boundaries always
+    # reassemble exactly
+    payloads = [bytes(rng.integers(0, 256, size=int(k), dtype=np.uint8))
+                for k in rng.integers(0, 2000, size=20)]
+    stream = b"".join(p.frame_encode(x) for x in payloads)
+    dec = p.FrameDecoder()
+    got = []
+    i = 0
+    while i < len(stream):
+        step = int(rng.integers(1, 64))
+        got.extend(dec.feed(stream[i:i + step]))
+        i += step
+    assert got == payloads
