@@ -39,11 +39,12 @@ PRESETS: dict[str, dict] = {
     "reference": {},
     "throughput": dict(decode_mode="ycbcr", decode_scale=2,
                        queue_capacity=48, max_batch=16,
-                       batch_window_ms=6.0, warmup_async=True),
+                       batch_window_ms=6.0, warmup_async=True,
+                       warmup="640x480"),
     "lossless": dict(decode_mode="ycbcr", decode_scale=2,
                      queue_capacity=96, max_batch=32,
                      batch_window_ms=15.0, no_coalesce=True,
-                     warmup_async=True),
+                     warmup_async=True, warmup="640x480"),
 }
 
 
