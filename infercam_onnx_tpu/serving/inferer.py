@@ -284,8 +284,20 @@ class InferenceWorker:
             for job, frame in frames:
                 by_shape.setdefault(frame.shape[:2], []).append(
                     (job, frame))
+            def overflow(members, bucket):
+                # the gather window caps at the largest bucket so groups
+                # should always fit; count (and log) any excess instead
+                # of silently discarding if an invariant ever breaks
+                extra = len(members) - bucket
+                if extra > 0:
+                    log.warning("batch group overflow: dropping %d "
+                                "frames beyond bucket %d", extra, bucket)
+                    for _ in range(extra):
+                        self._meter.tick_dropped()
+
             for (h, w), members in by_shape.items():
                 bucket = self._bucket_size(len(members))
+                overflow(members, bucket)
                 batch = np.zeros((bucket, h, w, 3), np.uint8)
                 for i, (_, frame) in enumerate(members[:bucket]):
                     batch[i] = frame
@@ -297,6 +309,7 @@ class InferenceWorker:
 
             for members in coef_groups:
                 bucket = self._bucket_size(len(members))
+                overflow(members, bucket)
                 _, _, _, _, (w, h), sampling = members[0][1]
                 pad = bucket - len(members)
 
@@ -317,6 +330,7 @@ class InferenceWorker:
 
             for members, geom in ycbcr_groups:
                 bucket = self._bucket_size(len(members))
+                overflow(members, bucket)
                 rows = [m[1] for m in members[:bucket]]
                 if bucket > len(members):
                     rows.extend([np.zeros_like(rows[0])]
