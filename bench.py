@@ -346,7 +346,12 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
                 decode_scale=2,
                 decode_mode="ycbcr", queue_capacity=3 * top,
                 coalesce_streams=coalesce),
-            detector=detector, data_parallel="off")
+            detector=detector, data_parallel="off",
+            # compile every bucket's ycbcr program (exact live block
+            # geometry) BEFORE the measuring window: an un-warmed top
+            # bucket can otherwise spend the whole window compiling and
+            # record zero (seen on the tunnel rig)
+            warmup_resolutions=[(480, 640)])
         try:
             viewers = []
             for k in range(streams):
@@ -456,10 +461,18 @@ def main() -> int:
         try:
             tpu = bench_tpu(frames, seconds=seconds, batch=batch)
             serving = bench_serving_latency()
-            serving.update(bench_serving_throughput(streams=batch))
+            served = bench_serving_throughput(streams=batch)
+            if served["serving_delivered_fps"] <= 0:  # stalled window
+                served = bench_serving_throughput(streams=batch,
+                                                  port_base=38660)
+            serving.update(served)
             lossless = bench_serving_throughput(
                 streams=batch, coalesce=False, max_batch=2 * batch,
                 port_base=38640)
+            if lossless["serving_delivered_fps"] <= 0:  # stalled window
+                lossless = bench_serving_throughput(
+                    streams=batch, coalesce=False, max_batch=2 * batch,
+                    port_base=38680)
             serving["serving_lossless_fps"] = (
                 lossless["serving_delivered_fps"])
             serving["serving_lossless_mean_batch"] = (
