@@ -35,8 +35,9 @@ import numpy as np
 from infercam_onnx_tpu.models.onnx_reader import OnnxGraph, OnnxNode
 
 _ONNX_DTYPES = {
-    1: jnp.float32, 6: jnp.int32, 7: jnp.int64, 9: jnp.bool_,
-    10: jnp.float16, 11: jnp.float64,
+    1: jnp.float32, 2: jnp.uint8, 3: jnp.int8, 4: jnp.uint16,
+    5: jnp.int16, 6: jnp.int32, 7: jnp.int64, 9: jnp.bool_,
+    10: jnp.float16, 11: jnp.float64, 12: jnp.uint32, 13: jnp.uint64,
 }
 
 
@@ -80,6 +81,11 @@ def _batch_norm(node: OnnxNode, x, scale, bias, mean, var):
 
 
 def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
+    if len(node.outputs) > 1:
+        raise ValueError(
+            f"pool with indices output unsupported ({node.name})")
+    if node.attrs.get("ceil_mode", 0):
+        raise ValueError(f"pool ceil_mode unsupported ({node.name})")
     ks = node.attrs["kernel_shape"]
     strides = node.attrs.get("strides", [1] * len(ks))
     pads = node.attrs.get("pads", [0] * (2 * len(ks)))
@@ -91,8 +97,276 @@ def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
     out = jax.lax.reduce_window(jnp.asarray(x), init, reducer,
                                 window, strd, padding)
     if is_avg:
-        out = out / float(np.prod(ks))
+        if node.attrs.get("count_include_pad", 0) or not any(pads):
+            out = out / float(np.prod(ks))
+        else:
+            # divisor = how many REAL (unpadded) elements each window
+            # covers (ONNX AveragePool default count_include_pad=0)
+            ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
+            div = jax.lax.reduce_window(ones, 0.0, jax.lax.add,
+                                        window, strd, padding)
+            out = out / div
     return out
+
+
+def _global_pool(node: OnnxNode, x, is_avg: bool):
+    axes = tuple(range(2, x.ndim))
+    xp = _xp(x)
+    if is_avg:
+        return xp.mean(x, axis=axes, keepdims=True)
+    return xp.max(x, axis=axes, keepdims=True)
+
+
+def _gemm(node: OnnxNode, a, b, c=None):
+    alpha = node.attrs.get("alpha", 1.0)
+    beta = node.attrs.get("beta", 1.0)
+    if node.attrs.get("transA", 0):
+        a = a.T
+    if node.attrs.get("transB", 0):
+        b = b.T
+    out = alpha * (a @ b)
+    if c is not None:
+        out = out + beta * c
+    return out
+
+
+def _conv_transpose(node: OnnxNode, x, w, b=None):
+    """ONNX ConvTranspose as an input-dilated regular conv. Kernel
+    layout is (C_in, C_out/group, kH, kW); flip spatially and swap the
+    io axes (per group) to express it with conv_general_dilated."""
+    if node.attrs.get("auto_pad", b"NOTSET") not in (b"", b"NOTSET"):
+        raise ValueError(
+            f"ConvTranspose auto_pad unsupported ({node.name})")
+    if "output_shape" in node.attrs:
+        raise ValueError(
+            f"ConvTranspose output_shape unsupported ({node.name})")
+    group = int(node.attrs.get("group", 1))
+    kh, kw = w.shape[2], w.shape[3]
+    strides = node.attrs.get("strides", [1, 1])
+    dil = node.attrs.get("dilations", [1, 1])
+    pads = node.attrs.get("pads", [0, 0, 0, 0])
+    opad = node.attrs.get("output_padding", [0, 0])
+    w = jnp.asarray(w)[:, :, ::-1, ::-1]
+    cin, cog = w.shape[0], w.shape[1]
+    # (C_in, C_out/g, kH, kW) -> (g, C_in/g, C_out/g, ...) -> (C_out, C_in/g, ...)
+    w = w.reshape(group, cin // group, cog, kh, kw)
+    w = w.transpose(0, 2, 1, 3, 4).reshape(group * cog, cin // group,
+                                           kh, kw)
+    eff = (dil[0] * (kh - 1), dil[1] * (kw - 1))
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x), w,
+        window_strides=(1, 1),
+        padding=((eff[0] - pads[0], eff[0] - pads[2] + opad[0]),
+                 (eff[1] - pads[1], eff[1] - pads[3] + opad[1])),
+        lhs_dilation=tuple(strides),
+        rhs_dilation=tuple(dil),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=group)
+    if b is not None:
+        out = out + jnp.asarray(b).reshape(1, -1, 1, 1)
+    return out
+
+
+def _pad(node: OnnxNode, x, pads=None, value=None, axes=None):
+    mode = node.attrs.get("mode", b"constant").decode()
+    if pads is None:  # opset < 11: attributes
+        pads = node.attrs["pads"]
+        value = node.attrs.get("value", 0.0)
+    if not _is_concrete(pads):
+        raise ValueError(f"Pad with traced pads ({node.name})")
+    pads = np.asarray(pads).reshape(-1).tolist()
+    ax = (list(range(x.ndim)) if axes is None
+          else np.asarray(axes).reshape(-1).tolist())
+    n = len(pads) // 2
+    width = [(0, 0)] * x.ndim
+    for i, a in enumerate(ax):
+        width[a] = (int(pads[i]), int(pads[i + n]))
+    xp = _xp(x)
+    if mode == "constant":
+        cval = 0.0 if value is None else float(np.asarray(value))
+        return xp.pad(x, width, constant_values=cval)
+    # ONNX "edge"/"reflect"/"wrap" match the numpy mode names
+    return xp.pad(x, width, mode=mode)
+
+
+def _reduce(node: OnnxNode, x, axes=None, *, kind: str):
+    if axes is None:
+        axes = node.attrs.get("axes")
+    elif not _is_concrete(axes):
+        raise ValueError(f"Reduce with traced axes ({node.name})")
+    if axes is not None:
+        axes = tuple(int(a) for a in np.asarray(axes).reshape(-1))
+    if not axes and node.attrs.get("noop_with_empty_axes", 0):
+        return x
+    axes = axes or None
+    keep = bool(node.attrs.get("keepdims", 1))
+    return getattr(_xp(x), kind)(x, axis=axes, keepdims=keep)
+
+
+def _split(node: OnnxNode, x, split=None):
+    axis = node.attrs.get("axis", 0)
+    if split is None:
+        split = node.attrs.get("split")
+    if split is None:
+        k = node.attrs.get("num_outputs", len(node.outputs))
+        if x.shape[axis] % k:
+            raise ValueError(f"uneven Split unsupported ({node.name})")
+        split = [x.shape[axis] // k] * k
+    else:
+        split = np.asarray(split).reshape(-1).tolist()
+    offsets = np.cumsum([0] + [int(s) for s in split])
+    sl = [slice(None)] * x.ndim
+    outs = []
+    for lo, hi in zip(offsets[:-1], offsets[1:]):
+        sl[axis] = slice(int(lo), int(hi))
+        outs.append(x[tuple(sl)])
+    return tuple(outs) if len(outs) > 1 else outs[0]
+
+
+def _dropout(node: OnnxNode, x, *_ignored):
+    # inference mode: identity (+ all-true mask if the export kept it)
+    if len(node.outputs) > 1:
+        return x, _xp(x).ones(x.shape, bool)
+    return x
+
+
+def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
+                   nearest_mode: str) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix for one axis — resize becomes
+    two MXU matmuls (same scheme as ops/preprocess.py). Supports the
+    coordinate transforms torch exports emit."""
+    i = np.arange(n_out, dtype=np.float64)
+    scale = n_in / n_out
+    if coord == "half_pixel":
+        src = (i + 0.5) * scale - 0.5
+    elif coord == "asymmetric":
+        src = i * scale
+    elif coord == "align_corners":
+        src = i * ((n_in - 1) / max(n_out - 1, 1))
+    elif coord == "pytorch_half_pixel":
+        src = (i + 0.5) * scale - 0.5 if n_out > 1 else np.zeros_like(i)
+    else:
+        raise ValueError(f"Resize coordinate mode {coord!r} unsupported")
+    m = np.zeros((n_out, n_in), np.float32)
+    if mode == "nearest":
+        if nearest_mode == "floor":
+            idx = np.floor(src)
+        elif nearest_mode == "ceil":
+            idx = np.ceil(src)
+        elif nearest_mode == "round_prefer_ceil":
+            idx = np.floor(src + 0.5)
+        else:  # round_prefer_floor
+            idx = np.ceil(src - 0.5)
+        idx = np.clip(idx, 0, n_in - 1).astype(np.int64)
+        m[np.arange(n_out), idx] = 1.0
+    else:  # linear
+        lo = np.clip(np.floor(src), 0, n_in - 1).astype(np.int64)
+        hi = np.clip(lo + 1, 0, n_in - 1)
+        frac = np.clip(src - lo, 0.0, 1.0).astype(np.float32)
+        m[np.arange(n_out), lo] += 1.0 - frac
+        m[np.arange(n_out), hi] += frac
+    return m
+
+
+def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
+    mode = node.attrs.get("mode", b"nearest").decode()
+    coord = node.attrs.get(
+        "coordinate_transformation_mode", b"half_pixel").decode()
+    nearest = node.attrs.get(
+        "nearest_mode", b"round_prefer_floor").decode()
+    if mode not in ("nearest", "linear"):
+        raise ValueError(f"Resize mode {mode!r} unsupported ({node.name})")
+    if scales is not None and np.asarray(scales).size == 0:
+        scales = None
+    if not _is_concrete(scales if sizes is None else sizes):
+        raise ValueError(f"Resize with traced geometry ({node.name})")
+    if sizes is not None:
+        out_shape = [int(s) for s in np.asarray(sizes).reshape(-1)]
+    elif scales is not None:
+        sc = np.asarray(scales, np.float64).reshape(-1)
+        out_shape = [int(np.floor(d * s)) for d, s in zip(x.shape, sc)]
+    else:
+        raise ValueError(f"Resize without scales/sizes ({node.name})")
+    if list(out_shape[:2]) != list(x.shape[:2]):
+        raise ValueError(
+            f"Resize over batch/channel axes unsupported ({node.name})")
+    out = jnp.asarray(x)
+    for ax in range(2, x.ndim):
+        if out_shape[ax] == x.shape[ax]:
+            continue
+        m = _resize_matrix(x.shape[ax], out_shape[ax], mode, coord,
+                           nearest)
+        out = jnp.moveaxis(
+            jnp.tensordot(out, m.astype(out.dtype), axes=((ax,), (1,))),
+            -1, ax)
+    return out
+
+
+def _upsample(node: OnnxNode, x, scales=None):
+    if scales is None:
+        scales = node.attrs["scales"]
+    node = OnnxNode("Resize", node.name, node.inputs, node.outputs,
+                    {"mode": node.attrs.get("mode", b"nearest"),
+                     "coordinate_transformation_mode": b"asymmetric",
+                     "nearest_mode": b"floor"})
+    return _resize(node, x, None, scales, None)
+
+
+def _depth_to_space(node: OnnxNode, x):
+    b, c, h, w = x.shape
+    k = int(node.attrs["blocksize"])
+    if node.attrs.get("mode", b"DCR") == b"DCR":
+        y = x.reshape(b, k, k, c // (k * k), h, w)
+        y = y.transpose(0, 3, 4, 1, 5, 2)
+    else:  # CRD
+        y = x.reshape(b, c // (k * k), k, k, h, w)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+    return y.reshape(b, c // (k * k), h * k, w * k)
+
+
+def _space_to_depth(node: OnnxNode, x):
+    b, c, h, w = x.shape
+    k = int(node.attrs["blocksize"])
+    y = x.reshape(b, c, h // k, k, w // k, k)
+    return y.transpose(0, 3, 5, 1, 2, 4).reshape(
+        b, c * k * k, h // k, w // k)
+
+
+def _lrn(node: OnnxNode, x):
+    alpha = node.attrs.get("alpha", 1e-4)
+    beta = node.attrs.get("beta", 0.75)
+    bias = node.attrs.get("bias", 1.0)
+    size = int(node.attrs["size"])
+    sq = jnp.asarray(x) ** 2
+    # sum over a size-window along C, centered (ONNX: floor((size-1)/2)
+    # before, the rest after)
+    lo = (size - 1) // 2
+    acc = jax.lax.reduce_window(
+        sq, 0.0, jax.lax.add, (1, size, 1, 1), (1, 1, 1, 1),
+        ((0, 0), (lo, size - 1 - lo), (0, 0), (0, 0)))
+    return x / (bias + (alpha / size) * acc) ** beta
+
+
+def _constant_of_shape(node: OnnxNode, shape):
+    if not _is_concrete(shape):
+        raise ValueError(f"ConstantOfShape traced shape ({node.name})")
+    val = node.attrs.get("value")
+    val = np.zeros(1, np.float32) if val is None else np.asarray(val)
+    return np.full([int(s) for s in np.asarray(shape).reshape(-1)],
+                   val.reshape(-1)[0], val.dtype)
+
+
+def _expand(node: OnnxNode, x, shape):
+    if not _is_concrete(shape):
+        raise ValueError(f"Expand with traced shape ({node.name})")
+    target = [int(s) for s in np.asarray(shape).reshape(-1)]
+    # ONNX Expand = numpy broadcasting, but dims of 1 in `shape` keep
+    # the input's size
+    xs = list(x.shape)
+    while len(xs) < len(target):
+        xs.insert(0, 1)
+    out = [max(a, b) for a, b in zip(xs, target)]
+    return _xp(x).broadcast_to(x.reshape(xs), out)
 
 
 def _reshape(node: OnnxNode, x, shape):
@@ -136,8 +410,8 @@ def _softmax(node: OnnxNode, x):
 
 def _gather(node: OnnxNode, x, idx):
     axis = node.attrs.get("axis", 0)
-    return _xp(x, idx).take(np.asarray(idx) if _is_concrete(idx) else idx,
-                            axis=axis)
+    return _xp(x, idx).take(
+        x, np.asarray(idx) if _is_concrete(idx) else idx, axis=axis)
 
 
 def _unsqueeze(node: OnnxNode, x, axes=None):
@@ -195,7 +469,109 @@ _OPS: dict[str, Callable] = {
                                       is_avg=True),
     "Clip": _clip,
     "Constant": lambda n: n.attrs["value"],
+    # -- general small-model coverage beyond the UltraFace export (the
+    # reference's runtime is a general ONNX executor, nn.rs:166-174) --
+    "Gemm": _gemm,
+    "MatMul": lambda n, a, b: a @ b,
+    "GlobalAveragePool": lambda n, x: _global_pool(n, x, True),
+    "GlobalMaxPool": lambda n, x: _global_pool(n, x, False),
+    "ConvTranspose": _conv_transpose,
+    "Pad": _pad,
+    "Resize": _resize,
+    "Upsample": _upsample,
+    "Split": _split,
+    "Dropout": _dropout,
+    "LRN": _lrn,
+    "DepthToSpace": _depth_to_space,
+    "SpaceToDepth": _space_to_depth,
+    "ConstantOfShape": _constant_of_shape,
+    "Expand": _expand,
+    "ReduceMean": lambda n, x, axes=None: _reduce(n, x, axes,
+                                                 kind="mean"),
+    "ReduceSum": lambda n, x, axes=None: _reduce(n, x, axes, kind="sum"),
+    "ReduceMax": lambda n, x, axes=None: _reduce(n, x, axes, kind="max"),
+    "ReduceMin": lambda n, x, axes=None: _reduce(n, x, axes, kind="min"),
+    "ReduceProd": lambda n, x, axes=None: _reduce(n, x, axes,
+                                                  kind="prod"),
+    "LeakyRelu": lambda n, x: jnp.where(
+        x >= 0, x, n.attrs.get("alpha", 0.01) * x),
+    "PRelu": lambda n, x, slope: _prelu(x, slope),
+    "Elu": lambda n, x: jnp.where(
+        x >= 0, x, n.attrs.get("alpha", 1.0) * (jnp.exp(x) - 1)),
+    "Selu": lambda n, x: n.attrs.get("gamma", 1.0507009873554805) *
+    jnp.where(x >= 0, x,
+              n.attrs.get("alpha", 1.6732632423543772) *
+              (jnp.exp(x) - 1)),
+    "Tanh": lambda n, x: _xp(x).tanh(x),
+    "Erf": lambda n, x: jax.lax.erf(jnp.asarray(x)),
+    "HardSigmoid": lambda n, x: jnp.clip(
+        n.attrs.get("alpha", 0.2) * x + n.attrs.get("beta", 0.5), 0, 1),
+    "HardSwish": lambda n, x: x * jnp.clip(x / 6.0 + 0.5, 0, 1),
+    "Softplus": lambda n, x: jax.nn.softplus(jnp.asarray(x)),
+    "Pow": lambda n, a, b: a ** b,
+    "Neg": lambda n, x: -x,
+    "Abs": lambda n, x: _xp(x).abs(x),
+    "Floor": lambda n, x: _xp(x).floor(x),
+    "Ceil": lambda n, x: _xp(x).ceil(x),
+    "Reciprocal": lambda n, x: 1.0 / x,
+    "Log": lambda n, x: _xp(x).log(x),
+    "Min": lambda n, *xs: _min_max(xs, "minimum"),
+    "Max": lambda n, *xs: _min_max(xs, "maximum"),
+    "Where": lambda n, c, a, b: _xp(c, a, b).where(c, a, b),
+    "Equal": lambda n, a, b: a == b,
+    "Greater": lambda n, a, b: a > b,
+    "GreaterOrEqual": lambda n, a, b: a >= b,
+    "Less": lambda n, a, b: a < b,
+    "LessOrEqual": lambda n, a, b: a <= b,
+    "Not": lambda n, x: ~x,
+    "And": lambda n, a, b: a & b,
+    "Or": lambda n, a, b: a | b,
+    "ArgMax": lambda n, x: _argminmax(n, x, "argmax"),
+    "ArgMin": lambda n, x: _argminmax(n, x, "argmin"),
+    "Range": lambda n, lo, hi, step: np.arange(
+        np.asarray(lo).item(), np.asarray(hi).item(),
+        np.asarray(step).item()) if _is_concrete(lo, hi, step)
+    else _raise(f"Range with traced bounds ({n.name})"),
+    "Tile": lambda n, x, reps: _xp(x).tile(
+        x, tuple(int(r) for r in np.asarray(reps).reshape(-1)))
+    if _is_concrete(reps) else _raise(f"Tile traced reps ({n.name})"),
 }
+
+
+def _prelu(x, slope):
+    slope = jnp.asarray(slope)
+    if slope.size > 1 and slope.ndim < x.ndim:
+        # unidirectional broadcast from the channel axis (ONNX PRelu:
+        # slope broadcastable to x; exporters emit (C,), (C,1,1), ...)
+        want = slope.shape + (1,) * (x.ndim - 1 - slope.ndim)
+        slope = slope.reshape(want)
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _min_max(xs, kind: str):
+    xp = _xp(*xs)
+    out = xs[0]
+    for x in xs[1:]:
+        out = getattr(xp, kind)(out, x)
+    return out
+
+
+def _argminmax(node: OnnxNode, x, kind: str):
+    axis = node.attrs.get("axis", 0)
+    keep = bool(node.attrs.get("keepdims", 1))
+    if node.attrs.get("select_last_index", 0):
+        raise ValueError(
+            f"ArgMax select_last_index unsupported ({node.name})")
+    out = getattr(_xp(x), kind)(x, axis=axis)
+    out = _xp(x).asarray(out, dtype=np.int64 if _xp(x) is np
+                         else jnp.int64)
+    if keep:
+        out = _xp(x).expand_dims(out, axis)
+    return out
+
+
+def _raise(msg: str):
+    raise ValueError(msg)
 
 
 class GraphExecutor:
@@ -239,7 +615,13 @@ class GraphExecutor:
             env.update(initializers)
         env.update(zip(self.input_names, inputs))
         for node in self.graph.nodes:
-            args = [env[name] for name in node.inputs if name != ""]
+            # optional inputs are empty-named and may sit in the MIDDLE
+            # of the list (torch: Resize(X, "", scales)) — keep their
+            # position as None, then strip the trailing ones
+            args = [env[name] if name != "" else None
+                    for name in node.inputs]
+            while args and args[-1] is None:
+                args.pop()
             results = _OPS[node.op_type](node, *args)
             if len(node.outputs) == 1:
                 env[node.outputs[0]] = results
