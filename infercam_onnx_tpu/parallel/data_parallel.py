@@ -80,6 +80,9 @@ class ShardedDetector(Detector):
         self.mesh = mesh
         self.axis = axis
         self.n = mesh.shape[axis]
+        # how many rows the serving worker must pad local batches to
+        # (lockstep subclasses shrink this to the per-host device count)
+        self.batch_granularity = self.n
         self.dispatches = 0  # sharded-program dispatch counter (tests)
 
         batch = NamedSharding(mesh, P(axis))

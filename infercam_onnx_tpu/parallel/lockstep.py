@@ -1,0 +1,364 @@
+"""Lockstep dispatch: multi-host serving over one global mesh.
+
+Under `jax.distributed` (one serve process per host of a pod slice)
+every process must execute the SAME jitted programs in the SAME order —
+independent micro-batchers on each host would deadlock the collective
+runtime. This module adds the missing coordination tier, TPU-natively:
+
+- a tiny TCP **coordinator** (process 0) runs dispatch rounds: each
+  round it collects every host's proposal (the batch units its
+  micro-batcher wants to run — possibly none), merges them into ONE
+  agreed ordered list of (program, global batch) decisions, and
+  broadcasts it;
+- a **pump thread** in every process executes the decisions in order:
+  hosts with frames for a unit contribute their rows, hosts without
+  contribute padding, `jax.make_array_from_process_local_data`
+  assembles the global batch, and each host reads back only its own
+  detections via `addressable_shards` (per-host stream ownership —
+  frames never cross DCN; only program dispatch is synchronized).
+
+The reference has no multi-host tier at all (its fabric is one TCP
+socket into one process, reference infer_server/src/data_socket.rs);
+this is the BASELINE config-5 scale-out path beyond a single host.
+Serving integration: ``serve --distributed ... --lockstep-address
+host:port`` on every host (see serve.py). Decode modes: pixels and
+ycbcr. Single-process meshes also work (n_processes=1 degenerates to
+a local round-trip), which is how the unit tests drive the machinery
+on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import socket
+import threading
+
+import numpy as np
+
+from infercam_onnx_tpu.parallel.data_parallel import ShardedDetector
+
+log = logging.getLogger("infercam.lockstep")
+
+_IO_TIMEOUT_S = 600.0  # must outlast the slowest member compile
+
+
+def _desc_key(desc: dict) -> str:
+    return json.dumps(desc, sort_keys=True)
+
+
+def merge_proposals(proposals: list[list[dict]], ladder: tuple[int, ...],
+                    granularity: int) -> list[dict]:
+    """One decision list from every host's proposals: the union of unit
+    descriptors (keyed by kind/geometry/pack), each sized to the ladder
+    bucket covering the LARGEST per-host row count, rounded up to the
+    per-host device granularity. Deterministic order (sorted by key) so
+    every process dispatches identically."""
+    want: dict[str, dict] = {}
+    for units in proposals:
+        for unit in units:
+            desc = dict(unit)
+            n = desc.pop("n")
+            key = _desc_key(desc)
+            cur = want.setdefault(key, {"desc": desc, "n": 0})
+            cur["n"] = max(cur["n"], n)
+    decisions = []
+    for key in sorted(want):
+        desc = dict(want[key]["desc"])
+        n = want[key]["n"]
+        bucket = next((b for b in ladder if b >= n), ladder[-1])
+        bucket = ((bucket + granularity - 1) // granularity) * granularity
+        desc["rows"] = bucket
+        decisions.append(desc)
+    return decisions
+
+
+class _Lines:
+    """Newline-delimited JSON over a socket."""
+
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self._buf = b""
+        sock.settimeout(_IO_TIMEOUT_S)
+
+    def send(self, msg: dict) -> None:
+        self._sock.sendall(json.dumps(msg).encode() + b"\n")
+
+    def recv(self) -> dict:
+        while b"\n" not in self._buf:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("lockstep peer closed")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\n", 1)
+        return json.loads(line)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class _Coordinator(threading.Thread):
+    """Round broker on process 0: collect one proposal per member,
+    broadcast the merged decision. Any member saying bye (or dying)
+    ends the session for everyone."""
+
+    def __init__(self, address: tuple[str, int], n_processes: int,
+                 ladder: tuple[int, ...]):
+        super().__init__(name="lockstep-coord", daemon=True)
+        self._n = n_processes
+        self._ladder = ladder
+        self._listener = socket.create_server(
+            address, reuse_port=False)
+        self._listener.settimeout(_IO_TIMEOUT_S)
+
+    def run(self) -> None:
+        members: dict[int, _Lines] = {}
+        granularity = None
+        try:
+            while len(members) < self._n:
+                conn, _ = self._listener.accept()
+                lines = _Lines(conn)
+                hello = lines.recv()
+                assert hello["t"] == "hello", hello
+                if granularity is None:
+                    granularity = hello["local_devices"]
+                elif granularity != hello["local_devices"]:
+                    raise ValueError(
+                        "lockstep requires equal device counts per host:"
+                        f" {granularity} != {hello['local_devices']}")
+                members[hello["pid"]] = lines
+            log.info("lockstep coordinator: %d member(s) joined",
+                     self._n)
+            while True:
+                proposals = []
+                for pid in sorted(members):
+                    msg = members[pid].recv()
+                    if msg["t"] == "bye":
+                        raise ConnectionError(f"member {pid} left")
+                    proposals.append(msg["units"])
+                decision = merge_proposals(proposals, self._ladder,
+                                           granularity)
+                for lines in members.values():
+                    lines.send({"t": "decision", "units": decision})
+        except (ConnectionError, OSError, ValueError) as e:
+            log.info("lockstep coordinator stopping: %s", e)
+            for lines in members.values():
+                try:
+                    lines.send({"t": "bye"})
+                except OSError:
+                    pass
+                lines.close()
+        finally:
+            self._listener.close()
+
+
+class LockstepDetector(ShardedDetector):
+    """ShardedDetector whose dispatches synchronize across processes.
+
+    The serving worker calls ``run_device`` / ``run_device_ycbcr_packed``
+    from its device thread exactly as on a single host; each call blocks
+    until the cluster-wide round that includes it completes. Rounds with
+    no local work still dispatch (padding shards) whenever any OTHER
+    host has frames, so the collective program never deadlocks; fully
+    idle rounds dispatch nothing.
+    """
+
+    def __init__(self, detector, mesh, address: str, *,
+                 coordinator: bool, n_processes: int,
+                 ladder: tuple[int, ...] = (1, 2, 4, 8, 16),
+                 tick_ms: float = 20.0):
+        super().__init__(detector, mesh)
+        import jax
+
+        host, _, port = address.rpartition(":")
+        addr = (host or "127.0.0.1", int(port))
+        self._local_devices = len(
+            [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()])
+        # worker-side batches need only fill THIS host's shard
+        self.batch_granularity = max(self._local_devices, 1)
+        self._ladder = tuple(sorted(ladder))
+        self._tick_s = tick_ms / 1e3
+        self._requests: queue.Queue = queue.Queue()
+        self._stopped = threading.Event()
+        self._n_processes = n_processes
+
+        if coordinator:
+            self._coord = _Coordinator(addr, n_processes, self._ladder)
+            self._coord.start()
+        else:
+            self._coord = None
+        deadline = 30.0
+        import time as _time
+
+        t0 = _time.time()
+        while True:
+            try:
+                self._conn = _Lines(socket.create_connection(addr, 5.0))
+                break
+            except OSError:
+                if _time.time() - t0 > deadline:
+                    raise
+                _time.sleep(0.2)
+        self._conn.send({"t": "hello", "pid": jax.process_index(),
+                         "local_devices": self.batch_granularity})
+        self._pump = threading.Thread(target=self._pump_loop,
+                                      name="lockstep-pump", daemon=True)
+        self._pump.start()
+
+    # -- worker-facing API -------------------------------------------------
+
+    def run_device(self, images, *, pack_output: bool = False):
+        desc = {"kind": "pixels", "h": int(images.shape[1]),
+                "w": int(images.shape[2]), "pack": pack_output}
+        return self._submit(desc, int(images.shape[0]),
+                            {"images": np.asarray(images)})
+
+    def run_device_ycbcr_packed(self, packed, geom: dict, *,
+                                pack_output: bool = False):
+        jgeom = {k: (list(v) if isinstance(v, tuple) else v)
+                 for k, v in geom.items()}
+        desc = {"kind": "ycbcr", "geom": jgeom, "pack": pack_output}
+        return self._submit(desc, int(packed.shape[0]),
+                            {"packed": np.asarray(packed)})
+
+    def run_device_coefficients_arrays(self, *a, **k):
+        raise NotImplementedError(
+            "lockstep serving supports decode modes pixels and ycbcr")
+
+    def close(self) -> None:
+        """Leave the session (ends it for the whole cluster)."""
+        if not self._stopped.is_set():
+            self._requests.put(None)
+            self._pump.join(timeout=10.0)
+
+    # -- pump ---------------------------------------------------------------
+
+    def _submit(self, desc: dict, n: int, data: dict):
+        if self._stopped.is_set():
+            raise RuntimeError("lockstep session has ended")
+        slot: queue.Queue = queue.Queue(1)
+        self._requests.put((desc, n, data, slot))
+        out = slot.get(timeout=_IO_TIMEOUT_S)
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+    def _pump_loop(self) -> None:
+        pending: list = []
+        try:
+            while True:
+                try:
+                    item = self._requests.get(timeout=self._tick_s)
+                    if item is None:
+                        self._conn.send({"t": "bye"})
+                        return
+                    pending.append(item)
+                except queue.Empty:
+                    pass
+                while True:  # drain whatever else is already queued
+                    try:
+                        item = self._requests.get_nowait()
+                        if item is None:
+                            self._conn.send({"t": "bye"})
+                            return
+                        pending.append(item)
+                    except queue.Empty:
+                        break
+                units = [dict(desc, n=n) for desc, n, _, _ in pending]
+                self._conn.send({"t": "propose", "units": units})
+                msg = self._conn.recv()
+                if msg["t"] == "bye":
+                    raise ConnectionError("coordinator ended session")
+                for decision in msg["units"]:
+                    rows = decision.pop("rows")
+                    match = next(
+                        (p for p in pending
+                         if _desc_key(p[0]) == _desc_key(decision)),
+                        None)
+                    if match is not None:
+                        pending.remove(match)
+                    try:
+                        out = self._execute(decision, rows, match)
+                        if match is not None:
+                            match[3].put(out)
+                    except Exception as e:  # deliver, don't kill pump
+                        if match is not None:
+                            match[3].put(e)
+                        else:
+                            raise
+        except (ConnectionError, OSError) as e:
+            log.info("lockstep pump stopping: %s", e)
+        finally:
+            self._stopped.set()
+            self._conn.close()
+            err = RuntimeError("lockstep session has ended")
+            for p in pending:
+                p[3].put(err)
+            while True:
+                try:
+                    item = self._requests.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[3].put(err)
+
+    # -- collective execution ----------------------------------------------
+
+    def _global(self, local: np.ndarray, rows: int) -> object:
+        """Per-host rows -> global batch array sharded over the mesh."""
+        import jax
+
+        n_local = local.shape[0]
+        if n_local < rows:
+            pad = np.zeros((rows - n_local,) + local.shape[1:],
+                           local.dtype)
+            local = np.concatenate([local, pad])
+        global_shape = (rows * self._n_processes,) + local.shape[1:]
+        return jax.make_array_from_process_local_data(
+            self._batch_sharding, local, global_shape)
+
+    def _readback(self, out, n_local: int, pack: bool):
+        def host_rows(arr):
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards])
+
+        if pack:
+            return host_rows(out)[:n_local]
+        boxes, confs, counts = out
+        return (host_rows(boxes)[:n_local], host_rows(confs)[:n_local],
+                host_rows(counts)[:n_local])
+
+    def _execute(self, desc: dict, rows: int, match):
+        n_local = match[1] if match is not None else 0
+        data = match[2] if match is not None else None
+        pack = desc["pack"]
+        self.dispatches += 1
+        if desc["kind"] == "pixels":
+            h, w = desc["h"], desc["w"]
+            local = (data["images"] if data is not None
+                     else np.zeros((0, h, w, 3), np.uint8))
+            garr = self._global(local, rows)
+            r_h, r_w = self.preprocessor.matrices(w, h)
+            prog = self._packed if pack else self._tuple
+            out = prog(self._params, self._priors, garr, r_h, r_w)
+            return self._readback(out, n_local, pack)
+        if desc["kind"] == "ycbcr":
+            geom = {k: (tuple(v) if isinstance(v, list) else v)
+                    for k, v in desc["geom"].items()}
+            plane_len = (geom["y_pw"] * geom["y_ph"]
+                         + 2 * geom["c_pw"] * geom["c_ph"])
+            local = (data["packed"] if data is not None
+                     else np.zeros((0, plane_len), np.uint8))
+            garr = self._global(local, rows)
+            r_h, r_w = self.preprocessor.matrices(geom["width"],
+                                                  geom["height"])
+            prog = self._ycbcr_program(geom, pack)
+            out = prog(self._params, self._priors, garr, r_h, r_w)
+            return self._readback(out, n_local, pack)
+        raise ValueError(f"unknown lockstep unit kind {desc['kind']!r}")

@@ -23,6 +23,11 @@ per-image detection) would cross DCN. The executed 2-process dryrun for
 this path lives in tests/multihost_worker.py (spawned by
 tests/test_parallel.py::test_multihost_two_process_dryrun; CPU backend,
 Gloo standing in for DCN).
+
+SERVING on a process-spanning mesh additionally requires lockstep
+program dispatch — see parallel/lockstep.py and the serve CLI's
+``--lockstep-address`` (two-process deployment test:
+tests/test_lockstep.py).
 """
 
 from __future__ import annotations

@@ -128,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--distributed", default=None,
                     help="multi-host: host:port,num_processes=N,"
                          "process_id=I (jax.distributed over DCN)")
+    ap.add_argument("--lockstep-address", default=None,
+                    help="multi-host serving: host:port of the lockstep "
+                         "dispatch coordinator (run on process 0). "
+                         "Required when serving with --distributed over "
+                         "a process-spanning mesh — every process must "
+                         "dispatch the same programs in the same order")
     ap.add_argument("--preset", default=None, choices=sorted(PRESETS),
                     help="named flag bundle (explicit flags override): "
                          "reference = exact reference-parity defaults; "
@@ -177,6 +183,18 @@ def main(argv: list[str] | None = None) -> int:
         from infercam_onnx_tpu.parallel.multihost import initialize
 
         initialize(args.distributed)
+    if args.lockstep_address:
+        if not args.distributed:
+            ap.error("--lockstep-address requires --distributed")
+        if args.data_parallel == "off":
+            ap.error("--lockstep-address requires data-parallel serving")
+        if args.decode_mode not in ("pixels", "ycbcr"):
+            ap.error("--lockstep-address supports decode modes "
+                     "pixels|ycbcr")
+        if args.tile_min_pixels:
+            ap.error("--lockstep-address does not support tiling")
+        if args.runtime != "native":
+            ap.error("--lockstep-address requires --runtime native")
 
     assume_dims = None
     if args.assume_frame_dims:
@@ -234,6 +252,7 @@ def main(argv: list[str] | None = None) -> int:
                 warmup_resolutions=warmup or None,
                 data_parallel=args.data_parallel,
                 warmup_async=args.warmup_async,
+                lockstep_address=args.lockstep_address,
             ))
     except KeyboardInterrupt:
         pass

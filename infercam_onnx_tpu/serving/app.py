@@ -46,6 +46,12 @@ class InferServer:
         for t in self.tasks:
             t.cancel()
         await asyncio.gather(*self.tasks, return_exceptions=True)
+        # lockstep detectors hold a cluster session: leave it so the
+        # other hosts' pumps unblock (ends the session cluster-wide)
+        close_det = getattr(self.worker._detector, "close", None)
+        if close_det is not None:
+            await asyncio.get_running_loop().run_in_executor(
+                None, close_det)
         try:
             await asyncio.wait_for(self.data_server.wait_closed(), 5.0)
         except asyncio.TimeoutError:
@@ -66,6 +72,7 @@ async def start_server(
     data_parallel: str = "auto",
     mesh=None,
     warmup_async: bool = False,
+    lockstep_address: str | None = None,
 ) -> InferServer:
     """``data_parallel``: "auto" shards batches across all visible
     devices when more than one is present, "on" requires a multi-device
@@ -93,6 +100,24 @@ async def start_server(
         elif data_parallel == "on":
             raise ValueError(
                 "--data-parallel on requires >1 device, have 1")
+
+    if lockstep_address:
+        # multi-host: one serve process per host over ONE global mesh
+        # requires lockstep program dispatch (see parallel/lockstep.py)
+        if mesh is None:
+            raise ValueError("--lockstep-address requires a mesh "
+                             "(--data-parallel must not be off)")
+        import jax as _jax
+
+        from infercam_onnx_tpu.parallel.lockstep import LockstepDetector
+
+        detector = LockstepDetector(
+            detector, mesh, lockstep_address,
+            coordinator=_jax.process_index() == 0,
+            n_processes=_jax.process_count(),
+            ladder=engine_config.batch_buckets)
+        log.info("lockstep dispatch joined: process %d/%d",
+                 _jax.process_index(), _jax.process_count())
 
     def warm():
         # Trip the tunnel's transfer-mode latch on a 4-byte read FIRST:

@@ -97,8 +97,11 @@ class InferenceWorker:
         bucket = self._buckets[min(i, len(self._buckets) - 1)]
         if self._mesh is not None:
             # pad to a mesh multiple HERE so the sharded programs never
-            # re-pad (and never pull a device array back to the host)
-            m = self._mesh.shape["data"]
+            # re-pad (and never pull a device array back to the host).
+            # Lockstep detectors expose a smaller granularity: each host
+            # fills only ITS shard of the global batch.
+            m = getattr(self._detector, "batch_granularity", None) \
+                or self._mesh.shape["data"]
             bucket = ((bucket + m - 1) // m) * m
         return bucket
 

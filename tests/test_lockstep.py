@@ -1,0 +1,249 @@
+"""Lockstep multi-host serving dispatch (parallel/lockstep.py).
+
+Unit level: the merge that turns per-host proposals into one agreed
+decision, and the full pump/coordinator round-trip on the virtual CPU
+mesh in a single process (n_processes=1 degenerates to a local round).
+Deployment level: TWO real `serve` CLI processes joined via
+jax.distributed over localhost, each fed by its own sender, both
+serving detections off ONE process-spanning mesh — the multi-host
+topology the reference never had (its whole fabric is one process,
+reference infer_server/src/data_socket.rs).
+"""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from infercam_onnx_tpu import codec
+from infercam_onnx_tpu.parallel.lockstep import (
+    LockstepDetector,
+    merge_proposals,
+)
+
+
+def test_merge_proposals_union_and_buckets():
+    ladder = (1, 2, 4, 8)
+    a = [{"kind": "pixels", "h": 48, "w": 64, "pack": True, "n": 3}]
+    b = [{"kind": "pixels", "h": 48, "w": 64, "pack": True, "n": 5},
+         {"kind": "pixels", "h": 24, "w": 32, "pack": True, "n": 1}]
+    out = merge_proposals([a, b], ladder, granularity=4)
+    assert len(out) == 2
+    big = next(u for u in out if u["h"] == 48)
+    small = next(u for u in out if u["h"] == 24)
+    assert big["rows"] == 8  # max(3,5) -> bucket 8 (already a multiple)
+    assert small["rows"] == 4  # bucket 1 -> granularity 4
+    # deterministic order regardless of proposal order
+    assert out == merge_proposals([b, a], ladder, granularity=4)
+
+
+def test_merge_empty_proposals_is_empty_decision():
+    assert merge_proposals([[], []], (1, 2), 1) == []
+
+
+def test_merge_clamps_to_ladder_top():
+    out = merge_proposals(
+        [[{"kind": "pixels", "h": 8, "w": 8, "pack": True, "n": 40}]],
+        (1, 2, 4, 8, 16), granularity=2)
+    assert out[0]["rows"] == 16
+
+
+@pytest.fixture(scope="module")
+def lockstep_pair():
+    """A lockstep detector (single-process session over the virtual
+    mesh) plus a plain detector as the equality oracle."""
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    mesh = make_mesh(8)
+    lock = LockstepDetector(det, mesh, "127.0.0.1:18731",
+                            coordinator=True, n_processes=1,
+                            ladder=(1, 2, 4, 8, 16), tick_ms=5.0)
+    yield det, lock
+    lock.close()
+
+
+def test_lockstep_matches_plain_detector(lockstep_pair):
+    det, lock = lockstep_pair
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(3, 48, 64, 3), dtype=np.uint8)
+    want = np.asarray(det.run_device(frames, pack_output=True))
+    got = lock.run_device(frames, pack_output=True)
+    assert got.shape == want.shape  # local rows sliced back to n
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_lockstep_tuple_output_and_ycbcr(lockstep_pair):
+    det, lock = lockstep_pair
+    native = pytest.importorskip(
+        "infercam_onnx_tpu.native.jpeg").load()
+    rng = np.random.default_rng(1)
+    datas = [codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8))
+        for _ in range(2)]
+    packed, geom = native.decode_ycbcr_batch(datas)
+    want = det.run_device_ycbcr_packed(packed, geom, pack_output=True)
+    got = lock.run_device_ycbcr_packed(packed, geom, pack_output=True)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+    boxes, confs, counts = lock.run_device(
+        rng.integers(0, 256, size=(2, 48, 64, 3), dtype=np.uint8))
+    assert boxes.shape[0] == confs.shape[0] == counts.shape[0] == 2
+
+
+def test_lockstep_closed_session_raises(tmp_path):
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    lock = LockstepDetector(det, make_mesh(8), "127.0.0.1:18732",
+                            coordinator=True, n_processes=1,
+                            tick_ms=5.0)
+    lock.close()
+    with pytest.raises(RuntimeError, match="ended"):
+        lock.run_device(np.zeros((1, 48, 64, 3), np.uint8),
+                        pack_output=True)
+
+
+def _wait_port(port, timeout=180.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with socket.create_connection(("127.0.0.1", port), 1):
+                return True
+        except OSError:
+            time.sleep(0.5)
+    return False
+
+
+def _http_get(port, path, timeout=20.0, stop_after_frames=0):
+    """Bounded read: an actively-publishing MJPEG stream never closes,
+    so stop once enough multipart frames arrived (or on timeout)."""
+    s = socket.create_connection(("127.0.0.1", port), timeout)
+    s.sendall(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+              "Connection: close\r\n\r\n".encode())
+    s.settimeout(2.0)
+    data = b""
+    deadline = time.time() + timeout
+    try:
+        while time.time() < deadline:
+            if (stop_after_frames
+                    and data.count(b"--frame") >= stop_after_frames):
+                break
+            try:
+                chunk = s.recv(4096)
+            except socket.timeout:
+                continue
+            if not chunk:
+                break
+            data += chunk
+    finally:
+        s.close()
+    return data
+
+
+@pytest.mark.slow
+def test_two_host_lockstep_deployment(tmp_path):
+    """BASELINE config 5 beyond one host: two REAL serve processes on a
+    2-process jax.distributed CPU 'cluster' (Gloo standing in for DCN),
+    one global 2-device mesh, lockstep dispatch; each host ingests its
+    own streams and serves its own detections."""
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        (tmp_path / f"f{i}.jpg").write_bytes(codec.encode_rgb(frame))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    # the parent test process runs on an 8-virtual-device mesh
+    # (conftest); the cluster processes must NOT inherit that — one CPU
+    # device per process, 2-device global mesh
+    env["XLA_FLAGS"] = ""
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    http = [free_port(), free_port()]
+    sock = [free_port(), free_port()]
+    coord, lockstep = free_port(), free_port()
+    servers = []
+    senders = []
+    logs = [open(tmp_path / f"server{i}.log", "wb") for i in range(2)]
+    try:
+        for pid in range(2):
+            servers.append(subprocess.Popen(
+                [sys.executable, "-m", "infercam_onnx_tpu.serve",
+                 "--server-address", f"127.0.0.1:{http[pid]}",
+                 "--socket-address", f"127.0.0.1:{sock[pid]}",
+                 "--distributed",
+                 f"127.0.0.1:{coord},num_processes=2,process_id={pid}",
+                 "--lockstep-address", f"127.0.0.1:{lockstep}",
+                 "--data-parallel", "on",
+                 "--max-batch", "2", "--decode-scale", "1",
+                 "--batch-window-ms", "20"],
+                env=env, stdout=logs[pid], stderr=logs[pid]))
+        for pid in range(2):
+            assert _wait_port(http[pid]), \
+                f"host {pid} HTTP port never opened"
+        for pid in range(2):
+            senders.append(subprocess.Popen(
+                [sys.executable, "-m", "infercam_onnx_tpu.client.sender",
+                 "--address", f"127.0.0.1:{sock[pid]}",
+                 "--channel", f"cam{pid}",
+                 "--replay-dir", str(tmp_path), "--fps", "10"],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL))
+
+        # each host must deliver ITS stream's annotated MJPEG — which
+        # requires the cluster-wide lockstep round to complete on a
+        # process-spanning mesh (first round compiles on both hosts)
+        deadline = time.time() + 240
+        got = [0, 0]
+        while time.time() < deadline and not all(got):
+            for pid in range(2):
+                if not got[pid]:
+                    face = _http_get(http[pid],
+                                     f"/face_stream?name=cam{pid}",
+                                     timeout=15.0,
+                                     stop_after_frames=1)
+                    got[pid] = face.count(b"--frame\r\nContent-Type")
+        assert all(got), f"annotated frames per host: {got}"
+
+        # the meter proves batches really dispatched on each host (its
+        # totals drain on a 2 s cycle — retry until they catch up)
+        for pid in range(2):
+            count, deadline = 0, time.time() + 30
+            while count < 1 and time.time() < deadline:
+                stats = _http_get(http[pid], "/stats")
+                payload = json.loads(stats.split(b"\r\n\r\n", 1)[1])
+                count = payload["totals"].get("inferred_unique", 0)
+                time.sleep(0.5)
+            assert count >= 1, f"host {pid} stats: {payload['totals']}"
+    finally:
+        for p in senders:
+            p.send_signal(signal.SIGINT)
+        for p in servers:
+            p.send_signal(signal.SIGTERM)
+        for p in senders + servers:
+            try:
+                p.wait(20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        for f in logs:
+            f.close()
