@@ -243,7 +243,24 @@ class LockstepDetector(ShardedDetector):
             raise RuntimeError("lockstep session has ended")
         slot: queue.Queue = queue.Queue(1)
         self._requests.put((desc, n, data, slot))
-        out = slot.get(timeout=_IO_TIMEOUT_S)
+        deadline = _IO_TIMEOUT_S
+        while True:
+            try:
+                out = slot.get(timeout=1.0)
+                break
+            except queue.Empty:
+                deadline -= 1.0
+                if self._stopped.is_set():
+                    # the pump may have died between our put and its
+                    # shutdown drain — don't wait the full timeout
+                    try:
+                        out = slot.get_nowait()
+                        break
+                    except queue.Empty:
+                        raise RuntimeError(
+                            "lockstep session has ended") from None
+                if deadline <= 0:
+                    raise TimeoutError("lockstep round timed out")
         if isinstance(out, Exception):
             raise out
         return out

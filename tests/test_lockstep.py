@@ -28,6 +28,14 @@ from infercam_onnx_tpu.parallel.lockstep import (
 )
 
 
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
 def test_merge_proposals_union_and_buckets():
     ladder = (1, 2, 4, 8)
     a = [{"kind": "pixels", "h": 48, "w": 64, "pack": True, "n": 3}]
@@ -65,7 +73,7 @@ def lockstep_pair():
     det = Detector(DetectorConfig(variant="RFB-320",
                                   compute_dtype="float32"), rng=0)
     mesh = make_mesh(8)
-    lock = LockstepDetector(det, mesh, "127.0.0.1:18731",
+    lock = LockstepDetector(det, mesh, f"127.0.0.1:{_free_port()}",
                             coordinator=True, n_processes=1,
                             ladder=(1, 2, 4, 8, 16), tick_ms=5.0)
     yield det, lock
@@ -107,7 +115,8 @@ def test_lockstep_closed_session_raises(tmp_path):
 
     det = Detector(DetectorConfig(variant="RFB-320",
                                   compute_dtype="float32"), rng=0)
-    lock = LockstepDetector(det, make_mesh(8), "127.0.0.1:18732",
+    lock = LockstepDetector(det, make_mesh(8),
+                            f"127.0.0.1:{_free_port()}",
                             coordinator=True, n_processes=1,
                             tick_ms=5.0)
     lock.close()
@@ -172,16 +181,9 @@ def test_two_host_lockstep_deployment(tmp_path):
     # device per process, 2-device global mesh
     env["XLA_FLAGS"] = ""
 
-    def free_port():
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-        s.close()
-        return port
-
-    http = [free_port(), free_port()]
-    sock = [free_port(), free_port()]
-    coord, lockstep = free_port(), free_port()
+    http = [_free_port(), _free_port()]
+    sock = [_free_port(), _free_port()]
+    coord, lockstep = _free_port(), _free_port()
     servers = []
     senders = []
     logs = [open(tmp_path / f"server{i}.log", "wb") for i in range(2)]
