@@ -467,14 +467,18 @@ def main() -> int:
                                                   port_base=38660)
             serving.update(served)
             # the lossless configuration is usually the best path, and
-            # the tunnel's bandwidth drifts between windows — sample it
-            # twice and keep the better (a zero reading = stalled window)
+            # the tunnel's bandwidth drifts between windows — sample two
+            # depths and keep the better (a zero reading = stalled
+            # window; the deeper batch amortizes the flat per-execution
+            # cost harder on slow-link days)
             lossless = bench_serving_throughput(
                 streams=batch, coalesce=False, max_batch=2 * batch,
                 port_base=38640)
             second = bench_serving_throughput(
-                streams=batch, coalesce=False, max_batch=2 * batch,
+                streams=batch, coalesce=False, max_batch=4 * batch,
                 port_base=38680)
+            lossless["serving_lossless_max_batch"] = 2 * batch
+            second["serving_lossless_max_batch"] = 4 * batch
             if (second["serving_delivered_fps"]
                     > lossless["serving_delivered_fps"]):
                 lossless = second
@@ -482,6 +486,8 @@ def main() -> int:
                 lossless["serving_delivered_fps"])
             serving["serving_lossless_mean_batch"] = (
                 lossless["serving_mean_batch"])
+            serving["serving_lossless_max_batch"] = (
+                lossless["serving_lossless_max_batch"])
             break
         except Exception as e:  # pragma: no cover - flaky-rig guard
             last_err = e

@@ -169,10 +169,10 @@ def _conv_transpose(node: OnnxNode, x, w, b=None):
 
 def _pad(node: OnnxNode, x, pads=None, value=None, axes=None):
     mode = node.attrs.get("mode", b"constant").decode()
-    if pads is None:  # opset < 11: attributes
+    if pads is None:  # opset < 11: attributes (plain int lists)
         pads = node.attrs["pads"]
         value = node.attrs.get("value", 0.0)
-    if not _is_concrete(pads):
+    elif not _is_concrete(pads):
         raise ValueError(f"Pad with traced pads ({node.name})")
     pads = np.asarray(pads).reshape(-1).tolist()
     ax = (list(range(x.ndim)) if axes is None
@@ -303,8 +303,8 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
 
 
 def _upsample(node: OnnxNode, x, scales=None):
-    if scales is None:
-        scales = node.attrs["scales"]
+    if scales is None:  # opset <= 8: attribute (plain float list)
+        scales = np.asarray(node.attrs["scales"], np.float64)
     node = OnnxNode("Resize", node.name, node.inputs, node.outputs,
                     {"mode": node.attrs.get("mode", b"nearest"),
                      "coordinate_transformation_mode": b"asymmetric",

@@ -179,10 +179,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from infercam_onnx_tpu.utils.profiling import device_trace
 
-    if args.distributed:
-        from infercam_onnx_tpu.parallel.multihost import initialize
-
-        initialize(args.distributed)
     if args.lockstep_address:
         if not args.distributed:
             ap.error("--lockstep-address requires --distributed")
@@ -195,6 +191,17 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--lockstep-address does not support tiling")
         if args.runtime != "native":
             ap.error("--lockstep-address requires --runtime native")
+        if args.max_rss_mb:
+            # a recycling member would end the lockstep session for the
+            # WHOLE cluster with no rejoin path (jax.distributed cannot
+            # re-admit a restarted process mid-incarnation)
+            ap.error("--max-rss-mb cannot be combined with "
+                     "--lockstep-address; restart the full cluster "
+                     "instead")
+    if args.distributed:
+        from infercam_onnx_tpu.parallel.multihost import initialize
+
+        initialize(args.distributed)
 
     assume_dims = None
     if args.assume_frame_dims:

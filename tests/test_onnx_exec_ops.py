@@ -28,23 +28,7 @@ from infercam_onnx_tpu.models.onnx_reader import (  # noqa: E402
 )
 
 
-def _export(mod, path, *example_inputs, opset=11):
-    """torch.onnx.export without the `onnx` package (see
-    test_onnx_graph._export for the rationale of the patch)."""
-    import warnings
-
-    from torch.onnx._internal.torchscript_exporter import (
-        onnx_proto_utils)
-
-    orig = onnx_proto_utils._add_onnxscript_fn
-    onnx_proto_utils._add_onnxscript_fn = lambda b, c: b
-    try:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            torch.onnx.export(mod, tuple(example_inputs), str(path),
-                              opset_version=opset, dynamo=False)
-    finally:
-        onnx_proto_utils._add_onnxscript_fn = orig
+from onnx_export_util import export_onnx as _export  # noqa: E402
 
 
 def _check_export(mod, inputs, tmp_path, *, opset=11, atol=1e-5,
@@ -350,6 +334,21 @@ def test_reduce_ops_axes_as_input_and_noop():
     np.testing.assert_allclose(np.asarray(out), x)
     out = _OPS["ReduceProd"](_node("ReduceProd", dict(keepdims=1)), x)
     assert np.asarray(out).shape == (1, 1, 1)
+
+
+def test_legacy_attribute_forms_pad_and_upsample():
+    """Opset<11 Pad and opset<=8 Upsample carry their geometry as plain
+    int/float list ATTRIBUTES (not initializer inputs) — the executor
+    must treat those as concrete."""
+    x = np.ones((1, 1, 2, 2), np.float32)
+    out = _OPS["Pad"](
+        _node("Pad", dict(mode=b"constant", pads=[0, 0, 1, 1, 0, 0, 1, 1],
+                          value=3.0)), x)
+    assert out.shape == (1, 1, 4, 4) and out[0, 0, 0, 0] == 3.0
+    out = _OPS["Upsample"](
+        _node("Upsample", dict(mode=b"nearest",
+                               scales=[1.0, 1.0, 2.0, 2.0])), x)
+    assert np.asarray(out).shape == (1, 1, 4, 4)
 
 
 def test_pad_constant_with_value_and_axes():

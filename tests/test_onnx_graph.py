@@ -34,26 +34,13 @@ from infercam_onnx_tpu.models.onnx_reader import (  # noqa: E402
 from torch_twin import UltraFaceTwin  # noqa: E402
 
 
+from onnx_export_util import export_onnx  # noqa: E402
+
+
 def _export(twin, path, width, height, fold):
-    """torch.onnx.export without the `onnx` package: the final
-    _add_onnxscript_fn step only post-processes custom onnxscript ops
-    (absent here), so patch it to identity."""
-    import warnings
-
-    from torch.onnx._internal.torchscript_exporter import (
-        onnx_proto_utils)
-
-    orig = onnx_proto_utils._add_onnxscript_fn
-    onnx_proto_utils._add_onnxscript_fn = lambda b, c: b
-    try:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            torch.onnx.export(
-                twin, torch.zeros(1, 3, height, width), str(path),
-                input_names=["input"], output_names=["scores", "boxes"],
-                opset_version=11, do_constant_folding=fold, dynamo=False)
-    finally:
-        onnx_proto_utils._add_onnxscript_fn = orig
+    export_onnx(twin, path, torch.zeros(1, 3, height, width),
+                opset=11, fold=fold, input_names=["input"],
+                output_names=["scores", "boxes"])
 
 
 @pytest.fixture(scope="module")
