@@ -587,8 +587,14 @@ class GraphExecutor:
         self.input_names = [i.name for i in graph.inputs]
         self.output_names = [o.name for o in graph.outputs]
         known = set(self.input_names) | set(graph.initializers) | {""}
-        for node in graph.nodes:
-            if node.op_type not in _OPS:
+        self._validate(graph.nodes, known)
+        absent = [o for o in self.output_names if o not in known]
+        if absent:
+            raise ValueError(f"graph outputs never produced: {absent}")
+
+    def _validate(self, nodes, known: set) -> None:
+        for node in nodes:
+            if node.op_type != "If" and node.op_type not in _OPS:
                 raise ValueError(
                     f"unsupported ONNX op {node.op_type!r} "
                     f"(node {node.name!r}) — extend models/onnx_exec.py")
@@ -597,10 +603,23 @@ class GraphExecutor:
                 raise ValueError(
                     f"node {node.name!r} consumes unknown values "
                     f"{missing} (graph not topologically ordered?)")
+            if node.op_type == "If":
+                for key in ("then_branch", "else_branch"):
+                    sub = node.attrs.get(key)
+                    if not isinstance(sub, OnnxGraph):
+                        raise ValueError(
+                            f"If node {node.name!r} missing {key}")
+                    # ONNX subgraphs see the outer lexical scope
+                    self._validate(
+                        sub.nodes,
+                        set(known) | set(sub.initializers)
+                        | {i.name for i in sub.inputs})
+                    if len(sub.outputs) != len(node.outputs):
+                        raise ValueError(
+                            f"If node {node.name!r}: {key} yields "
+                            f"{len(sub.outputs)} outputs, node declares "
+                            f"{len(node.outputs)}")
             known.update(node.outputs)
-        absent = [o for o in self.output_names if o not in known]
-        if absent:
-            raise ValueError(f"graph outputs never produced: {absent}")
 
     def __call__(self, *inputs, initializers=None):
         """Run the graph. ``initializers`` (optional dict) substitutes
@@ -614,21 +633,49 @@ class GraphExecutor:
         if initializers is not None:
             env.update(initializers)
         env.update(zip(self.input_names, inputs))
-        for node in self.graph.nodes:
-            # optional inputs are empty-named and may sit in the MIDDLE
-            # of the list (torch: Resize(X, "", scales)) — keep their
-            # position as None, then strip the trailing ones
-            args = [env[name] if name != "" else None
-                    for name in node.inputs]
-            while args and args[-1] is None:
-                args.pop()
-            results = _OPS[node.op_type](node, *args)
+        self._exec_nodes(self.graph.nodes, env)
+        return tuple(env[name] for name in self.output_names)
+
+    def _exec_nodes(self, nodes, env: dict) -> None:
+        for node in nodes:
+            if node.op_type == "If":
+                results = self._run_if(node, env)
+            else:
+                # optional inputs are empty-named and may sit in the
+                # MIDDLE of the list (torch: Resize(X, "", scales)) —
+                # keep their position as None, strip the trailing ones
+                args = [env[name] if name != "" else None
+                        for name in node.inputs]
+                while args and args[-1] is None:
+                    args.pop()
+                results = _OPS[node.op_type](node, *args)
             if len(node.outputs) == 1:
                 env[node.outputs[0]] = results
             else:
                 for out_name, val in zip(node.outputs, results):
                     env[out_name] = val
-        return tuple(env[name] for name in self.output_names)
+
+    def _run_if(self, node: OnnxNode, env: dict):
+        """If with a trace-time-resolvable condition: conditions in real
+        CNN exports derive from shape math (concrete numpy here), so the
+        branch choice flattens at trace time — no lax.cond needed and no
+        same-shape-both-branches constraint. A genuinely data-dependent
+        condition fails loudly instead of miscompiling."""
+        cond = env[node.inputs[0]]
+        if not _is_concrete(cond):
+            raise ValueError(
+                f"If with traced (data-dependent) condition "
+                f"({node.name}) is unsupported")
+        branch = (node.attrs["then_branch"]
+                  if bool(np.asarray(cond).reshape(()))
+                  else node.attrs["else_branch"])
+        # ONNX subgraph scoping: the branch sees the outer scope; its
+        # own values must not leak back out
+        sub_env = dict(env)
+        sub_env.update(branch.initializers)
+        self._exec_nodes(branch.nodes, sub_env)
+        outs = tuple(sub_env[o.name] for o in branch.outputs)
+        return outs if len(node.outputs) > 1 else outs[0]
 
 
 def load_graph_executor(path: str) -> GraphExecutor:

@@ -184,6 +184,7 @@ class OnnxGraph:
 
 # AttributeProto.AttributeType values
 _ATTR_FLOAT, _ATTR_INT, _ATTR_STRING, _ATTR_TENSOR = 1, 2, 3, 4
+_ATTR_GRAPH = 5
 _ATTR_FLOATS, _ATTR_INTS = 6, 7
 
 
@@ -194,6 +195,7 @@ def _parse_attribute(buf: bytes) -> tuple[str, object]:
     i_val = 0
     s_val = b""
     t_val: np.ndarray | None = None
+    g_val: "OnnxGraph | None" = None
     floats: list[float] = []
     ints: list[int] = []
     for field, wtype, val in iter_fields(buf):
@@ -209,6 +211,8 @@ def _parse_attribute(buf: bytes) -> tuple[str, object]:
             s_val = bytes(val)  # type: ignore[arg-type]
         elif field == 5 and wtype == 2:
             t_val = _parse_tensor(val)[1]  # type: ignore[arg-type]
+        elif field == 6 and wtype == 2:  # g: nested GraphProto (If/Loop)
+            g_val = parse_graph(val)  # type: ignore[arg-type]
         elif field == 7:
             if wtype == 5:
                 floats.append(float(np.frombuffer(val, "<f4")[0]))
@@ -227,12 +231,14 @@ def _parse_attribute(buf: bytes) -> tuple[str, object]:
     # presence — decides the value (a missing INT attr really is 0)
     by_type: dict[int, object] = {
         _ATTR_FLOAT: f_val, _ATTR_INT: i_val, _ATTR_STRING: s_val,
-        _ATTR_TENSOR: t_val, _ATTR_FLOATS: floats, _ATTR_INTS: ints,
+        _ATTR_TENSOR: t_val, _ATTR_GRAPH: g_val,
+        _ATTR_FLOATS: floats, _ATTR_INTS: ints,
     }
     if atype in by_type:
         return name, by_type[atype]
     # very old exports may omit `type`; fall back to field presence
     for candidate in (t_val if t_val is not None else None,
+                      g_val if g_val is not None else None,
                       s_val or None, floats or None, ints or None):
         if candidate is not None:
             return name, candidate

@@ -158,9 +158,29 @@ def test_eltwise_export(tmp_path):
             "Pow", "Clip", "Where", "ReduceMean", "ReduceSum"} <= ops
 
 
-def test_lrn_matches_torch():
-    """torch's own LRN export decomposes through an `If` subgraph, so
-    pin the plain LRN op (emitted by other exporters) directly against
+class _Lrn(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.lrn = torch.nn.LocalResponseNorm(5, alpha=2e-4, beta=0.7,
+                                              k=1.5)
+
+    def forward(self, x):
+        return self.lrn(x)
+
+
+def test_lrn_export_with_if_subgraph(tmp_path):
+    """torch's LRN export decomposes through an `If` node with
+    GraphProto branch attributes — end-to-end proof of subgraph parsing
+    + trace-time-resolved If execution (the condition comes from
+    concrete shape math)."""
+    x = np.random.default_rng(3).normal(
+        size=(2, 12, 7, 6)).astype(np.float32)
+    ex = _check_export(_Lrn(), [x], tmp_path, jit=True)
+    assert any(n.op_type == "If" for n in ex.graph.nodes)
+
+
+def test_lrn_direct_op_matches_torch():
+    """The plain LRN op (emitted by non-torch exporters) against
     torch.nn.functional."""
     x = np.random.default_rng(3).normal(
         size=(2, 12, 7, 6)).astype(np.float32)
@@ -170,6 +190,35 @@ def test_lrn_matches_torch():
         torch.from_numpy(x), 5, alpha=2e-4, beta=0.7, k=1.5)
     np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                atol=1e-5)
+
+
+def test_if_traced_condition_fails_loudly():
+    """A genuinely data-dependent If must raise, not miscompile."""
+    from infercam_onnx_tpu.models.onnx_reader import (
+        OnnxGraph,
+        OnnxValueInfo,
+    )
+
+    def branch(value):
+        return OnnxGraph(
+            nodes=[OnnxNode("Constant", f"c{value}", [], ["y"],
+                            {"value": np.float32(value)})],
+            initializers={}, inputs=[],
+            outputs=[OnnxValueInfo("y", 1, [])])
+
+    g = OnnxGraph(
+        nodes=[OnnxNode("If", "pick", ["cond"], ["out"],
+                        {"then_branch": branch(1.0),
+                         "else_branch": branch(2.0)})],
+        initializers={},
+        inputs=[OnnxValueInfo("cond", 9, [])],
+        outputs=[OnnxValueInfo("out", 1, [])])
+    ex = GraphExecutor(g)
+    # concrete condition resolves at trace time
+    assert float(ex(np.asarray(True))[0]) == 1.0
+    assert float(ex(np.asarray(False))[0]) == 2.0
+    with pytest.raises(ValueError, match="data-dependent"):
+        jax.jit(ex)(np.asarray(True))
 
 
 class _PixelShuffle(torch.nn.Module):
