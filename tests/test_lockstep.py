@@ -237,6 +237,20 @@ def test_two_host_lockstep_deployment(tmp_path):
                 count = payload["totals"].get("inferred_unique", 0)
                 time.sleep(0.5)
             assert count >= 1, f"host {pid} stats: {payload['totals']}"
+
+        # graceful degradation: hard-kill host 1 (ends the lockstep
+        # session cluster-wide). Host 0 must stay up — healthcheck and
+        # the RAW stream path (no detector involved) keep working;
+        # only detection output stops until the cluster is restarted
+        # (the documented failure contract, docs/OPERATIONS.md).
+        servers[1].kill()
+        time.sleep(2.0)
+        resp = _http_get(http[0], "/healthcheck", timeout=10.0)
+        assert resp.endswith(b"healthy")
+        raw = _http_get(http[0], "/stream?name=cam0", timeout=20.0,
+                        stop_after_frames=2)
+        assert raw.count(b"--frame\r\nContent-Type") >= 2, \
+            "raw streaming must survive a peer host failure"
     finally:
         for p in senders:
             p.send_signal(signal.SIGINT)
