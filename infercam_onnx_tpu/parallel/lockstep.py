@@ -21,10 +21,11 @@ The reference has no multi-host tier at all (its fabric is one TCP
 socket into one process, reference infer_server/src/data_socket.rs);
 this is the BASELINE config-5 scale-out path beyond a single host.
 Serving integration: ``serve --distributed ... --lockstep-address
-host:port`` on every host (see serve.py). Decode modes: pixels and
-ycbcr. Single-process meshes also work (n_processes=1 degenerates to
-a local round-trip), which is how the unit tests drive the machinery
-on the virtual CPU mesh.
+host:port`` on every host (see serve.py). All three decode modes
+(pixels, ycbcr, coefficients) dispatch through lockstep rounds.
+Single-process meshes also work (n_processes=1 degenerates to a local
+round-trip), which is how the unit tests drive the machinery on the
+virtual CPU mesh.
 """
 
 from __future__ import annotations
@@ -226,9 +227,18 @@ class LockstepDetector(ShardedDetector):
         return self._submit(desc, int(packed.shape[0]),
                             {"packed": np.asarray(packed)})
 
-    def run_device_coefficients_arrays(self, *a, **k):
-        raise NotImplementedError(
-            "lockstep serving supports decode modes pixels and ycbcr")
+    def run_device_coefficients_arrays(self, y, cb, cr, quant, wh, *,
+                                       sampling=(2, 2),
+                                       pack_output: bool = False):
+        desc = {"kind": "coef", "w": int(wh[0]), "h": int(wh[1]),
+                "sampling": list(sampling),
+                "y_shape": [int(v) for v in y.shape[1:]],
+                "c_shape": [int(v) for v in cb.shape[1:]],
+                "pack": pack_output}
+        return self._submit(desc, int(y.shape[0]),
+                            {"y": np.asarray(y), "cb": np.asarray(cb),
+                             "cr": np.asarray(cr),
+                             "quant": np.asarray(quant)})
 
     def close(self) -> None:
         """Leave the session (ends it for the whole cluster)."""
@@ -377,5 +387,23 @@ class LockstepDetector(ShardedDetector):
                                                   geom["height"])
             prog = self._ycbcr_program(geom, pack)
             out = prog(self._params, self._priors, garr, r_h, r_w)
+            return self._readback(out, n_local, pack)
+        if desc["kind"] == "coef":
+            w, h = desc["w"], desc["h"]
+            y_shape = tuple(desc["y_shape"])
+            c_shape = tuple(desc["c_shape"])
+            if data is not None:
+                y, cb, cr, quant = (data["y"], data["cb"], data["cr"],
+                                    data["quant"])
+            else:
+                y = np.zeros((0,) + y_shape, np.int16)
+                cb = cr = np.zeros((0,) + c_shape, np.int16)
+                quant = np.zeros((0, 3, 64), np.uint16)
+            args = tuple(self._global(a, rows)
+                         for a in (y, cb, cr, quant))
+            r_h, r_w = self.preprocessor.matrices(w, h)
+            prog = self._coef_program(
+                w, h, tuple(desc["sampling"]) == (2, 2), pack)
+            out = prog(self._params, self._priors, *args, r_h, r_w)
             return self._readback(out, n_local, pack)
         raise ValueError(f"unknown lockstep unit kind {desc['kind']!r}")

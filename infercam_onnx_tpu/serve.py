@@ -184,9 +184,6 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--lockstep-address requires --distributed")
         if args.data_parallel == "off":
             ap.error("--lockstep-address requires data-parallel serving")
-        if args.decode_mode not in ("pixels", "ycbcr"):
-            ap.error("--lockstep-address supports decode modes "
-                     "pixels|ycbcr")
         if args.tile_min_pixels:
             ap.error("--lockstep-address does not support tiling")
         if args.runtime != "native":

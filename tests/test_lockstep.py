@@ -108,6 +108,22 @@ def test_lockstep_tuple_output_and_ycbcr(lockstep_pair):
     assert boxes.shape[0] == confs.shape[0] == counts.shape[0] == 2
 
 
+def test_lockstep_coefficients_matches_plain_detector(lockstep_pair):
+    det, lock = lockstep_pair
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+
+    rng = np.random.default_rng(2)
+    datas = [codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8),
+        90, "420") for _ in range(3)]
+    y, cb, cr, q, wh, samp = read_coefficient_batch(datas)
+    want = det.run_device_coefficients_arrays(
+        y, cb, cr, q, wh, sampling=samp, pack_output=True)
+    got = lock.run_device_coefficients_arrays(
+        y, cb, cr, q, wh, sampling=samp, pack_output=True)
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
 def test_lockstep_closed_session_raises(tmp_path):
     from infercam_onnx_tpu.config import DetectorConfig
     from infercam_onnx_tpu.detector import Detector
