@@ -704,10 +704,15 @@ class GraphDetector:
     resolve statically. Compute is float32 (the graph's own dtype).
     API-compatible with detector.Detector for the host-level calls
     (run_device / detect_batch / detect / warmup).
+
+    ``mesh``: shard the batch (stream) axis over a `jax.sharding.Mesh`
+    — data-parallel serving for ARBITRARY graph models, same scheme as
+    parallel/ShardedDetector (weights replicate, activations shard,
+    no collectives in the hot loop; batches pad to mesh multiples).
     """
 
     def __init__(self, path_or_graph,
-                 config=None):
+                 config=None, mesh=None):
         from infercam_onnx_tpu.config import DetectorConfig
         from infercam_onnx_tpu.models.onnx_reader import (
             OnnxGraph,
@@ -718,6 +723,7 @@ class GraphDetector:
         self.config = config or DetectorConfig(compute_dtype="float32")
         graph = (path_or_graph if isinstance(path_or_graph, OnnxGraph)
                  else read_onnx_graph(path_or_graph))
+        self.graph = graph
         self.executor = GraphExecutor(graph)
         shape = graph.inputs[0].shape
         if len(shape) != 4 or shape[1] != 3:
@@ -730,7 +736,23 @@ class GraphDetector:
             k: v for k, v in graph.initializers.items()
             if np.issubdtype(v.dtype, np.floating)
         }
-        self._program = jax.jit(self._forward)
+        self.mesh = mesh
+        if mesh is None:
+            self._program = jax.jit(self._forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self.batch_granularity = mesh.shape["data"]
+            self._program = jax.jit(
+                self._forward,
+                in_shardings=(repl, batch, repl, repl),
+                out_shardings=(batch, batch, batch))
+
+    def to_mesh(self, mesh) -> "GraphDetector":
+        """Mesh-aware clone reusing the parsed graph (no re-parse)."""
+        return GraphDetector(self.graph, self.config, mesh=mesh)
 
     def _forward(self, weights, images, r_h, r_w):
         from infercam_onnx_tpu.ops.postprocess import batched_postprocess
@@ -753,10 +775,16 @@ class GraphDetector:
         return sel_boxes, sel_conf, count
 
     def run_device(self, images, *, pack_output: bool = False):
-        _, h, w, _ = images.shape
+        b, h, w, _ = images.shape
+        if self.mesh is not None:
+            pad = (-b) % self.mesh.shape["data"]
+            if pad:
+                images = np.pad(np.asarray(images),
+                                [(0, pad)] + [(0, 0)] * 3)
         r_h, r_w = self.preprocessor.matrices(w, h)
         boxes, confs, count = self._program(
             self._weights, jnp.asarray(images), r_h, r_w)
+        boxes, confs, count = boxes[:b], confs[:b], count[:b]
         if not pack_output:
             return boxes, confs, count
         d = boxes.shape[1]

@@ -220,9 +220,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.decode_mode != "pixels" or args.tile_min_pixels:
             ap.error("--runtime graph supports decode-mode pixels "
                      "without tiling")
-        if args.data_parallel == "on":
-            ap.error("--runtime graph is single-device")
-        args.data_parallel = "off"
         from infercam_onnx_tpu.models.onnx_exec import GraphDetector
 
         detector = GraphDetector(args.onnx, detector_config)

@@ -101,6 +101,12 @@ async def start_server(
             raise ValueError(
                 "--data-parallel on requires >1 device, have 1")
 
+    if (mesh is not None and not lockstep_address
+            and getattr(detector, "mesh", None) is None
+            and hasattr(detector, "to_mesh")):
+        # graph-runtime detectors re-bind their own sharded programs
+        detector = detector.to_mesh(mesh)
+
     if lockstep_address:
         # multi-host: one serve process per host over ONE global mesh
         # requires lockstep program dispatch (see parallel/lockstep.py)

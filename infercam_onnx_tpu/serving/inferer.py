@@ -53,12 +53,13 @@ class InferenceWorker:
         and high-res tile batches shard-constrain onto it. None =
         single-device programs."""
         self._mesh = mesh
-        if mesh is not None:
+        if mesh is not None and getattr(detector, "mesh", None) is None:
+            # detectors already bound to a mesh (ShardedDetector,
+            # LockstepDetector, mesh-aware GraphDetector) pass through
             from infercam_onnx_tpu.parallel.data_parallel import (
                 ShardedDetector)
 
-            if not isinstance(detector, ShardedDetector):
-                detector = ShardedDetector(detector, mesh)
+            detector = ShardedDetector(detector, mesh)
         self._detector = detector
         self._cfg = engine_config
         self._server_cfg = server_config

@@ -290,6 +290,85 @@ def test_graph_detector_serves_mjpeg(exports, rng, tmp_path):
     asyncio.run(run())
 
 
+def test_graph_detector_shards_over_mesh(exports, rng):
+    """Arbitrary-graph data-parallel serving: the mesh-aware
+    GraphDetector's batch shards over the 8-device mesh and equals the
+    single-device runtime (incl. the pad-and-slice path for batches
+    that don't divide the mesh)."""
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    cfg = DetectorConfig(variant="RFB-320", compute_dtype="float32")
+    single = GraphDetector(exports[True], cfg)
+    sharded = single.to_mesh(make_mesh(8))
+    assert sharded.batch_granularity == 8
+    frames = rng.integers(0, 256, size=(3, 120, 160, 3), dtype=np.uint8)
+    a = np.asarray(single.run_device(frames, pack_output=True))
+    b = np.asarray(sharded.run_device(frames, pack_output=True))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_graph_detector_data_parallel_serving(exports, rng, tmp_path):
+    """start_server auto-binds the graph runtime to the visible mesh
+    and live frames shard across it."""
+    import asyncio
+
+    from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import (
+        ClientConfig,
+        DetectorConfig,
+        EngineConfig,
+        ServerConfig,
+    )
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+    from infercam_onnx_tpu.serving.app import start_server
+
+    frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(frame))
+    det = GraphDetector(
+        exports[True],
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"))
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address="127.0.0.1:18390",
+                socket_address="127.0.0.1:18391"),
+            engine_config=EngineConfig(batch_buckets=(1, 8),
+                                       batch_window_ms=5.0),
+            detector=det, data_parallel="on")
+        worker_det = server.worker._detector
+        assert isinstance(worker_det, GraphDetector)
+        assert worker_det.mesh is not None
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18390)
+            writer.write(b"GET /face_stream?name=g HTTP/1.1\r\n"
+                         b"Host: x\r\n\r\n")
+            await writer.drain()
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18391", channel="g"),
+                max_frames=8)
+            data = b""
+            try:
+                while data.count(b"--frame") < 1:
+                    data += await asyncio.wait_for(reader.read(4096),
+                                                   60.0)
+            except asyncio.TimeoutError:
+                pass
+            assert data.count(b"--frame") >= 1, data[:200]
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_graph_detector_unfolded_export_with_bn_nodes(exports, rng):
     """GraphDetector with an export that KEEPS BatchNormalization nodes:
     the BN statistics are traced jit arguments, exercising the
