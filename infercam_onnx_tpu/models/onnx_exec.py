@@ -528,6 +528,9 @@ _OPS: dict[str, Callable] = {
     "Or": lambda n, a, b: a | b,
     "ArgMax": lambda n, x: _argminmax(n, x, "argmax"),
     "ArgMin": lambda n, x: _argminmax(n, x, "argmin"),
+    # defined below the table (late-bound via lambda)
+    "TopK": lambda n, x, k: _topk(n, x, k),
+    "NonMaxSuppression": lambda n, *a: _nms_onnx(n, *a),
     "Range": lambda n, lo, hi, step: np.arange(
         np.asarray(lo).item(), np.asarray(hi).item(),
         np.asarray(step).item()) if _is_concrete(lo, hi, step)
@@ -536,6 +539,90 @@ _OPS: dict[str, Callable] = {
         x, tuple(int(r) for r in np.asarray(reps).reshape(-1)))
     if _is_concrete(reps) else _raise(f"Tile traced reps ({n.name})"),
 }
+
+
+def _topk(node: OnnxNode, x, k):
+    if not _is_concrete(k):
+        raise ValueError(f"TopK with traced K ({node.name})")
+    k = int(np.asarray(k).reshape(()))
+    axis = node.attrs.get("axis", -1)
+    largest = bool(node.attrs.get("largest", 1))
+    if _is_concrete(x):
+        order = np.argsort(-x if largest else x, axis=axis,
+                           kind="stable")
+        idx = np.take(order, np.arange(k), axis=axis)
+        return (np.take_along_axis(np.asarray(x), idx, axis=axis),
+                idx.astype(np.int64))
+    moved = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    vals, idx = jax.lax.top_k(moved if largest else -moved, k)
+    if not largest:
+        vals = -vals
+    return (jnp.moveaxis(vals, -1, axis),
+            jnp.moveaxis(idx, -1, axis).astype(jnp.int64))
+
+
+def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
+              iou_thresh=None, score_thresh=None):
+    """ONNX NonMaxSuppression: dynamic-length selected_indices [S, 3]
+    (batch, class, box). The output SHAPE depends on the data, so this
+    op is concrete-only — real detection exports run it at the graph
+    tail where everything is host-side anyway; under jit it fails
+    loudly (the framework's own fixed-shape NMS is the jittable path,
+    ops/postprocess.py)."""
+    if not _is_concrete(boxes, scores):
+        raise ValueError(
+            f"NonMaxSuppression under jit is unsupported ({node.name}) "
+            "— dynamic output shape; use the fixed-shape NMS "
+            "(ops/postprocess.py) for on-device pipelines")
+    max_out = (0 if max_out is None
+               else int(np.asarray(max_out).reshape(())))
+    iou_thresh = (0.0 if iou_thresh is None
+                  else float(np.asarray(iou_thresh).reshape(())))
+    score_thresh = (None if score_thresh is None
+                    else float(np.asarray(score_thresh).reshape(())))
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    if node.attrs.get("center_point_box", 0):
+        cx, cy, w, h = (boxes[..., i] for i in range(4))
+        boxes = np.stack([cy - h / 2, cx - w / 2,
+                          cy + h / 2, cx + w / 2], axis=-1)
+    else:
+        # corners may be flipped per spec; canonicalize
+        y1 = np.minimum(boxes[..., 0], boxes[..., 2])
+        y2 = np.maximum(boxes[..., 0], boxes[..., 2])
+        x1 = np.minimum(boxes[..., 1], boxes[..., 3])
+        x2 = np.maximum(boxes[..., 1], boxes[..., 3])
+        boxes = np.stack([y1, x1, y2, x2], axis=-1)
+    selected = []
+    for b in range(scores.shape[0]):
+        for c in range(scores.shape[1]):
+            s = scores[b, c]
+            order = np.argsort(-s, kind="stable")
+            if score_thresh is not None:
+                order = order[s[order] > score_thresh]
+            kept: list[int] = []
+            for i in order:
+                if max_out and len(kept) >= max_out:
+                    break
+                bi = boxes[b, i]
+                ok = True
+                for j in kept:
+                    bj = boxes[b, j]
+                    yy1 = max(bi[0], bj[0])
+                    xx1 = max(bi[1], bj[1])
+                    yy2 = min(bi[2], bj[2])
+                    xx2 = min(bi[3], bj[3])
+                    inter = max(0.0, yy2 - yy1) * max(0.0, xx2 - xx1)
+                    area_i = (bi[2] - bi[0]) * (bi[3] - bi[1])
+                    area_j = (bj[2] - bj[0]) * (bj[3] - bj[1])
+                    union = area_i + area_j - inter
+                    if union > 0 and inter / union > iou_thresh:
+                        ok = False
+                        break
+                if ok:
+                    kept.append(int(i))
+            selected.extend([b, c, i] for i in kept)
+    return np.asarray(selected, np.int64).reshape(-1, 3)
 
 
 def _prelu(x, slope):

@@ -422,6 +422,65 @@ def test_split_uneven_sizes_from_input():
     assert [p.shape[1] for p in parts] == [3, 7]
 
 
+class _TopKNet(torch.nn.Module):
+    def forward(self, x):
+        vals, idx = torch.topk(x, 3, dim=1)
+        return vals, idx
+
+
+def test_topk_export_and_traced(tmp_path):
+    x = np.random.default_rng(11).normal(
+        size=(2, 8)).astype(np.float32)
+    ex = _check_export(_TopKNet(), [x], tmp_path)
+    assert any(n.op_type == "TopK" for n in ex.graph.nodes)
+    # traced path (jax.lax.top_k) agrees with torch too
+    got_v, got_i = jax.jit(ex)(x)
+    want_v, want_i = _TopKNet()(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i.numpy())
+
+
+def test_topk_smallest():
+    x = np.array([[4.0, 1.0, 3.0, 2.0]], np.float32)
+    vals, idx = _OPS["TopK"](
+        _node("TopK", dict(axis=1, largest=0), n_out=2), x,
+        np.int64(2))
+    np.testing.assert_allclose(vals, [[1.0, 2.0]])
+    np.testing.assert_array_equal(idx, [[1, 3]])
+
+
+def test_onnx_nonmax_suppression():
+    # two overlapping boxes + one distant; class-major output order
+    boxes = np.array([[[0, 0, 1, 1],
+                       [0, 0.05, 1, 1.05],
+                       [0, 2, 1, 3]]], np.float32)
+    scores = np.array([[[0.9, 0.8, 0.7]]], np.float32)
+    node = _node("NonMaxSuppression", n_out=1)
+    sel = _OPS["NonMaxSuppression"](
+        node, boxes, scores, np.int64(10), np.float32(0.5),
+        np.float32(0.0))
+    # box 1 suppressed by box 0 (IoU ~0.9); box 2 survives
+    np.testing.assert_array_equal(sel, [[0, 0, 0], [0, 0, 2]])
+    # score threshold drops the weak survivor
+    sel = _OPS["NonMaxSuppression"](
+        node, boxes, scores, np.int64(10), np.float32(0.5),
+        np.float32(0.75))
+    np.testing.assert_array_equal(sel, [[0, 0, 0]])
+    # center_point_box format
+    cboxes = np.array([[[0.5, 0.5, 1, 1],
+                        [3.0, 3.0, 1, 1]]], np.float32)
+    cscores = np.array([[[0.6, 0.9]]], np.float32)
+    sel = _OPS["NonMaxSuppression"](
+        _node("NonMaxSuppression", dict(center_point_box=1), n_out=1),
+        cboxes, cscores, np.int64(10), np.float32(0.5))
+    np.testing.assert_array_equal(sel, [[0, 0, 1], [0, 0, 0]])
+    # under jit: loud failure (dynamic output shape)
+    with pytest.raises(ValueError, match="NonMaxSuppression under jit"):
+        jax.jit(lambda b, s: _OPS["NonMaxSuppression"](node, b, s))(
+            boxes, scores)
+
+
 def test_unsupported_op_fails_loudly_at_build(tmp_path):
     class Mod(torch.nn.Module):
         def forward(self, x):
