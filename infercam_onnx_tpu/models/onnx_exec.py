@@ -455,7 +455,11 @@ _OPS: dict[str, Callable] = {
     "Reshape": _reshape,
     "Flatten": lambda n, x: x.reshape(
         int(np.prod(x.shape[:n.attrs.get("axis", 1)]) or 1), -1),
-    "Shape": lambda n, x: np.asarray(x.shape, np.int64),
+    # opset 15+: optional start/end attrs slice the shape (negatives
+    # clamp per spec)
+    "Shape": lambda n, x: np.asarray(
+        x.shape[slice(n.attrs.get("start", 0), n.attrs.get("end"))],
+        np.int64),
     "Gather": _gather,
     "Unsqueeze": _unsqueeze,
     "Squeeze": _squeeze,

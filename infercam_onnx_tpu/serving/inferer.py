@@ -219,6 +219,20 @@ class InferenceWorker:
                                 job.key)
                             self._meter.tick_dropped()
 
+            def pixel_fallback(job, err):
+                # a frame the device-tail path can't take (e.g. 4:4:4
+                # chroma) still usually PIXEL-decodes fine — route it
+                # through the pixels program instead of dropping it
+                try:
+                    frames.append((job, codec.decode_rgb(job.data,
+                                                         scale)))
+                    log.debug("stream %x: %s; pixel-decode fallback",
+                              job.key, err)
+                except ValueError:
+                    log.warning("dropping corrupt frame on stream %x "
+                                "(%s)", job.key, err)
+                    self._meter.tick_dropped()
+
             # entropy-only decode, grouped by JPEG geometry
             coef_groups = []
             by_geom: dict = {}
@@ -232,9 +246,7 @@ class InferenceWorker:
                             planes[0].shape, planes[1].shape)
                     by_geom.setdefault(geom, []).append((job, planes))
                 except ValueError as e:
-                    log.warning("coefficient decode failed on stream "
-                                "%x (%s); dropping", job.key, e)
-                    self._meter.tick_dropped()
+                    pixel_fallback(job, e)
             for geom, members in by_geom.items():
                 coef_groups.append(members)
 
@@ -266,10 +278,7 @@ class InferenceWorker:
                                 key, ([], geom))[0].append(
                                 (job, packed[0]))
                         except ValueError as e:
-                            log.warning(
-                                "ycbcr decode failed on stream %x (%s);"
-                                " dropping", job.key, e)
-                            self._meter.tick_dropped()
+                            pixel_fallback(job, e)
                     for members, geom in yc_by_geom.values():
                         ycbcr_groups.append((members, geom))
 

@@ -701,6 +701,56 @@ def test_detections_with_ycbcr_mode(detector, tmp_path):
     asyncio.run(run())
 
 
+@pytest.mark.parametrize("kind", ["444", "grayscale"])
+def test_ycbcr_mode_serves_nonstandard_chroma(detector, tmp_path, kind):
+    """4:4:4 JPEGs ride the packed-plane device tail natively
+    (sampling (1,1) geometry); layouts the native path rejects outright
+    (grayscale here, also 4:2:2) fall back to pixel decode instead of
+    being dropped (regression: such streams previously lost every
+    frame)."""
+    import json
+
+    rng = np.random.default_rng(13)
+    frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    if kind == "grayscale":
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(frame[..., 0], "L").save(buf, "JPEG",
+                                                 quality=90)
+        (tmp_path / "f.jpg").write_bytes(buf.getvalue())
+    else:
+        (tmp_path / "f.jpg").write_bytes(
+            codec.encode_rgb(frame, 90, "444"))
+
+    async def run():
+        server, _ = await _start(detector, 18364, 18365,
+                                 decode_mode="ycbcr")
+        try:
+            # noise frames + random weights emit up to max_detections
+            # boxes, so one NDJSON record can be ~8 KB — read enough
+            # for at least one COMPLETE newline-terminated record
+            stream_task = asyncio.create_task(
+                _http_get(18364, "/detections?name=q",
+                          read_bytes=10000, timeout=30.0))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18365", channel="q"),
+                max_frames=6)
+            await asyncio.sleep(2.0)
+            data = await stream_task
+            body = data.split(b"\r\n\r\n", 1)[1]
+            lines = [ln for ln in body.split(b"\n")[:-1] if ln.strip()]
+            assert lines, "4:4:4 frames were dropped, not served"
+            rec = json.loads(lines[0])
+            assert rec["width"] == 64 and rec["height"] == 48
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_sharded_ycbcr_path_matches_single_device(detector):
     from infercam_onnx_tpu.native import jpeg as native_jpeg
     from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
