@@ -828,13 +828,16 @@ class GraphDetector:
             if np.issubdtype(v.dtype, np.floating)
         }
         self.mesh = mesh
+        self._tail_programs: dict = {}
         if mesh is None:
+            self._shardings = None
             self._program = jax.jit(self._forward)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
+            self._shardings = (batch, repl)
             self.batch_granularity = mesh.shape["data"]
             self._program = jax.jit(
                 self._forward,
@@ -883,6 +886,104 @@ class GraphDetector:
                  < count[:, None]).astype(jnp.float32)
         return jnp.concatenate(
             [boxes, confs[..., None], valid[..., None]], axis=-1)
+
+    def _mesh_pad(self, arr):
+        if self.mesh is None:
+            return arr
+        pad = (-arr.shape[0]) % self.mesh.shape["data"]
+        if pad:
+            arr = np.pad(np.asarray(arr),
+                         [(0, pad)] + [(0, 0)] * (arr.ndim - 1))
+        return arr
+
+    def _pack(self, boxes, confs, count):
+        d = boxes.shape[1]
+        valid = (jnp.arange(d)[None, :]
+                 < count[:, None]).astype(jnp.float32)
+        return jnp.concatenate(
+            [boxes, confs[..., None], valid[..., None]], axis=-1)
+
+    def _tail_program(self, key, impl):
+        """jit (with mesh shardings when sharded) one device-decode-tail
+        variant; cached per static geometry."""
+        prog = self._tail_programs.get(key)
+        if prog is None:
+            if self._shardings is None:
+                prog = jax.jit(impl)
+            else:
+                batch, repl = self._shardings
+                n_batch = key[1]  # how many leading args are batched
+                ins = (repl,) + (batch,) * n_batch + (repl, repl)
+                prog = jax.jit(impl, in_shardings=ins,
+                               out_shardings=(batch, batch, batch))
+            self._tail_programs[key] = prog
+        return prog
+
+    def run_device_ycbcr_packed(self, packed, geom: dict, *,
+                                pack_output: bool = False):
+        """Transfer-optimal path for graph models: packed YCbCr planes
+        in (native decode_ycbcr_batch), chroma upsampling + color
+        conversion fused ahead of the interpreted graph — identical
+        scheme to detector.detect_from_ycbcr_impl."""
+        from infercam_onnx_tpu.ops.jpeg_device import (
+            combine_ycbcr,
+            unpack_ycbcr_planes,
+        )
+
+        w, h = geom["width"], geom["height"]
+        gkey = tuple(sorted(
+            (k, tuple(v) if isinstance(v, tuple) else v)
+            for k, v in geom.items()))
+
+        def impl(weights, packed, r_h, r_w):
+            y, cb, cr = unpack_ycbcr_planes(
+                packed, y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+                c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+            rgb = combine_ycbcr(y, cb, cr, width=w, height=h,
+                                h2v2=geom["sampling"] == (2, 2))
+            return self._forward(weights, rgb, r_h, r_w)
+
+        b = packed.shape[0]
+        prog = self._tail_program(("ycbcr", 1, gkey), impl)
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        boxes, confs, count = prog(
+            self._weights, jnp.asarray(self._mesh_pad(packed)),
+            r_h, r_w)
+        boxes, confs, count = boxes[:b], confs[:b], count[:b]
+        if pack_output:
+            return self._pack(boxes, confs, count)
+        return boxes, confs, count
+
+    def run_device_coefficients_arrays(self, y, cb, cr, quant, wh, *,
+                                       sampling=(2, 2),
+                                       pack_output: bool = False):
+        """Zero-pixel path for graph models: entropy-decoded DCT
+        coefficients in, dequant+IDCT+upsample+color fused ahead of the
+        interpreted graph (cf. detector.detect_from_coefficients_impl).
+        """
+        from infercam_onnx_tpu.ops.jpeg_device import decode_rgb_device
+
+        w, h = int(wh[0]), int(wh[1])
+
+        def impl(weights, y, cb, cr, quant, r_h, r_w):
+            rgb = decode_rgb_device(y, cb, cr, quant, width=w, height=h,
+                                    h2v2=tuple(sampling) == (2, 2))
+            return self._forward(weights, rgb, r_h, r_w)
+
+        b = y.shape[0]
+        prog = self._tail_program(
+            ("coef", 4, w, h, tuple(sampling),
+             tuple(y.shape[1:]), tuple(cb.shape[1:])), impl)
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        boxes, confs, count = prog(
+            self._weights, jnp.asarray(self._mesh_pad(y)),
+            jnp.asarray(self._mesh_pad(cb)),
+            jnp.asarray(self._mesh_pad(cr)),
+            jnp.asarray(self._mesh_pad(quant)), r_h, r_w)
+        boxes, confs, count = boxes[:b], confs[:b], count[:b]
+        if pack_output:
+            return self._pack(boxes, confs, count)
+        return boxes, confs, count
 
     def warmup(self, batch_size: int, height: int, width: int, *,
                pack_output: bool = False) -> None:

@@ -217,9 +217,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.runtime == "graph":
         if not args.onnx:
             ap.error("--runtime graph requires --onnx")
-        if args.decode_mode != "pixels" or args.tile_min_pixels:
-            ap.error("--runtime graph supports decode-mode pixels "
-                     "without tiling")
+        if args.tile_min_pixels:
+            ap.error("--runtime graph does not support tiling")
         from infercam_onnx_tpu.models.onnx_exec import GraphDetector
 
         detector = GraphDetector(args.onnx, detector_config)

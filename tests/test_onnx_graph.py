@@ -231,7 +231,7 @@ def test_serve_cli_validates_graph_runtime_flags(exports):
         serve.main(["--runtime", "graph"])  # requires --onnx
     with pytest.raises(SystemExit):
         serve.main(["--runtime", "graph", "--onnx", exports[True],
-                    "--decode-mode", "ycbcr"])
+                    "--tile-min-pixels", "100000"])  # no tiling
 
 
 def test_graph_detector_serves_mjpeg(exports, rng, tmp_path):
@@ -367,6 +367,41 @@ def test_graph_detector_data_parallel_serving(exports, rng, tmp_path):
             await server.close()
 
     asyncio.run(run())
+
+
+def test_graph_detector_device_decode_tails(exports, rng):
+    """The transfer-optimal decode modes work for graph models too:
+    ycbcr packed planes and DCT coefficients produce the same
+    detections as pixel decode of the same JPEGs."""
+    from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+
+    det = GraphDetector(
+        exports[True],
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"))
+    datas = [codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8),
+        90, "420") for _ in range(2)]
+
+    pixels = np.stack([codec.decode_rgb(d) for d in datas])
+    want = np.asarray(det.run_device(pixels, pack_output=True))
+
+    packed, geom = native_jpeg.load().decode_ycbcr_batch(datas)
+    got_y = np.asarray(det.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
+    y, cb, cr, q, wh, samp = read_coefficient_batch(datas)
+    got_c = np.asarray(det.run_device_coefficients_arrays(
+        y, cb, cr, q, wh, sampling=samp, pack_output=True))
+
+    # the decode tails reproduce libjpeg's pixel output to rounding;
+    # detections agree to tight tolerance
+    for got in (got_y, got_c):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got[..., 5], want[..., 5])  # counts
+        np.testing.assert_allclose(got, want, atol=2e-2)
 
 
 def test_graph_detector_unfolded_export_with_bn_nodes(exports, rng):
