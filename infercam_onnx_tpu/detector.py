@@ -87,7 +87,7 @@ def detect_from_coefficients_impl(
     *,
     width: int,
     height: int,
-    h2v2: bool,
+    sampling: tuple,
     compute_dtype,
     min_confidence: float,
     max_iou: float,
@@ -98,12 +98,14 @@ def detect_from_coefficients_impl(
     """The zero-host-roundtrip pipeline (BASELINE config 4): JPEG DCT
     coefficients in, detections out — dequant, 8x8 IDCT, chroma
     upsampling, color conversion, resize, CNN, and NMS in ONE XLA
-    program. Host work is entropy decoding only. ``h2v2`` selects 4:2:0
-    (True) vs 4:4:4 (False) chroma geometry — must match the stream."""
+    program. Host work is entropy decoding only. ``sampling`` is the
+    luma (h, v) factor pair — (2,2)/(2,1)/(1,1) — and must match the
+    stream."""
     from infercam_onnx_tpu.ops.jpeg_device import decode_rgb_device
 
     rgb = decode_rgb_device(y_coefs, cb_coefs, cr_coefs, quant,
-                            width=width, height=height, h2v2=h2v2)
+                            width=width, height=height,
+                            sampling=sampling)
     return detect_program_impl(
         params, priors, rgb, r_h, r_w,
         compute_dtype=compute_dtype, min_confidence=min_confidence,
@@ -114,7 +116,7 @@ def detect_from_coefficients_impl(
 detect_from_coefficients = jax.jit(
     detect_from_coefficients_impl,
     static_argnames=(
-        "width", "height", "h2v2", "compute_dtype", "min_confidence",
+        "width", "height", "sampling", "compute_dtype", "min_confidence",
         "max_iou", "top_k", "max_detections", "pack_output",
     ),
 )
@@ -133,7 +135,7 @@ def detect_from_ycbcr_impl(
     y_ph: int,
     c_pw: int,
     c_ph: int,
-    h2v2: bool,
+    sampling: tuple,
     compute_dtype,
     min_confidence: float,
     max_iou: float,
@@ -155,7 +157,7 @@ def detect_from_ycbcr_impl(
     y, cb, cr = unpack_ycbcr_planes(packed, y_pw=y_pw, y_ph=y_ph,
                                     c_pw=c_pw, c_ph=c_ph)
     rgb = combine_ycbcr(y, cb, cr, width=width, height=height,
-                        h2v2=h2v2)
+                        sampling=sampling)
     return detect_program_impl(
         params, priors, rgb, r_h, r_w,
         compute_dtype=compute_dtype, min_confidence=min_confidence,
@@ -166,7 +168,7 @@ def detect_from_ycbcr_impl(
 detect_from_ycbcr = jax.jit(
     detect_from_ycbcr_impl,
     static_argnames=(
-        "width", "height", "y_pw", "y_ph", "c_pw", "c_ph", "h2v2",
+        "width", "height", "y_pw", "y_ph", "c_pw", "c_ph", "sampling",
         "compute_dtype", "min_confidence", "max_iou", "top_k",
         "max_detections", "pack_output",
     ),
@@ -266,7 +268,7 @@ class Detector:
             self.model.params, self.model.priors,
             jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
             jnp.asarray(quant), r_h, r_w,
-            width=w, height=h, h2v2=(sampling == (2, 2)),
+            width=w, height=h, sampling=tuple(sampling),
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,
             top_k=c.top_k, max_detections=c.max_detections,
@@ -296,7 +298,7 @@ class Detector:
             width=w, height=h,
             y_pw=geom["y_pw"], y_ph=geom["y_ph"],
             c_pw=geom["c_pw"], c_ph=geom["c_ph"],
-            h2v2=(geom["sampling"] == (2, 2)),
+            sampling=tuple(geom["sampling"]),
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,
             top_k=c.top_k, max_detections=c.max_detections,

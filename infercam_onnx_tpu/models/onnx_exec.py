@@ -940,7 +940,7 @@ class GraphDetector:
                 packed, y_pw=geom["y_pw"], y_ph=geom["y_ph"],
                 c_pw=geom["c_pw"], c_ph=geom["c_ph"])
             rgb = combine_ycbcr(y, cb, cr, width=w, height=h,
-                                h2v2=geom["sampling"] == (2, 2))
+                                sampling=tuple(geom["sampling"]))
             return self._forward(weights, rgb, r_h, r_w)
 
         b = packed.shape[0]
@@ -966,8 +966,9 @@ class GraphDetector:
         w, h = int(wh[0]), int(wh[1])
 
         def impl(weights, y, cb, cr, quant, r_h, r_w):
-            rgb = decode_rgb_device(y, cb, cr, quant, width=w, height=h,
-                                    h2v2=tuple(sampling) == (2, 2))
+            rgb = decode_rgb_device(y, cb, cr, quant, width=w,
+                                    height=h,
+                                    sampling=tuple(sampling))
             return self._forward(weights, rgb, r_h, r_w)
 
         b = y.shape[0]

@@ -254,7 +254,7 @@ extern "C" {
 // requires for raw output. dims_out[8]: out_w, out_h (true scaled frame
 // dims), y_pw, y_ph, c_pw, c_ph (padded plane dims), h_samp, v_samp.
 // Returns 0, -1 corrupt, -2 buffer too small, -3 unsupported layout
-// (needs 3-component YCbCr, chroma 1x1, luma 1x1 or 2x2).
+// (needs 3-component YCbCr, chroma 1x1, luma 2x2/2x1/1x1).
 int ic_jpeg_decode_ycbcr_scaled(const uint8_t* data, int64_t len,
                                 uint8_t* out, int64_t max_bytes,
                                 int32_t scale_denom, int32_t* dims_out) {
@@ -287,8 +287,10 @@ int ic_jpeg_decode_ycbcr_scaled(const uint8_t* data, int64_t len,
   const int hs = cinfo.comp_info[0].h_samp_factor;
   const int vs = cinfo.comp_info[0].v_samp_factor;
   const bool s420 = (hs == 2 && vs == 2);
+  const bool s422 = (hs == 2 && vs == 1);  // what UVC webcams emit
   const bool s444 = (hs == 1 && vs == 1);
-  if ((!s420 && !s444) || cinfo.comp_info[1].h_samp_factor != 1 ||
+  if ((!s420 && !s422 && !s444) ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
       cinfo.comp_info[1].v_samp_factor != 1 ||
       cinfo.comp_info[2].h_samp_factor != 1 ||
       cinfo.comp_info[2].v_samp_factor != 1) {
@@ -352,29 +354,40 @@ int ic_jpeg_decode_ycbcr_scaled(const uint8_t* data, int64_t len,
     }
     for (int c = 0; c < 3; ++c) row_base[c] += rows_per_call[c];
   }
-  // With IDCT scaling, libjpeg scales chroma LESS on 4:2:0 streams (it
-  // emerges at scaled-luma resolution), which would forfeit the 2x
-  // transfer saving. Fold chroma back to half resolution with a rounded
-  // 2x2 box average, in place (fold writes trail the reads).
-  if (s420 && pw[1] == pw[0] && ph[1] == ph[0]) {
-    const int64_t cw2 = pw[1] / 2, ch2 = ph[1] / 2;
-    const int64_t csz2 = cw2 * ch2;
-    for (int c = 1; c < 3; ++c) {
-      const uint8_t* src = out + plane_off[c];
-      uint8_t* dst = out + pw[0] * ph[0] + (c - 1) * csz2;
-      for (int64_t r = 0; r < ch2; ++r) {
-        const uint8_t* r0 = src + (2 * r) * pw[c];
-        const uint8_t* r1 = r0 + pw[c];
-        uint8_t* d = dst + r * cw2;
-        for (int64_t x = 0; x < cw2; ++x) {
-          d[x] = static_cast<uint8_t>(
-              (static_cast<uint32_t>(r0[2 * x]) + r0[2 * x + 1] +
-               r1[2 * x] + r1[2 * x + 1] + 2) >> 2);
+  // With IDCT scaling, libjpeg scales chroma LESS on subsampled streams
+  // (it can emerge at scaled-luma resolution), which would forfeit the
+  // transfer saving. Fold chroma back to the natural subsampled
+  // resolution with a rounded box average over the oversized axes, in
+  // place (fold writes trail the reads). Handles 4:2:0 (2x2 fold) and
+  // 4:2:2 (horizontal 2x1 fold).
+  {
+    const bool fold_w = (hs == 2 && pw[1] == pw[0]);
+    const bool fold_h = (vs == 2 && ph[1] == ph[0]);
+    if (fold_w || fold_h) {
+      const int64_t fx = fold_w ? 2 : 1, fy = fold_h ? 2 : 1;
+      const int64_t cw2 = pw[1] / fx, ch2 = ph[1] / fy;
+      const int64_t csz2 = cw2 * ch2;
+      const uint32_t norm = static_cast<uint32_t>(fx * fy);
+      for (int c = 1; c < 3; ++c) {
+        const uint8_t* src = out + plane_off[c];
+        uint8_t* dst = out + pw[0] * ph[0] + (c - 1) * csz2;
+        for (int64_t r = 0; r < ch2; ++r) {
+          uint8_t* d = dst + r * cw2;
+          for (int64_t x = 0; x < cw2; ++x) {
+            uint32_t acc = 0;
+            for (int64_t dy = 0; dy < fy; ++dy) {
+              const uint8_t* s = src + (fy * r + dy) * pw[c];
+              for (int64_t dx = 0; dx < fx; ++dx) {
+                acc += s[fx * x + dx];
+              }
+            }
+            d[x] = static_cast<uint8_t>((acc + norm / 2) / norm);
+          }
         }
       }
+      pw[1] = cw2;
+      ph[1] = ch2;
     }
-    pw[1] = cw2;
-    ph[1] = ch2;
   }
   dims_out[0] = static_cast<int32_t>(cinfo.output_width);
   dims_out[1] = static_cast<int32_t>(cinfo.output_height);
@@ -427,8 +440,8 @@ extern "C" {
 // IDCT, chroma upsampling and color conversion all run on the TPU inside
 // the fused detection program (ops/jpeg_device.py).
 //
-// Requirements: baseline/progressive JPEG, 3 components, 4:2:0 or 4:4:4
-// sampling. Coefficients and quant values are exported in natural
+// Requirements: baseline/progressive JPEG, 3 components, 4:2:0, 4:2:2,
+// or 4:4:4 sampling. Coefficients and quant values are exported in natural
 // (row-major) order, as libjpeg stores them.
 //
 // dims_out[8]: width, height, y_bw, y_bh, c_bw, c_bh, h_samp, v_samp.
@@ -467,8 +480,10 @@ int ic_jpeg_read_coefs(const uint8_t* data, int64_t len, int16_t* out_y,
   const int hs = cinfo.comp_info[0].h_samp_factor;
   const int vs = cinfo.comp_info[0].v_samp_factor;
   const bool s420 = (hs == 2 && vs == 2);
+  const bool s422 = (hs == 2 && vs == 1);
   const bool s444 = (hs == 1 && vs == 1);
-  if ((!s420 && !s444) || cinfo.comp_info[1].h_samp_factor != 1 ||
+  if ((!s420 && !s422 && !s444) ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
       cinfo.comp_info[1].v_samp_factor != 1 ||
       cinfo.comp_info[2].h_samp_factor != 1 ||
       cinfo.comp_info[2].v_samp_factor != 1) {

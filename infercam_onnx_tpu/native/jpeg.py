@@ -214,7 +214,7 @@ class NativeJpeg:
             dims)
         if rc == -3:
             raise ValueError("unsupported JPEG layout for coefficient "
-                             "export (need 3-component YCbCr 4:2:0/4:4:4)")
+                             "export (need 3-component YCbCr 4:2:0/4:2:2/4:4:4)")
         if rc != 0:
             raise ValueError(f"corrupt JPEG (coef rc={rc})")
         w, h, ybw, ybh, cbw, cbh, hs, vs = (dims[i] for i in range(8))

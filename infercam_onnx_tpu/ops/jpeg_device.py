@@ -60,7 +60,8 @@ def decode_plane(coefs: jax.Array, quant: jax.Array) -> jax.Array:
     return p + 128.0
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "h2v2"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "sampling"))
 def decode_rgb_device(
     y_coefs: jax.Array,  # [B, ybh, ybw, 64] int16
     cb_coefs: jax.Array,  # [B, cbh, cbw, 64] int16
@@ -69,7 +70,7 @@ def decode_rgb_device(
     *,
     width: int,
     height: int,
-    h2v2: bool = True,
+    sampling: tuple[int, int] = (2, 2),
 ) -> jax.Array:
     """Coefficient blocks -> [B, height, width, 3] float32 RGB (0..255,
     rounded to the u8 grid like a host decode would produce)."""
@@ -77,28 +78,34 @@ def decode_rgb_device(
     cb = decode_plane(cb_coefs, quant[:, 1])
     cr = decode_plane(cr_coefs, quant[:, 2])
     return combine_ycbcr(y, cb, cr, width=width, height=height,
-                         h2v2=h2v2)
+                         sampling=sampling)
 
 
 def combine_ycbcr(y: jax.Array, cb: jax.Array, cr: jax.Array, *,
-                  width: int, height: int, h2v2: bool) -> jax.Array:
+                  width: int, height: int,
+                  sampling: tuple[int, int]) -> jax.Array:
     """[B, h, w] float planes (0..255, chroma at subsampled res) ->
-    [B, height, width, 3] RGB on the u8 grid. Chroma upsampling uses the
-    triangle-filter matrices (equivalent to libjpeg's fancy h2v2
+    [B, height, width, 3] RGB on the u8 grid. ``sampling``: luma
+    (h, v) factors — (2, 2) = 4:2:0, (2, 1) = 4:2:2 (what UVC webcams
+    typically emit), (1, 1) = 4:4:4. Chroma upsampling uses the
+    triangle-filter matrices (equivalent to libjpeg's fancy
     upsampling incl. edge replication) as MXU matmuls; BT.601 full-range
     constants match libjpeg jdcolor."""
+    hs, vs = sampling
     y = y[:, :height, :width]
-    if h2v2:
-        ch = (height + 1) // 2
-        cw = (width + 1) // 2
+    if hs == 2 or vs == 2:
+        ch = (height + vs - 1) // vs
+        cw = (width + hs - 1) // hs
         cb = cb[:, :ch, :cw]
         cr = cr[:, :ch, :cw]
-        up_h = jnp.asarray(triangle_resize_matrix(ch, ch * 2))
-        up_w = jnp.asarray(triangle_resize_matrix(cw, cw * 2))
-        cb = jnp.einsum("oH,bHW->boW", up_h, cb)
-        cb = jnp.einsum("oW,bhW->bho", up_w, cb)
-        cr = jnp.einsum("oH,bHW->boW", up_h, cr)
-        cr = jnp.einsum("oW,bhW->bho", up_w, cr)
+        if vs == 2:
+            up_h = jnp.asarray(triangle_resize_matrix(ch, ch * 2))
+            cb = jnp.einsum("oH,bHW->boW", up_h, cb)
+            cr = jnp.einsum("oH,bHW->boW", up_h, cr)
+        if hs == 2:
+            up_w = jnp.asarray(triangle_resize_matrix(cw, cw * 2))
+            cb = jnp.einsum("oW,bhW->bho", up_w, cb)
+            cr = jnp.einsum("oW,bhW->bho", up_w, cr)
     cb = cb[:, :height, :width] - 128.0
     cr = cr[:, :height, :width] - 128.0
 

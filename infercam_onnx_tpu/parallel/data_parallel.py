@@ -104,8 +104,8 @@ class ShardedDetector(Detector):
             in_shardings=(repl, repl, batch, repl, repl),
             out_shardings=(batch, batch, batch))
         # pjit rejects kwargs when in_shardings is given, so the static
-        # geometry (width/height/h2v2) is baked per-shape into a cached
-        # closure instead of passed as static kwargs
+        # geometry (width/height/sampling) is baked per-shape into a
+        # cached closure instead of passed as static kwargs
         self._static = static
         self._batch_sharding = batch
         self._repl_sharding = repl
@@ -126,7 +126,7 @@ class ShardedDetector(Detector):
                 width=geom["width"], height=geom["height"],
                 y_pw=geom["y_pw"], y_ph=geom["y_ph"],
                 c_pw=geom["c_pw"], c_ph=geom["c_ph"],
-                h2v2=(geom["sampling"] == (2, 2)), pack_output=pack,
+                sampling=tuple(geom["sampling"]), pack_output=pack,
                 **self._static)
             prog = jax.jit(
                 fn,
@@ -150,14 +150,16 @@ class ShardedDetector(Detector):
         boxes, confs, counts = prog(*args)
         return boxes[:b], confs[:b], counts[:b]
 
-    def _coef_program(self, w: int, h: int, h2v2: bool, pack: bool):
-        key = (w, h, h2v2, pack)
+    def _coef_program(self, w: int, h: int, sampling: tuple,
+                      pack: bool):
+        key = (w, h, sampling, pack)
         prog = self._coef_programs.get(key)
         if prog is None:
             batch, repl = self._batch_sharding, self._repl_sharding
             fn = functools.partial(
                 detect_from_coefficients_impl,
-                width=w, height=h, h2v2=h2v2, pack_output=pack,
+                width=w, height=h, sampling=sampling,
+                pack_output=pack,
                 **self._static)
             prog = jax.jit(
                 fn,
@@ -198,7 +200,7 @@ class ShardedDetector(Detector):
                 jnp.asarray(self._pad(y, b)), jnp.asarray(self._pad(cb, b)),
                 jnp.asarray(self._pad(cr, b)),
                 jnp.asarray(self._pad(quant, b)), r_h, r_w)
-        prog = self._coef_program(w, h, sampling == (2, 2), pack_output)
+        prog = self._coef_program(w, h, tuple(sampling), pack_output)
         self.dispatches += 1
         if pack_output:
             return prog(*args)[:b]

@@ -403,7 +403,7 @@ class LockstepDetector(ShardedDetector):
                          for a in (y, cb, cr, quant))
             r_h, r_w = self.preprocessor.matrices(w, h)
             prog = self._coef_program(
-                w, h, tuple(desc["sampling"]) == (2, 2), pack)
+                w, h, tuple(desc["sampling"]), pack)
             out = prog(self._params, self._priors, *args, r_h, r_w)
             return self._readback(out, n_local, pack)
         raise ValueError(f"unknown lockstep unit kind {desc['kind']!r}")

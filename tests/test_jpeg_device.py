@@ -104,7 +104,7 @@ def test_444_coefficients_reconstruct(rng):
     assert samp == (1, 1)
     rgb = np.asarray(jd.decode_rgb_device(
         jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
-        jnp.asarray(quant), width=w, height=h, h2v2=False))[0]
+        jnp.asarray(quant), width=w, height=h, sampling=(1, 1)))[0]
     assert np.abs(rgb - host).mean() < 1.0
 
 
@@ -155,7 +155,7 @@ def test_ycbcr_raw_decode_reconstructs(rng):
         c_pw=geom["c_pw"], c_ph=geom["c_ph"])
     rgb = np.asarray(combine_ycbcr(
         y, cb, cr, width=geom["width"], height=geom["height"],
-        h2v2=geom["sampling"] == (2, 2)))
+        sampling=tuple(geom["sampling"])))
     assert np.abs(rgb[0] - host).mean() < 1.0
     np.testing.assert_array_equal(rgb[0], rgb[1])
 
@@ -179,9 +179,50 @@ def test_ycbcr_scaled_decode_folds_chroma(rng):
         c_pw=geom["c_pw"], c_ph=geom["c_ph"])
     rgb = np.asarray(combine_ycbcr(
         y, cb, cr, width=geom["width"], height=geom["height"],
-        h2v2=True))[0]
+        sampling=(2, 2)))[0]
     # luma path is exact; chroma does a box-down + triangle-up roundtrip
     assert np.abs(rgb - host).mean() < 4.0
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+def test_422_decode_tails_reconstruct(rng, scale):
+    """4:2:2 (the usual UVC-webcam MJPEG layout) rides BOTH device
+    decode tails: packed-plane and coefficient reconstructions match
+    the host RGB decode within the fixed-point wiggle, at full and
+    IDCT-scaled resolution."""
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+    from infercam_onnx_tpu.ops.jpeg_device import (
+        combine_ycbcr,
+        decode_rgb_device,
+        read_coefficient_batch,
+        unpack_ycbcr_planes,
+    )
+
+    img = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    data = codec.encode_rgb(img, 90, "422")
+    host = codec.decode_rgb(data, scale=scale).astype(np.float32)
+
+    packed, geom = native_jpeg.load().decode_ycbcr_batch([data],
+                                                         scale=scale)
+    assert tuple(geom["sampling"]) == (2, 1)
+    assert geom["c_pw"] * 2 == geom["y_pw"]  # half-width chroma
+    assert geom["c_ph"] == geom["y_ph"]
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    rgb = np.asarray(combine_ycbcr(
+        y, cb, cr, width=geom["width"], height=geom["height"],
+        sampling=tuple(geom["sampling"])))[0]
+    assert np.abs(rgb - host).mean() < 2.0
+
+    if scale == 1:  # coefficients are always full-resolution
+        yc, cbc, crc, q, wh, samp = read_coefficient_batch([data])
+        assert samp == (2, 1)
+        rgb2 = np.asarray(decode_rgb_device(
+            jnp.asarray(yc), jnp.asarray(cbc), jnp.asarray(crc),
+            jnp.asarray(q), width=wh[0], height=wh[1],
+            sampling=samp))[0]
+        assert np.abs(rgb2 - host).mean() < 2.0
 
 
 def test_fused_ycbcr_detection_matches_standard(rng):

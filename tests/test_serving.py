@@ -701,13 +701,13 @@ def test_detections_with_ycbcr_mode(detector, tmp_path):
     asyncio.run(run())
 
 
-@pytest.mark.parametrize("kind", ["444", "grayscale"])
+@pytest.mark.parametrize("kind", ["444", "422", "grayscale"])
 def test_ycbcr_mode_serves_nonstandard_chroma(detector, tmp_path, kind):
-    """4:4:4 JPEGs ride the packed-plane device tail natively
-    (sampling (1,1) geometry); layouts the native path rejects outright
-    (grayscale here, also 4:2:2) fall back to pixel decode instead of
-    being dropped (regression: such streams previously lost every
-    frame)."""
+    """4:4:4 and 4:2:2 JPEGs ride the packed-plane device tail natively
+    (sampling (1,1) / (2,1) geometry — 4:2:2 is what UVC webcams
+    typically emit); layouts the native path rejects outright
+    (grayscale here) fall back to pixel decode instead of being dropped
+    (regression: such streams previously lost every frame)."""
     import json
 
     rng = np.random.default_rng(13)
@@ -721,7 +721,7 @@ def test_ycbcr_mode_serves_nonstandard_chroma(detector, tmp_path, kind):
         (tmp_path / "f.jpg").write_bytes(buf.getvalue())
     else:
         (tmp_path / "f.jpg").write_bytes(
-            codec.encode_rgb(frame, 90, "444"))
+            codec.encode_rgb(frame, 90, kind))
 
     async def run():
         server, _ = await _start(detector, 18364, 18365,
