@@ -533,7 +533,7 @@ _OPS: dict[str, Callable] = {
     "ArgMax": lambda n, x: _argminmax(n, x, "argmax"),
     "ArgMin": lambda n, x: _argminmax(n, x, "argmin"),
     # defined below the table (late-bound via lambda)
-    "TopK": lambda n, x, k: _topk(n, x, k),
+    "TopK": lambda n, x, k=None: _topk(n, x, k),
     "NonMaxSuppression": lambda n, *a: _nms_onnx(n, *a),
     "Range": lambda n, lo, hi, step: np.arange(
         np.asarray(lo).item(), np.asarray(hi).item(),
@@ -545,22 +545,30 @@ _OPS: dict[str, Callable] = {
 }
 
 
-def _topk(node: OnnxNode, x, k):
-    if not _is_concrete(k):
+def _topk(node: OnnxNode, x, k=None):
+    if k is None:  # opset <= 9: k as attribute
+        k = node.attrs["k"]
+    elif not _is_concrete(k):
         raise ValueError(f"TopK with traced K ({node.name})")
     k = int(np.asarray(k).reshape(()))
     axis = node.attrs.get("axis", -1)
     largest = bool(node.attrs.get("largest", 1))
     if _is_concrete(x):
-        order = np.argsort(-x if largest else x, axis=axis,
+        xs = np.asarray(x)
+        # negation of unsigned dtypes wraps instead of reversing order
+        key = (xs.astype(np.int64)
+               if np.issubdtype(xs.dtype, np.unsignedinteger) else xs)
+        order = np.argsort(-key if largest else key, axis=axis,
                            kind="stable")
         idx = np.take(order, np.arange(k), axis=axis)
-        return (np.take_along_axis(np.asarray(x), idx, axis=axis),
+        return (np.take_along_axis(xs, idx, axis=axis),
                 idx.astype(np.int64))
     moved = jnp.moveaxis(jnp.asarray(x), axis, -1)
-    vals, idx = jax.lax.top_k(moved if largest else -moved, k)
-    if not largest:
-        vals = -vals
+    skey = (moved.astype(jnp.int64)
+            if jnp.issubdtype(moved.dtype, jnp.unsignedinteger)
+            else moved)
+    _, idx = jax.lax.top_k(skey if largest else -skey, k)
+    vals = jnp.take_along_axis(moved, idx, axis=-1)
     return (jnp.moveaxis(vals, -1, axis),
             jnp.moveaxis(idx, -1, axis).astype(jnp.int64))
 
@@ -580,6 +588,9 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
             "(ops/postprocess.py) for on-device pipelines")
     max_out = (0 if max_out is None
                else int(np.asarray(max_out).reshape(())))
+    if max_out == 0:
+        # spec: max_output_boxes_per_class defaults to 0 = NO output
+        return np.zeros((0, 3), np.int64)
     iou_thresh = (0.0 if iou_thresh is None
                   else float(np.asarray(iou_thresh).reshape(())))
     score_thresh = (None if score_thresh is None
@@ -606,7 +617,7 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                 order = order[s[order] > score_thresh]
             kept: list[int] = []
             for i in order:
-                if max_out and len(kept) >= max_out:
+                if len(kept) >= max_out:
                     break
                 bi = boxes[b, i]
                 ok = True
@@ -701,15 +712,20 @@ class GraphExecutor:
                         raise ValueError(
                             f"If node {node.name!r} missing {key}")
                     # ONNX subgraphs see the outer lexical scope
-                    self._validate(
-                        sub.nodes,
-                        set(known) | set(sub.initializers)
-                        | {i.name for i in sub.inputs})
+                    sub_known = (set(known) | set(sub.initializers)
+                                 | {i.name for i in sub.inputs})
+                    self._validate(sub.nodes, sub_known)
                     if len(sub.outputs) != len(node.outputs):
                         raise ValueError(
                             f"If node {node.name!r}: {key} yields "
                             f"{len(sub.outputs)} outputs, node declares "
                             f"{len(node.outputs)}")
+                    absent = [o.name for o in sub.outputs
+                              if o.name not in sub_known]
+                    if absent:
+                        raise ValueError(
+                            f"If node {node.name!r}: {key} outputs "
+                            f"never produced: {absent}")
             known.update(node.outputs)
 
     def __call__(self, *inputs, initializers=None):
@@ -870,22 +886,14 @@ class GraphDetector:
 
     def run_device(self, images, *, pack_output: bool = False):
         b, h, w, _ = images.shape
-        if self.mesh is not None:
-            pad = (-b) % self.mesh.shape["data"]
-            if pad:
-                images = np.pad(np.asarray(images),
-                                [(0, pad)] + [(0, 0)] * 3)
         r_h, r_w = self.preprocessor.matrices(w, h)
         boxes, confs, count = self._program(
-            self._weights, jnp.asarray(images), r_h, r_w)
+            self._weights, jnp.asarray(self._mesh_pad(images)),
+            r_h, r_w)
         boxes, confs, count = boxes[:b], confs[:b], count[:b]
         if not pack_output:
             return boxes, confs, count
-        d = boxes.shape[1]
-        valid = (jnp.arange(d)[None, :]
-                 < count[:, None]).astype(jnp.float32)
-        return jnp.concatenate(
-            [boxes, confs[..., None], valid[..., None]], axis=-1)
+        return self._pack(boxes, confs, count)
 
     def _mesh_pad(self, arr):
         if self.mesh is None:

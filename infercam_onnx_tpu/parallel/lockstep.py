@@ -234,6 +234,10 @@ class LockstepDetector(ShardedDetector):
                 "sampling": list(sampling),
                 "y_shape": [int(v) for v in y.shape[1:]],
                 "c_shape": [int(v) for v in cb.shape[1:]],
+                # dtypes must agree across hosts or padding hosts would
+                # trace a DIFFERENT program for the same dispatch slot
+                "dtypes": [str(np.asarray(y).dtype),
+                           str(np.asarray(quant).dtype)],
                 "pack": pack_output}
         return self._submit(desc, int(y.shape[0]),
                             {"y": np.asarray(y), "cb": np.asarray(cb),
@@ -392,13 +396,14 @@ class LockstepDetector(ShardedDetector):
             w, h = desc["w"], desc["h"]
             y_shape = tuple(desc["y_shape"])
             c_shape = tuple(desc["c_shape"])
+            coef_dt, quant_dt = (np.dtype(d) for d in desc["dtypes"])
             if data is not None:
                 y, cb, cr, quant = (data["y"], data["cb"], data["cr"],
                                     data["quant"])
             else:
-                y = np.zeros((0,) + y_shape, np.int16)
-                cb = cr = np.zeros((0,) + c_shape, np.int16)
-                quant = np.zeros((0, 3, 64), np.uint16)
+                y = np.zeros((0,) + y_shape, coef_dt)
+                cb = cr = np.zeros((0,) + c_shape, coef_dt)
+                quant = np.zeros((0, 3, 64), quant_dt)
             args = tuple(self._global(a, rows)
                          for a in (y, cb, cr, quant))
             r_h, r_w = self.preprocessor.matrices(w, h)

@@ -220,6 +220,19 @@ def test_if_traced_condition_fails_loudly():
     with pytest.raises(ValueError, match="data-dependent"):
         jax.jit(ex)(np.asarray(True))
 
+    # a branch whose declared output is never produced fails at BUILD
+    bad = branch(1.0)
+    bad.outputs[0].name = "nonexistent"
+    g_bad = OnnxGraph(
+        nodes=[OnnxNode("If", "pick", ["cond"], ["out"],
+                        {"then_branch": bad,
+                         "else_branch": branch(2.0)})],
+        initializers={},
+        inputs=[OnnxValueInfo("cond", 9, [])],
+        outputs=[OnnxValueInfo("out", 1, [])])
+    with pytest.raises(ValueError, match="never produced"):
+        GraphExecutor(g_bad)
+
 
 class _PixelShuffle(torch.nn.Module):
     def forward(self, x):
@@ -450,6 +463,25 @@ def test_topk_smallest():
     np.testing.assert_array_equal(idx, [[1, 3]])
 
 
+def test_topk_unsigned_and_k_attribute():
+    # unsigned inputs must not wrap under negation (0 is NOT maximal)
+    x = np.array([[0, 5, 3]], np.uint8)
+    node = _node("TopK", dict(axis=1, largest=1), n_out=2)
+    vals, idx = _OPS["TopK"](node, x, np.int64(2))
+    np.testing.assert_array_equal(vals, [[5, 3]])
+    np.testing.assert_array_equal(idx, [[1, 2]])
+    # traced path too
+    vals_t, idx_t = jax.jit(
+        lambda a: _OPS["TopK"](node, a, np.int64(2)))(x)
+    np.testing.assert_array_equal(np.asarray(vals_t), [[5, 3]])
+    np.testing.assert_array_equal(np.asarray(idx_t), [[1, 2]])
+    # opset <= 9: k as attribute, single input
+    vals, idx = _OPS["TopK"](
+        _node("TopK", dict(axis=1, k=1), n_out=2),
+        np.array([[1.0, 9.0]], np.float32))
+    np.testing.assert_array_equal(idx, [[1]])
+
+
 def test_onnx_nonmax_suppression():
     # two overlapping boxes + one distant; class-major output order
     boxes = np.array([[[0, 0, 1, 1],
@@ -475,6 +507,11 @@ def test_onnx_nonmax_suppression():
         _node("NonMaxSuppression", dict(center_point_box=1), n_out=1),
         cboxes, cscores, np.int64(10), np.float32(0.5))
     np.testing.assert_array_equal(sel, [[0, 0, 1], [0, 0, 0]])
+    # spec: max_output_boxes_per_class omitted or 0 means NO output
+    sel = _OPS["NonMaxSuppression"](node, boxes, scores)
+    assert sel.shape == (0, 3)
+    sel = _OPS["NonMaxSuppression"](node, boxes, scores, np.int64(0))
+    assert sel.shape == (0, 3)
     # under jit: loud failure (dynamic output shape)
     with pytest.raises(ValueError, match="NonMaxSuppression under jit"):
         jax.jit(lambda b, s: _OPS["NonMaxSuppression"](node, b, s))(
