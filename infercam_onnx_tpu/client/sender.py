@@ -113,16 +113,38 @@ async def run_forever(source: FrameSource,
         await asyncio.sleep(config.reconnect_backoff_s)
 
 
+def plan_channels(n_sources: int, channels: list[str]) -> list[str]:
+    """Per-source channel names: explicit list when it matches, else a
+    single base name fans out to ``base``, ``base-1``, ``base-2``, ...
+    (the first keeps the bare name so single-camera behavior is
+    unchanged)."""
+    if len(channels) == n_sources:
+        return list(channels)
+    if len(channels) == 1:
+        base = channels[0]
+        return [base if i == 0 else f"{base}-{i}"
+                for i in range(n_sources)]
+    raise ValueError(
+        f"{len(channels)} channel name(s) for {n_sources} camera(s) — "
+        "pass one --channel per --camera, or a single base name")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--address", default="127.0.0.1:3001")
-    ap.add_argument("--channel", default="simon")
+    ap.add_argument("--channel", action="append", default=None,
+                    help="stream name (repeatable; one per --camera, "
+                         "or a single base name that fans out as "
+                         "base, base-1, ...; default simon)")
     ap.add_argument("--replay-dir",
                     help="stream JPEG files from this directory")
     ap.add_argument("--fps", type=float, default=30.0)
-    ap.add_argument("--camera", nargs="?", const="/dev/video0",
-                    help="capture from a V4L2 device (default "
-                         "/dev/video0)")
+    ap.add_argument("--camera", action="append", nargs="?",
+                    const="/dev/video0",
+                    help="capture from a V4L2 device (repeatable: one "
+                         "edge process can stream several cameras, "
+                         "each on its own channel with its own "
+                         "reconnect loop; default /dev/video0)")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
@@ -132,19 +154,32 @@ def main(argv: list[str] | None = None) -> int:
                "%(message)s",
         datefmt="%Y-%m-%dT%H:%M:%S")
 
+    channels = args.channel or ["simon"]
+    sources: list[FrameSource] = []
     if args.camera:
         from infercam_onnx_tpu.client.camera import CameraSource
 
-        source: FrameSource = CameraSource(args.camera)
+        sources = [CameraSource(dev) for dev in args.camera]
     elif args.replay_dir:
-        source = ReplaySource(args.replay_dir, fps=args.fps)
+        sources = [ReplaySource(args.replay_dir, fps=args.fps)]
     else:
         ap.error("one of --replay-dir or --camera is required")
-
-    config = ClientConfig(address=args.address, channel=args.channel)
-    log.info("Launching socket sender for channel %s", config.channel)
     try:
-        asyncio.run(run_forever(source, config))
+        channels = plan_channels(len(sources), channels)
+    except ValueError as e:
+        ap.error(str(e))
+
+    configs = [ClientConfig(address=args.address, channel=ch)
+               for ch in channels]
+    log.info("Launching socket sender for channel(s) %s",
+             ", ".join(channels))
+
+    async def run_all():
+        await asyncio.gather(*(run_forever(src, cfg)
+                               for src, cfg in zip(sources, configs)))
+
+    try:
+        asyncio.run(run_all())
     except KeyboardInterrupt:
         pass
     return 0

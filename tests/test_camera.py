@@ -100,3 +100,53 @@ def test_sender_accepts_fake_camera_source(tmp_path):
     frame_msgs = [m for m in msgs if isinstance(m, proto.FrameMsg)]
     assert len(frame_msgs) == 3
     assert frame_msgs[0].data == b"\xff\xd8fake"
+
+
+def test_plan_channels_fanout_and_explicit():
+    from infercam_onnx_tpu.client.sender import plan_channels
+
+    assert plan_channels(1, ["simon"]) == ["simon"]
+    assert plan_channels(3, ["cam"]) == ["cam", "cam-1", "cam-2"]
+    assert plan_channels(2, ["front", "back"]) == ["front", "back"]
+    with pytest.raises(ValueError, match="channel name"):
+        plan_channels(3, ["a", "b"])
+
+
+def test_multi_camera_sender_streams_every_channel():
+    """One sender process fans several cameras out to their own
+    channels (the reference runs one process per camera,
+    socket_sender.rs; this is a capability extension for multi-camera
+    edge boxes)."""
+    from infercam_onnx_tpu.client.sender import run_forever, send_stream
+    from infercam_onnx_tpu.config import ClientConfig
+    from infercam_onnx_tpu import protocol as proto
+
+    seen: dict[str, int] = {}
+
+    async def run():
+        async def handler(reader, writer):
+            try:
+                while True:
+                    payload = await proto.read_frame(reader)
+                    msg = proto.decode_proto_msg(payload)
+                    if isinstance(msg, proto.FrameMsg):
+                        seen[msg.id] = seen.get(msg.id, 0) + 1
+            except (asyncio.IncompleteReadError, ConnectionError):
+                writer.close()
+
+        server = await asyncio.start_server(handler, "127.0.0.1", 18444)
+        sources = [
+            camera.CameraSource(camera.FakeCamera([b"\xff\xd8a"])),
+            camera.CameraSource(camera.FakeCamera([b"\xff\xd8b"])),
+        ]
+        await asyncio.gather(*(
+            send_stream(src,
+                        ClientConfig(address="127.0.0.1:18444",
+                                     channel=ch),
+                        max_frames=3)
+            for src, ch in zip(sources, ["cam", "cam-1"])))
+        server.close()
+        await server.wait_closed()
+
+    asyncio.run(run())
+    assert seen == {"cam": 3, "cam-1": 3}
