@@ -535,14 +535,23 @@ _OPS: dict[str, Callable] = {
     # defined below the table (late-bound via lambda)
     "TopK": lambda n, x, k=None: _topk(n, x, k),
     "NonMaxSuppression": lambda n, *a: _nms_onnx(n, *a),
-    "Range": lambda n, lo, hi, step: np.arange(
-        np.asarray(lo).item(), np.asarray(hi).item(),
-        np.asarray(step).item()) if _is_concrete(lo, hi, step)
-    else _raise(f"Range with traced bounds ({n.name})"),
-    "Tile": lambda n, x, reps: _xp(x).tile(
-        x, tuple(int(r) for r in np.asarray(reps).reshape(-1)))
-    if _is_concrete(reps) else _raise(f"Tile traced reps ({n.name})"),
+    "Range": lambda n, lo, hi, step: _range(n, lo, hi, step),
+    "Tile": lambda n, x, reps: _tile(n, x, reps),
 }
+
+
+def _range(node: OnnxNode, lo, hi, step):
+    if not _is_concrete(lo, hi, step):
+        raise ValueError(f"Range with traced bounds ({node.name})")
+    return np.arange(np.asarray(lo).item(), np.asarray(hi).item(),
+                     np.asarray(step).item())
+
+
+def _tile(node: OnnxNode, x, reps):
+    if not _is_concrete(reps):
+        raise ValueError(f"Tile with traced reps ({node.name})")
+    return _xp(x).tile(
+        x, tuple(int(r) for r in np.asarray(reps).reshape(-1)))
 
 
 def _topk(node: OnnxNode, x, k=None):
@@ -672,8 +681,6 @@ def _argminmax(node: OnnxNode, x, kind: str):
     return out
 
 
-def _raise(msg: str):
-    raise ValueError(msg)
 
 
 class GraphExecutor:

@@ -96,16 +96,16 @@ def combine_ycbcr(y: jax.Array, cb: jax.Array, cr: jax.Array, *,
     if hs == 2 or vs == 2:
         ch = (height + vs - 1) // vs
         cw = (width + hs - 1) // hs
-        cb = cb[:, :ch, :cw]
-        cr = cr[:, :ch, :cw]
+        chroma = [c[:, :ch, :cw] for c in (cb, cr)]
         if vs == 2:
             up_h = jnp.asarray(triangle_resize_matrix(ch, ch * 2))
-            cb = jnp.einsum("oH,bHW->boW", up_h, cb)
-            cr = jnp.einsum("oH,bHW->boW", up_h, cr)
+            chroma = [jnp.einsum("oH,bHW->boW", up_h, c)
+                      for c in chroma]
         if hs == 2:
             up_w = jnp.asarray(triangle_resize_matrix(cw, cw * 2))
-            cb = jnp.einsum("oW,bhW->bho", up_w, cb)
-            cr = jnp.einsum("oW,bhW->bho", up_w, cr)
+            chroma = [jnp.einsum("oW,bhW->bho", up_w, c)
+                      for c in chroma]
+        cb, cr = chroma
     cb = cb[:, :height, :width] - 128.0
     cr = cr[:, :height, :width] - 128.0
 
