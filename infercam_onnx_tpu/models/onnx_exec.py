@@ -703,7 +703,8 @@ class GraphExecutor:
 
     def _validate(self, nodes, known: set) -> None:
         for node in nodes:
-            if node.op_type != "If" and node.op_type not in _OPS:
+            if (node.op_type not in ("If", "Loop")
+                    and node.op_type not in _OPS):
                 raise ValueError(
                     f"unsupported ONNX op {node.op_type!r} "
                     f"(node {node.name!r}) — extend models/onnx_exec.py")
@@ -733,6 +734,32 @@ class GraphExecutor:
                         raise ValueError(
                             f"If node {node.name!r}: {key} outputs "
                             f"never produced: {absent}")
+            if node.op_type == "Loop":
+                body = node.attrs.get("body")
+                if not isinstance(body, OnnxGraph):
+                    raise ValueError(
+                        f"Loop node {node.name!r} missing body")
+                n_carried = max(len(node.inputs) - 2, 0)
+                if len(body.inputs) != 2 + n_carried:
+                    raise ValueError(
+                        f"Loop node {node.name!r}: body declares "
+                        f"{len(body.inputs)} inputs, expected "
+                        f"{2 + n_carried}")
+                n_scan = len(body.outputs) - 1 - n_carried
+                if n_scan < 0 or len(node.outputs) != n_carried + n_scan:
+                    raise ValueError(
+                        f"Loop node {node.name!r}: output arity "
+                        f"mismatch (body {len(body.outputs)}, node "
+                        f"{len(node.outputs)}, carried {n_carried})")
+                body_known = (set(known) | set(body.initializers)
+                              | {i.name for i in body.inputs})
+                self._validate(body.nodes, body_known)
+                absent = [o.name for o in body.outputs
+                          if o.name not in body_known]
+                if absent:
+                    raise ValueError(
+                        f"Loop node {node.name!r}: body outputs "
+                        f"never produced: {absent}")
             known.update(node.outputs)
 
     def __call__(self, *inputs, initializers=None):
@@ -754,6 +781,8 @@ class GraphExecutor:
         for node in nodes:
             if node.op_type == "If":
                 results = self._run_if(node, env)
+            elif node.op_type == "Loop":
+                results = self._run_loop(node, env)
             else:
                 # optional inputs are empty-named and may sit in the
                 # MIDDLE of the list (torch: Resize(X, "", scales)) —
@@ -768,6 +797,66 @@ class GraphExecutor:
             else:
                 for out_name, val in zip(node.outputs, results):
                     env[out_name] = val
+
+    def _run_loop(self, node: OnnxNode, env: dict):
+        """Loop with a trace-time-resolvable trip count/condition,
+        executed by unrolling (torchscript-scripted modules export
+        Python loops this way). Carried deps thread through iterations;
+        scan outputs stack along a new axis 0. Data-dependent
+        termination fails loudly — under jit the loop SHAPE must be
+        static (the same rule as If and Reshape)."""
+        body = node.attrs["body"]
+        args = [env[name] if name != "" else None
+                for name in node.inputs]
+        m = args[0] if len(args) > 0 else None
+        cond = args[1] if len(args) > 1 else None
+        carried = list(args[2:])
+        n_carried = len(carried)
+        n_scan = len(body.outputs) - 1 - n_carried
+        if m is None and cond is None:
+            raise ValueError(f"Loop without trip count or condition "
+                             f"({node.name})")
+        if m is not None and not _is_concrete(m):
+            raise ValueError(
+                f"Loop with traced (data-dependent) trip count "
+                f"({node.name}) is unsupported")
+        trip = (None if m is None
+                else int(np.asarray(m).reshape(())))
+
+        def as_bool(v, what):
+            if not _is_concrete(v):
+                raise ValueError(
+                    f"Loop with traced (data-dependent) {what} "
+                    f"({node.name}) is unsupported")
+            return bool(np.asarray(v).reshape(()))
+
+        cond_val = True if cond is None else as_bool(cond, "condition")
+        names = [i.name for i in body.inputs]
+        scans: list[list] = [[] for _ in range(n_scan)]
+        i = 0
+        while (trip is None or i < trip) and cond_val:
+            if trip is None and i >= 100_000:
+                raise ValueError(
+                    f"Loop ran 100000 iterations ({node.name})")
+            sub_env = dict(env)
+            sub_env.update(body.initializers)
+            sub_env[names[0]] = np.int64(i)
+            sub_env[names[1]] = np.asarray(cond_val)
+            for nm, v in zip(names[2:], carried):
+                sub_env[nm] = v
+            self._exec_nodes(body.nodes, sub_env)
+            outs = [sub_env[o.name] for o in body.outputs]
+            cond_val = as_bool(outs[0], "loop-exit condition")
+            carried = outs[1:1 + n_carried]
+            for k in range(n_scan):
+                scans[k].append(outs[1 + n_carried + k])
+            i += 1
+        if n_scan and i == 0:
+            raise ValueError(
+                f"Loop with zero iterations and scan outputs "
+                f"({node.name}): result shape is unknowable")
+        results = carried + [_xp(*s).stack(s) for s in scans]
+        return tuple(results) if len(node.outputs) > 1 else results[0]
 
     def _run_if(self, node: OnnxNode, env: dict):
         """If with a trace-time-resolvable condition: conditions in real

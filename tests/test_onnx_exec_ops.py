@@ -518,6 +518,69 @@ def test_onnx_nonmax_suppression():
             boxes, scores)
 
 
+class _ScriptedLoop(torch.nn.Module):
+    def forward(self, x, n: int):
+        y = x
+        for i in range(n):
+            y = y + x * float(i)
+        return y
+
+
+def test_loop_export_from_torchscript(tmp_path):
+    """torch.jit.script exports Python loops as ONNX Loop (body
+    subgraph, loop-carried deps, outer-scope capture) — executed here
+    by unrolling with a concrete trip count."""
+    sm = torch.jit.script(_ScriptedLoop())
+    path = tmp_path / "loop.onnx"
+    _export(sm, path, torch.zeros(2, 3), torch.tensor(4))
+    ex = GraphExecutor(read_onnx_graph(str(path)))
+    assert any(n.op_type == "Loop" for n in ex.graph.nodes)
+    x = np.random.default_rng(21).normal(size=(2, 3)).astype(np.float32)
+    for n in (0, 1, 5):
+        got = ex(x, np.int64(n))[0]
+        want = _ScriptedLoop()(torch.from_numpy(x), n).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    # data-dependent trip count under jit fails loudly
+    with pytest.raises(ValueError, match="trip count"):
+        jax.jit(ex)(x, np.int64(3))
+
+
+def test_loop_scan_outputs():
+    """Hand-built Loop with a scan output: per-iteration values stack
+    along a new leading axis."""
+    from infercam_onnx_tpu.models.onnx_reader import (
+        OnnxGraph,
+        OnnxValueInfo,
+    )
+
+    body = OnnxGraph(
+        nodes=[
+            OnnxNode("Identity", "c", ["cond_in"], ["cond_out"], {}),
+            OnnxNode("Add", "acc", ["carry_in", "step"],
+                     ["carry_out"], {}),
+            OnnxNode("Identity", "s", ["carry_out"], ["scan"], {}),
+        ],
+        initializers={"step": np.float32(2.0)},
+        inputs=[OnnxValueInfo("iter", 7, []),
+                OnnxValueInfo("cond_in", 9, []),
+                OnnxValueInfo("carry_in", 1, [])],
+        outputs=[OnnxValueInfo("cond_out", 9, []),
+                 OnnxValueInfo("carry_out", 1, []),
+                 OnnxValueInfo("scan", 1, [])])
+    g = OnnxGraph(
+        nodes=[OnnxNode("Loop", "L", ["m", "", "init"],
+                        ["final", "trace"], {"body": body})],
+        initializers={},
+        inputs=[OnnxValueInfo("m", 7, []),
+                OnnxValueInfo("init", 1, [])],
+        outputs=[OnnxValueInfo("final", 1, []),
+                 OnnxValueInfo("trace", 1, [None])])
+    ex = GraphExecutor(g)
+    final, trace = ex(np.int64(3), np.float32(1.0))
+    assert float(final) == 7.0  # 1 + 2*3
+    np.testing.assert_allclose(np.asarray(trace), [3.0, 5.0, 7.0])
+
+
 def test_unsupported_op_fails_loudly_at_build(tmp_path):
     class Mod(torch.nn.Module):
         def forward(self, x):
