@@ -51,13 +51,41 @@ def _xp(*vals):
     return np if _is_concrete(*vals) else jnp
 
 
+def _auto_pads(node: OnnxNode, spatial: tuple[int, ...],
+               kernel, strides, dilations) -> list[int]:
+    """Resolve pads for the explicit or auto_pad forms. Returns ONNX
+    layout [begin..., end...]. SAME_UPPER puts the odd pad at the end,
+    SAME_LOWER at the start (keras-lineage exports use these)."""
+    mode = node.attrs.get("auto_pad", b"NOTSET")
+    n = len(kernel)
+    if mode in (b"", b"NOTSET"):
+        return list(node.attrs.get("pads", [0] * (2 * n)))
+    if mode == b"VALID":
+        return [0] * (2 * n)
+    if mode not in (b"SAME_UPPER", b"SAME_LOWER"):
+        raise ValueError(
+            f"auto_pad {mode!r} unsupported ({node.name})")
+    begin, end = [], []
+    for i in range(n):
+        eff = dilations[i] * (kernel[i] - 1) + 1
+        out_dim = -(-spatial[i] // strides[i])  # ceil
+        total = max((out_dim - 1) * strides[i] + eff - spatial[i], 0)
+        small, big = total // 2, total - total // 2
+        if mode == b"SAME_UPPER":
+            begin.append(small)
+            end.append(big)
+        else:
+            begin.append(big)
+            end.append(small)
+    return begin + end
+
+
 def _conv(node: OnnxNode, x, w, b=None):
-    pads = node.attrs.get("pads", [0, 0, 0, 0])
     strides = node.attrs.get("strides", [1, 1])
     dilations = node.attrs.get("dilations", [1, 1])
     group = node.attrs.get("group", 1)
-    if node.attrs.get("auto_pad", b"NOTSET") not in (b"", b"NOTSET"):
-        raise ValueError(f"Conv auto_pad unsupported ({node.name})")
+    pads = _auto_pads(node, x.shape[2:], w.shape[2:], strides,
+                      dilations)
     out = jax.lax.conv_general_dilated(
         jnp.asarray(x), jnp.asarray(w),
         window_strides=tuple(strides),
@@ -88,7 +116,7 @@ def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
         raise ValueError(f"pool ceil_mode unsupported ({node.name})")
     ks = node.attrs["kernel_shape"]
     strides = node.attrs.get("strides", [1] * len(ks))
-    pads = node.attrs.get("pads", [0] * (2 * len(ks)))
+    pads = _auto_pads(node, x.shape[2:], ks, strides, [1] * len(ks))
     n = len(ks)
     window = (1, 1) + tuple(ks)
     strd = (1, 1) + tuple(strides)

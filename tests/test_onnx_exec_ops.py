@@ -518,6 +518,40 @@ def test_onnx_nonmax_suppression():
             boxes, scores)
 
 
+def test_conv_and_pool_auto_pad_matches_torch_same():
+    """SAME_UPPER/SAME_LOWER/VALID auto_pad (keras-lineage exports)
+    against torch with equivalent explicit padding."""
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(1, 2, 8, 8)).astype(np.float32)
+    w = rng.normal(size=(3, 2, 3, 3)).astype(np.float32)
+    # stride 2, kernel 3 over 8: out=4, total pad 1 -> asymmetric
+    node = _node("Conv", dict(auto_pad=b"SAME_UPPER",
+                              strides=[2, 2]))
+    got = np.asarray(_OPS["Conv"](node, x, w))
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(np.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1)))),
+        torch.from_numpy(w), stride=2).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    node = _node("Conv", dict(auto_pad=b"SAME_LOWER", strides=[2, 2]))
+    got = np.asarray(_OPS["Conv"](node, x, w))
+    want = torch.nn.functional.conv2d(
+        torch.from_numpy(np.pad(x, ((0, 0), (0, 0), (1, 0), (1, 0)))),
+        torch.from_numpy(w), stride=2).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    node = _node("Conv", dict(auto_pad=b"VALID"))
+    got = np.asarray(_OPS["Conv"](node, x, w))
+    want = torch.nn.functional.conv2d(torch.from_numpy(x),
+                                      torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    node = _node("MaxPool", dict(auto_pad=b"SAME_UPPER",
+                                 kernel_shape=[3, 3], strides=[2, 2]))
+    got = np.asarray(_OPS["MaxPool"](node, x))
+    assert got.shape == (1, 2, 4, 4)  # ceil(8/2)
+
+
 class _ScriptedLoop(torch.nn.Module):
     def forward(self, x, n: int):
         y = x
