@@ -137,6 +137,30 @@ def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
     return out
 
 
+def _instance_norm(node: OnnxNode, x, scale, bias):
+    eps = node.attrs.get("epsilon", 1e-5)
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return (scale.reshape(shape) * (x - mean)
+            / jnp.sqrt(var + eps) + bias.reshape(shape))
+
+
+def _group_norm(node: OnnxNode, x, scale, bias):
+    eps = node.attrs.get("epsilon", 1e-5)
+    groups = int(node.attrs["num_groups"])
+    b, c = x.shape[0], x.shape[1]
+    g = jnp.reshape(x, (b, groups, c // groups) + x.shape[2:])
+    axes = tuple(range(2, g.ndim))
+    mean = jnp.mean(g, axis=axes, keepdims=True)
+    var = jnp.var(g, axis=axes, keepdims=True)
+    g = (g - mean) / jnp.sqrt(var + eps)
+    out = g.reshape(x.shape)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return scale.reshape(shape) * out + bias.reshape(shape)
+
+
 def _global_pool(node: OnnxNode, x, is_avg: bool):
     axes = tuple(range(2, x.ndim))
     xp = _xp(x)
@@ -563,6 +587,23 @@ _OPS: dict[str, Callable] = {
     # defined below the table (late-bound via lambda)
     "TopK": lambda n, x, k=None: _topk(n, x, k),
     "NonMaxSuppression": lambda n, *a: _nms_onnx(n, *a),
+    "InstanceNormalization": _instance_norm,
+    "GroupNormalization": _group_norm,
+    "Mod": lambda n, a, b: (_xp(a, b).fmod(a, b)
+                            if n.attrs.get("fmod", 0)
+                            else _xp(a, b).mod(a, b)),
+    "Sign": lambda n, x: _xp(x).sign(x),
+    "Round": lambda n, x: _xp(x).round(x),
+    "Softsign": lambda n, x: x / (1 + _xp(x).abs(x)),
+    "Mish": lambda n, x: x * jnp.tanh(jax.nn.softplus(
+        jnp.asarray(x))),
+    "Gelu": lambda n, x: jax.nn.gelu(
+        jnp.asarray(x),
+        approximate=n.attrs.get("approximate", b"none") == b"tanh"),
+    "Celu": lambda n, x: jax.nn.celu(jnp.asarray(x),
+                                     n.attrs.get("alpha", 1.0)),
+    "ThresholdedRelu": lambda n, x: jnp.where(
+        x > n.attrs.get("alpha", 1.0), x, 0.0),
     "Range": lambda n, lo, hi, step: _range(n, lo, hi, step),
     "Tile": lambda n, x, reps: _tile(n, x, reps),
 }

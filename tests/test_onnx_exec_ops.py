@@ -518,6 +518,73 @@ def test_onnx_nonmax_suppression():
             boxes, scores)
 
 
+class _NormNet(torch.nn.Module):
+    """InstanceNorm + GroupNorm + assorted activations (GAN/style-
+    transfer-lineage op set)."""
+
+    def __init__(self):
+        super().__init__()
+        self.inorm = torch.nn.InstanceNorm2d(6, affine=True)
+        self.gnorm = torch.nn.GroupNorm(3, 6)
+
+    def forward(self, x):
+        y = self.inorm(x) + self.gnorm(x)
+        y = torch.nn.functional.mish(y)
+        y = y + torch.nn.functional.softsign(x)
+        y = y + torch.nn.functional.gelu(x, approximate="tanh")
+        return y + torch.round(x.sign() + x.remainder(3.0))
+
+
+def test_norms_and_activations_export(tmp_path):
+    torch.manual_seed(7)
+    x = np.random.default_rng(23).normal(
+        size=(2, 6, 5, 4)).astype(np.float32)
+    ex = _check_export(_NormNet(), [x], tmp_path, jit=True, opset=18,
+                       atol=1e-4)
+    # (this torch version decomposes Mish/Softsign/Mod; direct pins
+    # below cover the dedicated ops other exporters emit)
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert {"InstanceNormalization", "Sign", "Round"} <= ops
+
+
+def test_direct_activation_ops_match_torch():
+    x = np.random.default_rng(24).normal(size=(3, 4)).astype(np.float32)
+    cases = [
+        ("Mish", {}, torch.nn.functional.mish),
+        ("Softsign", {}, torch.nn.functional.softsign),
+        ("Celu", {"alpha": 0.7},
+         lambda t: torch.nn.functional.celu(t, alpha=0.7)),
+        ("ThresholdedRelu", {"alpha": 0.5},
+         lambda t: torch.nn.functional.threshold(t, 0.5, 0.0)),
+        ("Gelu", {"approximate": b"tanh"},
+         lambda t: torch.nn.functional.gelu(t, approximate="tanh")),
+    ]
+    for op, attrs, fn in cases:
+        got = np.asarray(_OPS[op](_node(op, attrs), x))
+        want = fn(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=op)
+    got = np.asarray(_OPS["Mod"](_node("Mod"), x, np.float32(3.0)))
+    np.testing.assert_allclose(
+        got, torch.remainder(torch.from_numpy(x), 3.0).numpy(),
+        atol=1e-6)
+    got = np.asarray(_OPS["Mod"](_node("Mod", {"fmod": 1}), x,
+                                 np.float32(3.0)))
+    np.testing.assert_allclose(
+        got, torch.fmod(torch.from_numpy(x), 3.0).numpy(), atol=1e-6)
+    # GroupNormalization (opset 18 dedicated op)
+    xg = np.random.default_rng(25).normal(
+        size=(2, 6, 5, 4)).astype(np.float32)
+    scale = np.random.default_rng(26).normal(size=6).astype(np.float32)
+    bias = np.random.default_rng(27).normal(size=6).astype(np.float32)
+    got = np.asarray(_OPS["GroupNormalization"](
+        _node("GroupNormalization", {"num_groups": 3}), xg, scale,
+        bias))
+    want = torch.nn.functional.group_norm(
+        torch.from_numpy(xg), 3, torch.from_numpy(scale),
+        torch.from_numpy(bias)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_conv_and_pool_auto_pad_matches_torch_same():
     """SAME_UPPER/SAME_LOWER/VALID auto_pad (keras-lineage exports)
     against torch with equivalent explicit padding."""
