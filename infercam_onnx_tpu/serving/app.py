@@ -157,7 +157,16 @@ async def start_server(
     host, port = _split_addr(server_config.socket_address)
     data_server = await spawn_data_socket(queue, host, port)
 
-    http = HttpServer(router)
+    import jax as _jax
+
+    topology = {
+        "devices": int(mesh.size) if mesh is not None else 1,
+        "platform": _jax.devices()[0].platform,
+        "processes": _jax.process_count(),
+        "lockstep": bool(lockstep_address),
+        "detector": type(worker._detector).__name__,
+    }
+    http = HttpServer(router, topology=topology)
     hhost, hport = _split_addr(server_config.http_address)
     await http.start(hhost, hport)
 

@@ -57,9 +57,13 @@ def _simple_response(status: str, body: bytes,
 
 
 class HttpServer:
-    def __init__(self, router: FrameRouter, meter: Meter = METER):
+    def __init__(self, router: FrameRouter, meter: Meter = METER,
+                 topology: dict | None = None):
         self._router = router
         self._meter = meter
+        # serving topology (devices/processes/lockstep/runtime) shown
+        # in /stats so operators can see what a deployment actually is
+        self._topology = topology
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self, host: str, port: int) -> None:
@@ -127,7 +131,10 @@ class HttpServer:
                 elif url.path == "/stats":
                     import json
 
-                    body = json.dumps(self._meter.stats()).encode()
+                    payload = self._meter.stats()
+                    if self._topology is not None:
+                        payload["topology"] = self._topology
+                    body = json.dumps(payload).encode()
                     writer.write(_simple_response(
                         "200 OK", body, "application/json",
                         keep_alive=keep))

@@ -271,6 +271,9 @@ def test_stats_endpoint(detector, jpeg_dir):
             body = resp.split(b"\r\n\r\n", 1)[1]
             stats = json.loads(body)
             assert "totals" in stats and "uptime_s" in stats
+            topo = stats["topology"]
+            assert topo["devices"] == 1 and not topo["lockstep"]
+            assert topo["detector"] == "Detector"
             # drive some traffic, then stats must show totals
             t = asyncio.create_task(
                 _http_get(18314, "/stream?name=s", read_bytes=500))
