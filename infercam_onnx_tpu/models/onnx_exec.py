@@ -589,6 +589,18 @@ _OPS: dict[str, Callable] = {
     "NonMaxSuppression": lambda n, *a: _nms_onnx(n, *a),
     "InstanceNormalization": _instance_norm,
     "GroupNormalization": _group_norm,
+    "Einsum": lambda n, *xs: jnp.einsum(
+        n.attrs["equation"].decode(), *xs),
+    "LogSoftmax": lambda n, x: jax.nn.log_softmax(
+        jnp.asarray(x), axis=n.attrs.get("axis", -1)),
+    "CumSum": lambda n, x, axis: _cumsum(n, x, axis),
+    "ReduceL1": lambda n, x, axes=None: _reduce(
+        n, _xp(x).abs(x), axes, kind="sum"),
+    "ReduceL2": lambda n, x, axes=None: _xp(x).sqrt(_reduce(
+        n, x * x, axes, kind="sum")),
+    "ReduceLogSumExp": lambda n, x, axes=None: _xp(x).log(_reduce(
+        n, _xp(x).exp(x), axes, kind="sum")),
+    "LpNormalization": lambda n, x: x / _lp_norm(n, x),
     "Mod": lambda n, a, b: (_xp(a, b).fmod(a, b)
                             if n.attrs.get("fmod", 0)
                             else _xp(a, b).mod(a, b)),
@@ -716,6 +728,38 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _cumsum(node: OnnxNode, x, axis):
+    if not _is_concrete(axis):
+        raise ValueError(f"CumSum with traced axis ({node.name})")
+    axis = int(np.asarray(axis).reshape(()))
+    if node.attrs.get("exclusive", 0) or node.attrs.get("reverse", 0):
+        xp = _xp(x)
+        if node.attrs.get("reverse", 0):
+            x = xp.flip(x, axis)
+        out = xp.cumsum(x, axis=axis)
+        if node.attrs.get("exclusive", 0):
+            out = xp.roll(out, 1, axis)
+            sl = [slice(None)] * out.ndim
+            sl[axis] = 0
+            if xp is np:
+                out[tuple(sl)] = 0
+            else:
+                out = out.at[tuple(sl)].set(0)
+        if node.attrs.get("reverse", 0):
+            out = xp.flip(out, axis)
+        return out
+    return _xp(x).cumsum(x, axis=axis)
+
+
+def _lp_norm(node: OnnxNode, x):
+    axis = node.attrs.get("axis", -1)
+    p = node.attrs.get("p", 2)
+    xp = _xp(x)
+    if p == 1:
+        return xp.sum(xp.abs(x), axis=axis, keepdims=True)
+    return xp.sqrt(xp.sum(x * x, axis=axis, keepdims=True))
 
 
 def _prelu(x, slope):
@@ -864,6 +908,11 @@ class GraphExecutor:
             if len(node.outputs) == 1:
                 env[node.outputs[0]] = results
             else:
+                if len(results) != len(node.outputs):
+                    raise ValueError(
+                        f"node {node.name!r} ({node.op_type}) produced "
+                        f"{len(results)} results for "
+                        f"{len(node.outputs)} declared outputs")
                 for out_name, val in zip(node.outputs, results):
                     env[out_name] = val
 

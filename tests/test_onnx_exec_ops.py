@@ -585,6 +585,59 @@ def test_direct_activation_ops_match_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+class _EinsumNet(torch.nn.Module):
+    def forward(self, a, b):
+        y = torch.einsum("bij,bjk->bik", a, b)
+        y = torch.log_softmax(y, dim=-1)
+        return torch.cumsum(y, dim=1)
+
+
+def test_einsum_logsoftmax_cumsum_export(tmp_path):
+    rng = np.random.default_rng(28)
+    a = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    b = rng.normal(size=(2, 4, 5)).astype(np.float32)
+    ex = _check_export(_EinsumNet(), [a, b], tmp_path, jit=True,
+                       opset=13, atol=1e-5)
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert {"Einsum", "LogSoftmax", "CumSum"} <= ops
+
+
+def test_reduce_norms_and_cumsum_variants():
+    x = np.random.default_rng(29).normal(size=(2, 5)).astype(np.float32)
+    got = _OPS["ReduceL1"](_node("ReduceL1", dict(keepdims=0)), x,
+                           np.array([1], np.int64))
+    np.testing.assert_allclose(np.asarray(got), np.abs(x).sum(1),
+                               rtol=1e-6)
+    got = _OPS["ReduceL2"](_node("ReduceL2", dict(keepdims=1)), x,
+                           np.array([1], np.int64))
+    np.testing.assert_allclose(np.asarray(got),
+                               np.linalg.norm(x, axis=1,
+                                              keepdims=True),
+                               rtol=1e-5)
+    got = _OPS["ReduceLogSumExp"](
+        _node("ReduceLogSumExp", dict(keepdims=0)), x,
+        np.array([1], np.int64))
+    from scipy.special import logsumexp as _lse
+    np.testing.assert_allclose(np.asarray(got), _lse(x, axis=1),
+                               rtol=1e-5)
+    got = _OPS["LpNormalization"](
+        _node("LpNormalization", dict(axis=1, p=2)), x)
+    want = torch.nn.functional.normalize(torch.from_numpy(x),
+                                         dim=1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    c = np.arange(1.0, 5.0, dtype=np.float32)
+    got = _OPS["CumSum"](_node("CumSum", dict(exclusive=1)), c,
+                         np.int64(0))
+    np.testing.assert_allclose(np.asarray(got), [0, 1, 3, 6])
+    got = _OPS["CumSum"](_node("CumSum", dict(reverse=1)), c,
+                         np.int64(0))
+    np.testing.assert_allclose(np.asarray(got), [10, 9, 7, 4])
+    got = _OPS["CumSum"](
+        _node("CumSum", dict(exclusive=1, reverse=1)), c, np.int64(0))
+    np.testing.assert_allclose(np.asarray(got), [9, 7, 4, 0])
+
+
 def test_conv_and_pool_auto_pad_matches_torch_same():
     """SAME_UPPER/SAME_LOWER/VALID auto_pad (keras-lineage exports)
     against torch with equivalent explicit padding."""
