@@ -591,6 +591,13 @@ _OPS: dict[str, Callable] = {
     "GroupNormalization": _group_norm,
     "Einsum": lambda n, *xs: jnp.einsum(
         n.attrs["equation"].decode(), *xs),
+    "GatherElements": lambda n, x, idx: _xp(x, idx).take_along_axis(
+        _xp(x, idx).asarray(x), _norm_indices(idx, x, n),
+        axis=n.attrs.get("axis", 0)),
+    "GatherND": lambda n, x, idx: _gather_nd(n, x, idx),
+    "ScatterElements": lambda n, x, idx, upd: _scatter_elements(
+        n, x, idx, upd),
+    "ScatterND": lambda n, x, idx, upd: _scatter_nd(n, x, idx, upd),
     "LogSoftmax": lambda n, x: jax.nn.log_softmax(
         jnp.asarray(x), axis=n.attrs.get("axis", -1)),
     "CumSum": lambda n, x, axis: _cumsum(n, x, axis),
@@ -728,6 +735,64 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _norm_indices(idx, x, node: OnnxNode):
+    """ONNX allows negative gather/scatter indices; normalize."""
+    axis = node.attrs.get("axis", 0)
+    dim = x.shape[axis]
+    xp = _xp(x, idx)
+    idx = xp.asarray(idx)
+    return xp.where(idx < 0, idx + dim, idx)
+
+
+def _gather_nd(node: OnnxNode, x, idx):
+    b = int(node.attrs.get("batch_dims", 0))
+    if b:
+        raise ValueError(
+            f"GatherND batch_dims > 0 unsupported ({node.name})")
+    xp = _xp(x, idx)
+    x = xp.asarray(x)
+    idx = np.asarray(idx) if _is_concrete(idx) else jnp.asarray(idx)
+    r = idx.shape[-1]
+    parts = tuple(idx[..., k] for k in range(r))
+    return x[parts]
+
+
+def _scatter_elements(node: OnnxNode, x, idx, upd):
+    if node.attrs.get("reduction", b"none") != b"none":
+        raise ValueError(
+            f"ScatterElements reduction unsupported ({node.name})")
+    axis = node.attrs.get("axis", 0)
+    idx = _norm_indices(idx, x, node)
+    if _is_concrete(x, idx, upd):
+        out = np.asarray(x).copy()
+        np.put_along_axis(out, np.asarray(idx), np.asarray(upd),
+                          axis=axis)
+        return out
+    # jax: scatter via .at with explicit index grids along `axis`
+    x = jnp.asarray(x)
+    idx = jnp.asarray(idx)
+    grids = jnp.meshgrid(*(jnp.arange(s) for s in idx.shape),
+                         indexing="ij")
+    grids[axis] = idx
+    return x.at[tuple(grids)].set(jnp.asarray(upd))
+
+
+def _scatter_nd(node: OnnxNode, x, idx, upd):
+    if node.attrs.get("reduction", b"none") != b"none":
+        raise ValueError(
+            f"ScatterND reduction unsupported ({node.name})")
+    r = idx.shape[-1]
+    if _is_concrete(x, idx, upd):
+        out = np.asarray(x).copy()
+        parts = tuple(np.asarray(idx)[..., k] for k in range(r))
+        out[parts] = upd
+        return out
+    x = jnp.asarray(x)
+    idx = jnp.asarray(idx)
+    parts = tuple(idx[..., k] for k in range(r))
+    return x.at[parts].set(jnp.asarray(upd))
 
 
 def _cumsum(node: OnnxNode, x, axis):

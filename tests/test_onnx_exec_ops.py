@@ -602,6 +602,43 @@ def test_einsum_logsoftmax_cumsum_export(tmp_path):
     assert {"Einsum", "LogSoftmax", "CumSum"} <= ops
 
 
+def test_gather_scatter_element_ops():
+    rng = np.random.default_rng(30)
+    x = rng.normal(size=(3, 4)).astype(np.float32)
+    idx = np.array([[0, -1, 1, 0], [2, 0, -2, 1]], np.int64)
+    got = _OPS["GatherElements"](
+        _node("GatherElements", dict(axis=0)), x, idx)
+    want = torch.gather(torch.from_numpy(x), 0,
+                        torch.from_numpy(idx % 3)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want)
+
+    nd_idx = np.array([[0, 1], [2, 3]], np.int64)
+    got = _OPS["GatherND"](_node("GatherND"), x, nd_idx)
+    np.testing.assert_allclose(np.asarray(got), [x[0, 1], x[2, 3]])
+
+    upd = np.full((2, 4), 9.0, np.float32)
+    got = _OPS["ScatterElements"](
+        _node("ScatterElements", dict(axis=0)), x,
+        np.array([[0, 1, 2, 0], [1, 2, 0, 2]], np.int64), upd)
+    want = torch.from_numpy(x).scatter(
+        0, torch.from_numpy(np.array([[0, 1, 2, 0], [1, 2, 0, 2]])),
+        torch.from_numpy(upd)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want)
+    # traced path agrees
+    got_t = jax.jit(lambda a, u: _OPS["ScatterElements"](
+        _node("ScatterElements", dict(axis=0)), a,
+        np.array([[0, 1, 2, 0], [1, 2, 0, 2]], np.int64), u))(x, upd)
+    np.testing.assert_allclose(np.asarray(got_t), want)
+
+    got = _OPS["ScatterND"](
+        _node("ScatterND"), x, np.array([[1], [2]], np.int64),
+        np.zeros((2, 4), np.float32))
+    want = x.copy()
+    want[1] = 0
+    want[2] = 0
+    np.testing.assert_allclose(np.asarray(got), want)
+
+
 def test_reduce_norms_and_cumsum_variants():
     x = np.random.default_rng(29).normal(size=(2, 5)).astype(np.float32)
     got = _OPS["ReduceL1"](_node("ReduceL1", dict(keepdims=0)), x,
