@@ -522,7 +522,11 @@ def main() -> int:
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
-    return 0
+    sys.stdout.flush()
+    # the tunnel runtime's interpreter-teardown occasionally SIGABRTs
+    # after all useful work is done; the JSON line is out, so exit hard
+    # rather than risk a misleading nonzero status
+    os._exit(0)
 
 
 if __name__ == "__main__":
