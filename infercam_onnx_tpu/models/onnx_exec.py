@@ -233,6 +233,13 @@ def _pad(node: OnnxNode, x, pads=None, value=None, axes=None):
     width = [(0, 0)] * x.ndim
     for i, a in enumerate(ax):
         width[a] = (int(pads[i]), int(pads[i + n]))
+    # negative pads mean CROPPING (ONNX spec); slice those off first
+    if any(lo < 0 or hi < 0 for lo, hi in width):
+        sl = tuple(
+            slice(max(-lo, 0), x.shape[d] - max(-hi, 0))
+            for d, (lo, hi) in enumerate(width))
+        x = x[sl]
+        width = [(max(lo, 0), max(hi, 0)) for lo, hi in width]
     xp = _xp(x)
     if mode == "constant":
         cval = 0.0 if value is None else float(np.asarray(value))
@@ -311,6 +318,21 @@ def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
             idx = np.ceil(src - 0.5)
         idx = np.clip(idx, 0, n_in - 1).astype(np.int64)
         m[np.arange(n_out), idx] = 1.0
+    elif mode == "cubic":
+        # 4-tap Keys kernel; a = -0.75 matches ONNX's default
+        # cubic_coeff_a and torch bicubic
+        a = -0.75
+        base = np.floor(src).astype(np.int64)
+        frac = src - base
+        for tap in range(-1, 3):
+            d = np.abs(frac - tap)
+            w = np.where(
+                d <= 1, (a + 2) * d**3 - (a + 3) * d**2 + 1,
+                np.where(d < 2,
+                         a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a,
+                         0.0))
+            idx = np.clip(base + tap, 0, n_in - 1)
+            np.add.at(m, (np.arange(n_out), idx), w.astype(np.float32))
     else:  # linear
         lo = np.clip(np.floor(src), 0, n_in - 1).astype(np.int64)
         hi = np.clip(lo + 1, 0, n_in - 1)
@@ -326,8 +348,14 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
         "coordinate_transformation_mode", b"half_pixel").decode()
     nearest = node.attrs.get(
         "nearest_mode", b"round_prefer_floor").decode()
-    if mode not in ("nearest", "linear"):
+    if mode not in ("nearest", "linear", "cubic"):
         raise ValueError(f"Resize mode {mode!r} unsupported ({node.name})")
+    if mode == "cubic" and node.attrs.get("cubic_coeff_a", -0.75) != -0.75:
+        raise ValueError(
+            f"Resize cubic_coeff_a != -0.75 unsupported ({node.name})")
+    if node.attrs.get("exclude_outside", 0):
+        raise ValueError(
+            f"Resize exclude_outside unsupported ({node.name})")
     if scales is not None and np.asarray(scales).size == 0:
         scales = None
     if not _is_concrete(scales if sizes is None else sizes):

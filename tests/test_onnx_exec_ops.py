@@ -306,6 +306,16 @@ def test_resize_matches_torch_interpolate_modes():
          torch.nn.functional.interpolate(tx, size=(25, 30),
                                          mode="bilinear",
                                          align_corners=True)),
+        (dict(mode=b"cubic",
+              coordinate_transformation_mode=b"half_pixel"),
+         torch.nn.functional.interpolate(tx, size=(25, 30),
+                                         mode="bicubic",
+                                         align_corners=False)),
+        (dict(mode=b"cubic",
+              coordinate_transformation_mode=b"align_corners"),
+         torch.nn.functional.interpolate(tx, size=(25, 30),
+                                         mode="bicubic",
+                                         align_corners=True)),
     ]
     for attrs, want in cases:
         node = _node("Resize", attrs)
@@ -411,6 +421,17 @@ def test_legacy_attribute_forms_pad_and_upsample():
         _node("Upsample", dict(mode=b"nearest",
                                scales=[1.0, 1.0, 2.0, 2.0])), x)
     assert np.asarray(out).shape == (1, 1, 4, 4)
+
+
+def test_pad_negative_is_crop():
+    # ONNX spec: negative pad amounts remove values (crop)
+    x = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = _OPS["Pad"](_node("Pad", dict(mode=b"constant")), x,
+                      np.array([-1, 1, -1, 0], np.int64))
+    # rows 1..2 (crop 1 top, 1 bottom), one zero column prepended
+    assert out.shape == (2, 5)
+    np.testing.assert_allclose(out[:, 0], [0, 0])
+    np.testing.assert_allclose(out[:, 1:], x[1:3])
 
 
 def test_pad_constant_with_value_and_axes():
