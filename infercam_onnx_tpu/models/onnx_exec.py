@@ -619,6 +619,20 @@ _OPS: dict[str, Callable] = {
     "GroupNormalization": _group_norm,
     "Einsum": lambda n, *xs: jnp.einsum(
         n.attrs["equation"].decode(), *xs),
+    # -- sequence ops: sequences are plain Python lists in the
+    # interpreter env (torchscript list-append loops export these,
+    # typically as Loop-carried values) --
+    "SequenceEmpty": lambda n: [],
+    "SequenceConstruct": lambda n, *xs: list(xs),
+    "SequenceInsert": lambda n, seq, x, pos=None: _seq_insert(
+        n, seq, x, pos),
+    "SequenceErase": lambda n, seq, pos=None: _seq_erase(n, seq, pos),
+    "SequenceAt": lambda n, seq, pos: seq[_seq_pos(n, pos)],
+    "SequenceLength": lambda n, seq: np.int64(len(seq)),
+    "ConcatFromSequence": lambda n, seq: (
+        _xp(*seq).stack(seq, axis=n.attrs.get("axis", 0))
+        if n.attrs.get("new_axis", 0)
+        else _xp(*seq).concatenate(seq, axis=n.attrs.get("axis", 0))),
     "GatherElements": lambda n, x, idx: _xp(x, idx).take_along_axis(
         _xp(x, idx).asarray(x), _norm_indices(idx, x, n),
         axis=n.attrs.get("axis", 0)),
@@ -763,6 +777,28 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _seq_pos(node: OnnxNode, pos) -> int:
+    if not _is_concrete(pos):
+        raise ValueError(
+            f"sequence op with traced position ({node.name})")
+    return int(np.asarray(pos).reshape(()))
+
+
+def _seq_insert(node: OnnxNode, seq, x, pos=None):
+    out = list(seq)
+    if pos is None:
+        out.append(x)
+    else:
+        out.insert(_seq_pos(node, pos), x)
+    return out
+
+
+def _seq_erase(node: OnnxNode, seq, pos=None):
+    out = list(seq)
+    del out[-1 if pos is None else _seq_pos(node, pos)]
+    return out
 
 
 def _norm_indices(idx, x, node: OnnxNode):

@@ -757,6 +757,49 @@ def test_loop_export_from_torchscript(tmp_path):
         jax.jit(ex)(x, np.int64(3))
 
 
+class _SeqLoop(torch.nn.Module):
+    def forward(self, x, n: int):
+        ys: "list[torch.Tensor]" = []
+        y = x
+        for i in range(n):
+            y = y * 0.9 + 1.0
+            ys.append(y)
+        return torch.stack(ys)
+
+
+def test_sequence_ops_through_scripted_loop(tmp_path):
+    """torchscript list-append loops export SequenceEmpty /
+    SequenceInsert (Loop-carried) / ConcatFromSequence — sequences run
+    as plain Python lists through the interpreter."""
+    sm = torch.jit.script(_SeqLoop())
+    path = tmp_path / "seq.onnx"
+    _export(sm, path, torch.zeros(2, 3), torch.tensor(4), opset=13)
+    ex = GraphExecutor(read_onnx_graph(str(path)))
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert "ConcatFromSequence" in ops
+    x = np.random.default_rng(31).normal(size=(2, 3)).astype(np.float32)
+    for n in (1, 4):
+        got = ex(x, np.int64(n))[0]
+        want = _SeqLoop()(torch.from_numpy(x), n).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_sequence_ops_direct():
+    a, b = np.ones(2, np.float32), np.zeros(2, np.float32)
+    seq = _OPS["SequenceConstruct"](_node("SequenceConstruct"), a, b)
+    seq = _OPS["SequenceInsert"](_node("SequenceInsert"), seq, a + 1,
+                                 np.int64(1))
+    assert int(_OPS["SequenceLength"](_node("SequenceLength"), seq)) == 3
+    np.testing.assert_allclose(
+        _OPS["SequenceAt"](_node("SequenceAt"), seq, np.int64(1)),
+        a + 1)
+    seq = _OPS["SequenceErase"](_node("SequenceErase"), seq,
+                                np.int64(0))
+    out = _OPS["ConcatFromSequence"](
+        _node("ConcatFromSequence", dict(axis=0, new_axis=1)), seq)
+    assert np.asarray(out).shape == (2, 2)
+
+
 def test_loop_scan_outputs():
     """Hand-built Loop with a scan output: per-iteration values stack
     along a new leading axis."""
