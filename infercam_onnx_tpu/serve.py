@@ -122,9 +122,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(validated + structurally converted)")
     ap.add_argument("--runtime", default="native",
                     choices=["native", "graph"],
-                    help="graph: serve through the jitted ONNX graph "
-                         "interpreter (requires --onnx; pixels decode "
-                         "mode, single device)")
+                    help="graph: serve ANY supported ONNX export "
+                         "through the jitted graph interpreter "
+                         "(requires --onnx; all decode modes, "
+                         "data-parallel over the mesh; no tiling)")
     ap.add_argument("--distributed", default=None,
                     help="multi-host: host:port,num_processes=N,"
                          "process_id=I (jax.distributed over DCN)")
