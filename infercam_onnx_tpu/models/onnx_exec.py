@@ -622,6 +622,8 @@ _OPS: dict[str, Callable] = {
     # -- sequence ops: sequences are plain Python lists in the
     # interpreter env (torchscript list-append loops export these,
     # typically as Loop-carried values) --
+    "LSTM": lambda n, *a: _lstm(n, *a),
+    "GRU": lambda n, *a: _gru(n, *a),
     "SequenceEmpty": lambda n: [],
     "SequenceConstruct": lambda n, *xs: list(xs),
     "SequenceInsert": lambda n, seq, x, pos=None: _seq_insert(
@@ -777,6 +779,121 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _rnn_directions(node: OnnxNode):
+    d = node.attrs.get("direction", b"forward")
+    if d == b"forward":
+        return [False]
+    if d == b"reverse":
+        return [True]
+    if d == b"bidirectional":
+        return [False, True]
+    raise ValueError(f"direction {d!r} unsupported ({node.name})")
+
+
+def _rnn_common_checks(node: OnnxNode, seq_lens):
+    if seq_lens is not None:
+        raise ValueError(
+            f"{node.op_type} sequence_lens unsupported ({node.name})")
+    if node.attrs.get("clip", 0.0):
+        raise ValueError(f"{node.op_type} clip unsupported "
+                         f"({node.name})")
+    if node.attrs.get("activations"):
+        raise ValueError(
+            f"{node.op_type} custom activations unsupported "
+            f"({node.name})")
+    if node.attrs.get("layout", 0):
+        raise ValueError(
+            f"{node.op_type} layout=1 unsupported ({node.name})")
+
+
+def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
+          c0=None, p=None):
+    """ONNX LSTM (gate order iofc), default activations, no peepholes.
+    One lax.scan per direction — the recurrences stay MXU matmuls."""
+    _rnn_common_checks(node, seq_lens)
+    if p is not None:
+        raise ValueError(f"LSTM peepholes unsupported ({node.name})")
+    hs = int(node.attrs["hidden_size"])
+    x = jnp.asarray(x)
+    s, bsz = x.shape[0], x.shape[1]
+    dirs = _rnn_directions(node)
+    ys, hs_out, cs_out = [], [], []
+    for d, reverse in enumerate(dirs):
+        wd = jnp.asarray(w)[d]
+        rd = jnp.asarray(r)[d]
+        bias = (jnp.asarray(b)[d, :4 * hs] + jnp.asarray(b)[d, 4 * hs:]
+                if b is not None else jnp.zeros(4 * hs, x.dtype))
+        h = (jnp.asarray(h0)[d] if h0 is not None
+             else jnp.zeros((bsz, hs), x.dtype))
+        c = (jnp.asarray(c0)[d] if c0 is not None
+             else jnp.zeros((bsz, hs), x.dtype))
+        xs = x[::-1] if reverse else x
+        gx = jnp.einsum("sbi,gi->sbg", xs, wd) + bias
+
+        def step(carry, g, rd=rd, hs=hs):
+            h, c = carry
+            g = g + h @ rd.T
+            i = jax.nn.sigmoid(g[:, 0 * hs:1 * hs])
+            o = jax.nn.sigmoid(g[:, 1 * hs:2 * hs])
+            f = jax.nn.sigmoid(g[:, 2 * hs:3 * hs])
+            ct = jnp.tanh(g[:, 3 * hs:4 * hs])
+            c = f * c + i * ct
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        (h, c), y = jax.lax.scan(step, (h, c), gx)
+        ys.append(y[::-1] if reverse else y)
+        hs_out.append(h)
+        cs_out.append(c)
+    y = jnp.stack(ys, axis=1)  # [seq, dirs, batch, hidden]
+    outs = (y, jnp.stack(hs_out), jnp.stack(cs_out))
+    return outs[:len(node.outputs)] if len(node.outputs) > 1 \
+        else outs[0]
+
+
+def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
+    """ONNX GRU (gate order zrh), default activations."""
+    _rnn_common_checks(node, seq_lens)
+    lbr = int(node.attrs.get("linear_before_reset", 0))
+    hs = int(node.attrs["hidden_size"])
+    x = jnp.asarray(x)
+    bsz = x.shape[1]
+    dirs = _rnn_directions(node)
+    ys, hs_out = [], []
+    for d, reverse in enumerate(dirs):
+        wd = jnp.asarray(w)[d]
+        rd = jnp.asarray(r)[d]
+        wb = (jnp.asarray(b)[d, :3 * hs] if b is not None
+              else jnp.zeros(3 * hs, x.dtype))
+        rb = (jnp.asarray(b)[d, 3 * hs:] if b is not None
+              else jnp.zeros(3 * hs, x.dtype))
+        h = (jnp.asarray(h0)[d] if h0 is not None
+             else jnp.zeros((bsz, hs), x.dtype))
+        xs = x[::-1] if reverse else x
+        gx = jnp.einsum("sbi,gi->sbg", xs, wd) + wb
+
+        def step(h, g, rd=rd, rb=rb, hs=hs, lbr=lbr):
+            gh = h @ rd.T + rb
+            z = jax.nn.sigmoid(g[:, :hs] + gh[:, :hs])
+            rt = jax.nn.sigmoid(g[:, hs:2 * hs] + gh[:, hs:2 * hs])
+            if lbr:
+                ht = jnp.tanh(g[:, 2 * hs:] + rt * gh[:, 2 * hs:])
+            else:
+                ht = jnp.tanh(g[:, 2 * hs:]
+                              + (rt * h) @ rd[2 * hs:].T
+                              + rb[2 * hs:])
+            h = (1 - z) * ht + z * h
+            return h, h
+
+        h, y = jax.lax.scan(step, h, gx)
+        ys.append(y[::-1] if reverse else y)
+        hs_out.append(h)
+    y = jnp.stack(ys, axis=1)
+    outs = (y, jnp.stack(hs_out))
+    return outs[:len(node.outputs)] if len(node.outputs) > 1 \
+        else outs[0]
 
 
 def _seq_pos(node: OnnxNode, pos) -> int:

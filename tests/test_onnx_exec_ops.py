@@ -730,6 +730,32 @@ def test_conv_and_pool_auto_pad_matches_torch_same():
     assert got.shape == (1, 2, 4, 4)  # ceil(8/2)
 
 
+class _Recurrent(torch.nn.Module):
+    def __init__(self, bidirectional=False):
+        super().__init__()
+        self.lstm = torch.nn.LSTM(5, 7, bidirectional=bidirectional)
+        self.gru = torch.nn.GRU(5, 6, bidirectional=bidirectional)
+
+    def forward(self, x):
+        a, (h, c) = self.lstm(x)
+        b, hg = self.gru(x)
+        return a, h, c, b, hg
+
+
+@pytest.mark.parametrize("bidi", [False, True])
+def test_lstm_gru_export(tmp_path, bidi):
+    """Recurrent edge models: torch nn.LSTM/nn.GRU export as the ONNX
+    LSTM/GRU ops (iofc / zrh gate orders, linear_before_reset=1) —
+    executed as one lax.scan per direction."""
+    torch.manual_seed(9)
+    x = np.random.default_rng(32).normal(
+        size=(6, 2, 5)).astype(np.float32)  # [seq, batch, input]
+    ex = _check_export(_Recurrent(bidi), [x], tmp_path, jit=True,
+                       opset=13, atol=1e-5)
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert {"LSTM", "GRU"} <= ops
+
+
 class _ScriptedLoop(torch.nn.Module):
     def forward(self, x, n: int):
         y = x
