@@ -624,6 +624,7 @@ _OPS: dict[str, Callable] = {
     # typically as Loop-carried values) --
     "LSTM": lambda n, *a: _lstm(n, *a),
     "GRU": lambda n, *a: _gru(n, *a),
+    "RNN": lambda n, *a: _rnn(n, *a),
     "SequenceEmpty": lambda n: [],
     "SequenceConstruct": lambda n, *xs: list(xs),
     "SequenceInsert": lambda n, seq, x, pos=None: _seq_insert(
@@ -792,17 +793,24 @@ def _rnn_directions(node: OnnxNode):
     raise ValueError(f"direction {d!r} unsupported ({node.name})")
 
 
-def _rnn_common_checks(node: OnnxNode, seq_lens):
+def _rnn_common_checks(node: OnnxNode, seq_lens,
+                       default_acts: tuple[bytes, ...]):
     if seq_lens is not None:
         raise ValueError(
             f"{node.op_type} sequence_lens unsupported ({node.name})")
     if node.attrs.get("clip", 0.0):
         raise ValueError(f"{node.op_type} clip unsupported "
                          f"({node.name})")
-    if node.attrs.get("activations"):
-        raise ValueError(
-            f"{node.op_type} custom activations unsupported "
-            f"({node.name})")
+    acts = node.attrs.get("activations")
+    if acts:
+        # exporters often spell out the defaults; only NON-default
+        # activations are unsupported
+        want = list(default_acts) * (len(acts) // len(default_acts)
+                                     or 1)
+        if [a.capitalize() for a in acts] != want:
+            raise ValueError(
+                f"{node.op_type} custom activations {acts} "
+                f"unsupported ({node.name})")
     if node.attrs.get("layout", 0):
         raise ValueError(
             f"{node.op_type} layout=1 unsupported ({node.name})")
@@ -812,7 +820,8 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
           c0=None, p=None):
     """ONNX LSTM (gate order iofc), default activations, no peepholes.
     One lax.scan per direction — the recurrences stay MXU matmuls."""
-    _rnn_common_checks(node, seq_lens)
+    _rnn_common_checks(node, seq_lens,
+                       (b"Sigmoid", b"Tanh", b"Tanh"))
     if p is not None:
         raise ValueError(f"LSTM peepholes unsupported ({node.name})")
     hs = int(node.attrs["hidden_size"])
@@ -853,9 +862,38 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
         else outs[0]
 
 
+def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
+    """ONNX vanilla RNN (tanh recurrence; custom activations raise)."""
+    _rnn_common_checks(node, seq_lens, (b"Tanh",))
+    hs = int(node.attrs["hidden_size"])
+    x = jnp.asarray(x)
+    bsz = x.shape[1]
+    ys, hs_out = [], []
+    for d, reverse in enumerate(_rnn_directions(node)):
+        wd = jnp.asarray(w)[d]
+        rd = jnp.asarray(r)[d]
+        bias = (jnp.asarray(b)[d, :hs] + jnp.asarray(b)[d, hs:]
+                if b is not None else jnp.zeros(hs, x.dtype))
+        h = (jnp.asarray(h0)[d] if h0 is not None
+             else jnp.zeros((bsz, hs), x.dtype))
+        xs = x[::-1] if reverse else x
+        gx = jnp.einsum("sbi,gi->sbg", xs, wd) + bias
+
+        def step(h, g, rd=rd):
+            h = jnp.tanh(g + h @ rd.T)
+            return h, h
+
+        h, y = jax.lax.scan(step, h, gx)
+        ys.append(y[::-1] if reverse else y)
+        hs_out.append(h)
+    outs = (jnp.stack(ys, axis=1), jnp.stack(hs_out))
+    return outs[:len(node.outputs)] if len(node.outputs) > 1 \
+        else outs[0]
+
+
 def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
     """ONNX GRU (gate order zrh), default activations."""
-    _rnn_common_checks(node, seq_lens)
+    _rnn_common_checks(node, seq_lens, (b"Sigmoid", b"Tanh"))
     lbr = int(node.attrs.get("linear_before_reset", 0))
     hs = int(node.attrs["hidden_size"])
     x = jnp.asarray(x)

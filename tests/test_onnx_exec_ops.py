@@ -735,11 +735,13 @@ class _Recurrent(torch.nn.Module):
         super().__init__()
         self.lstm = torch.nn.LSTM(5, 7, bidirectional=bidirectional)
         self.gru = torch.nn.GRU(5, 6, bidirectional=bidirectional)
+        self.rnn = torch.nn.RNN(5, 4, bidirectional=bidirectional)
 
     def forward(self, x):
         a, (h, c) = self.lstm(x)
         b, hg = self.gru(x)
-        return a, h, c, b, hg
+        r, hr = self.rnn(x)
+        return a, h, c, b, hg, r, hr
 
 
 @pytest.mark.parametrize("bidi", [False, True])
@@ -753,7 +755,7 @@ def test_lstm_gru_export(tmp_path, bidi):
     ex = _check_export(_Recurrent(bidi), [x], tmp_path, jit=True,
                        opset=13, atol=1e-5)
     ops = {n.op_type for n in ex.graph.nodes}
-    assert {"LSTM", "GRU"} <= ops
+    assert {"LSTM", "GRU", "RNN"} <= ops
 
 
 class _ScriptedLoop(torch.nn.Module):
