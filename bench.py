@@ -138,11 +138,11 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 8.0,
     from infercam_onnx_tpu.detector import Detector
     from infercam_onnx_tpu.native import jpeg as native_jpeg
 
-    # Trip the tunnel's transfer-mode latch NOW, on a 4-byte read: the
-    # first device->host read after heavy healthy-mode traffic can stall
-    # for >60 s (see .claude/skills/verify/SKILL.md); serving always
-    # reads detections back, so take the hit up front where it's cheap.
-    np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+    # the latch trip happened in main() (the budget clock starts after
+    # it); a pathological stall flags the rig as SLOW so sampling trims
+    # to fit a bounded wall clock
+    latch_s = float(os.environ.get("_BENCH_LATCH_S", "0"))
+    slow_rig = latch_s > 60.0
 
     detector = Detector(DetectorConfig(variant="RFB-320"), rng=0)
     n = native_jpeg.load()
@@ -184,8 +184,8 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 8.0,
                           seconds=seconds, decode_scale=decode_scale)
             for _ in range(windows))
 
-    fps_ycbcr = best("ycbcr", 3)
-    fps_pixels = best("pixels", 2)
+    fps_ycbcr = best("ycbcr", 1 if slow_rig else 3)
+    fps_pixels = best("pixels", 1 if slow_rig else 2)
 
     # 1080p tiled detection (BASELINE config 5, single-chip slice)
     from infercam_onnx_tpu.parallel.tiling import TiledDetector
@@ -203,6 +203,8 @@ def bench_tpu(frames: list[bytes], *, seconds: float = 8.0,
         "fps": max(fps_ycbcr, fps_pixels),
         "fps_ycbcr": fps_ycbcr,
         "fps_pixels": fps_pixels,
+        "latch_s": round(latch_s, 1),
+        "slow_rig": slow_rig,
         "p50_batch_ms": lat[len(lat) // 2] * 1e3,
         "p50_frame_ms": lat[len(lat) // 2] * 1e3 / batch,
         "device_compute_ms_per_batch": device_ms,
@@ -451,43 +453,85 @@ def main() -> int:
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     seconds = float(os.environ.get("BENCH_SECONDS", "8"))
+    # Trip the tunnel's transfer-mode latch FIRST: the process's first
+    # device->host read can stall 60-110 s, on the worst days 400+ s
+    # (unavoidable, once per process — see
+    # .claude/skills/verify/SKILL.md). Everything after it is fast, so
+    # the wall-clock budget for the OPTIONAL measurements starts after
+    # the stall; on slow rigs the sampling plan trims itself so ONE
+    # JSON line always comes out within budget past the latch.
+    import jax as _jax
+    import numpy as _np
+
+    def note(msg: str) -> None:
+        # progress markers on STDERR (stdout stays the one JSON line)
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    note("tripping transfer-mode latch (can stall minutes on bad days)")
+    t_latch = time.time()
+    _np.asarray(_jax.numpy.zeros((1,), _jax.numpy.float32))
+    latch_s = time.time() - t_latch
+    os.environ["_BENCH_LATCH_S"] = str(latch_s)
+    note(f"latch tripped in {latch_s:.1f}s")
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    t_start = time.time()
+
+    def remaining() -> float:
+        return budget_s - (time.time() - t_start)
 
     frames = _load_frames(batch)
     cpu = bench_cpu_baseline(frames)
+    note(f"cpu baseline done ({cpu['fps']:.2f} fps)")
     # the TPU tunnel occasionally throws one-off FAILED_PRECONDITION
     # backend errors; retry rather than losing the whole bench run
     last_err = None
     for _ in range(3):
         try:
             tpu = bench_tpu(frames, seconds=seconds, batch=batch)
-            serving = bench_serving_latency()
-            served = bench_serving_throughput(streams=batch)
-            if served["serving_delivered_fps"] <= 0:  # stalled window
-                served = bench_serving_throughput(streams=batch,
-                                                  port_base=38660)
-            serving.update(served)
+            note(f"tpu pipeline done ({tpu['fps']:.1f} fps), "
+                 f"remaining budget {remaining():.0f}s")
+            serving = {"serving_p50_e2e_ms": -1.0, "serving_frames": 0,
+                       "serving_delivered_fps": 0.0,
+                       "serving_mean_batch": 0.0}
+            if remaining() > 150:
+                serving.update(bench_serving_latency())
+            if remaining() > 120:
+                served = bench_serving_throughput(streams=batch)
+                if served["serving_delivered_fps"] <= 0 \
+                        and remaining() > 120:  # stalled window
+                    served = bench_serving_throughput(streams=batch,
+                                                      port_base=38660)
+                serving.update(served)
             # the lossless configuration is usually the best path, and
             # the tunnel's bandwidth drifts between windows — sample two
             # depths and keep the better (a zero reading = stalled
             # window; the deeper batch amortizes the flat per-execution
             # cost harder on slow-link days)
-            lossless = bench_serving_throughput(
-                streams=batch, coalesce=False, max_batch=2 * batch,
-                port_base=38640)
-            second = bench_serving_throughput(
-                streams=batch, coalesce=False, max_batch=4 * batch,
-                port_base=38680)
-            lossless["serving_lossless_max_batch"] = 2 * batch
-            second["serving_lossless_max_batch"] = 4 * batch
-            if (second["serving_delivered_fps"]
-                    > lossless["serving_delivered_fps"]):
-                lossless = second
+            lossless = {"serving_delivered_fps": 0.0,
+                        "serving_mean_batch": 0.0,
+                        "serving_lossless_max_batch": 0}
+            if remaining() > 80:
+                lossless = bench_serving_throughput(
+                    streams=batch, coalesce=False, max_batch=2 * batch,
+                    port_base=38640)
+                lossless["serving_lossless_max_batch"] = 2 * batch
+            if remaining() > 120:
+                second = bench_serving_throughput(
+                    streams=batch, coalesce=False, max_batch=4 * batch,
+                    port_base=38680)
+                second["serving_lossless_max_batch"] = 4 * batch
+                if (second["serving_delivered_fps"]
+                        > lossless["serving_delivered_fps"]):
+                    lossless = second
             serving["serving_lossless_fps"] = (
                 lossless["serving_delivered_fps"])
             serving["serving_lossless_mean_batch"] = (
                 lossless["serving_mean_batch"])
             serving["serving_lossless_max_batch"] = (
                 lossless["serving_lossless_max_batch"])
+            serving["bench_wall_s"] = round(time.time() - t_start, 1)
+            note("serving measurements done")
             break
         except Exception as e:  # pragma: no cover - flaky-rig guard
             last_err = e
