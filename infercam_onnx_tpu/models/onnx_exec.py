@@ -147,6 +147,20 @@ def _instance_norm(node: OnnxNode, x, scale, bias):
             / jnp.sqrt(var + eps) + bias.reshape(shape))
 
 
+def _layer_norm(node: OnnxNode, x, scale, bias=None):
+    if len(node.outputs) > 1:
+        raise ValueError(
+            f"LayerNormalization mean/inv_std outputs unsupported "
+            f"({node.name})")
+    eps = node.attrs.get("epsilon", 1e-5)
+    axis = node.attrs.get("axis", -1)
+    axes = tuple(range(axis % x.ndim, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    out = (x - mean) / jnp.sqrt(var + eps) * scale
+    return out if bias is None else out + bias
+
+
 def _group_norm(node: OnnxNode, x, scale, bias):
     eps = node.attrs.get("epsilon", 1e-5)
     groups = int(node.attrs["num_groups"])
@@ -488,6 +502,23 @@ def _softmax(node: OnnxNode, x):
     return jax.nn.softmax(x, axis=axis)
 
 
+def _div(a, b):
+    """ONNX Div: true division for floats, C-style TRUNCATING integer
+    division for integer tensors (exporters lean on this for shape
+    math — e.g. torch.chunk emits (size+k-1) Div k on int64)."""
+    a_int = np.issubdtype(np.asarray(a).dtype
+                          if _is_concrete(a) else a.dtype,
+                          np.integer)
+    b_int = np.issubdtype(np.asarray(b).dtype
+                          if _is_concrete(b) else b.dtype,
+                          np.integer)
+    if not (a_int and b_int):
+        return a / b
+    q = a // b
+    # floor -> trunc adjustment for mixed signs with a remainder
+    return q + ((a - q * b != 0) & ((a < 0) != (b < 0)))
+
+
 def _gather(node: OnnxNode, x, idx):
     axis = node.attrs.get("axis", 0)
     return _xp(x, idx).take(
@@ -523,7 +554,7 @@ _OPS: dict[str, Callable] = {
     "Add": lambda n, a, b: a + b,
     "Sub": lambda n, a, b: a - b,
     "Mul": lambda n, a, b: a * b,
-    "Div": lambda n, a, b: a / b,
+    "Div": lambda n, a, b: _div(a, b),
     "Exp": lambda n, x: _xp(x).exp(x),
     "Sqrt": lambda n, x: _xp(x).sqrt(x),
     "Sigmoid": lambda n, x: jax.nn.sigmoid(x),
@@ -617,6 +648,8 @@ _OPS: dict[str, Callable] = {
     "NonMaxSuppression": lambda n, *a: _nms_onnx(n, *a),
     "InstanceNormalization": _instance_norm,
     "GroupNormalization": _group_norm,
+    "LayerNormalization": lambda n, x, scale, b=None: _layer_norm(
+        n, x, scale, b),
     "Einsum": lambda n, *xs: jnp.einsum(
         n.attrs["equation"].decode(), *xs),
     # -- sequence ops: sequences are plain Python lists in the

@@ -408,6 +408,20 @@ def test_reduce_ops_axes_as_input_and_noop():
     assert np.asarray(out).shape == (1, 1, 1)
 
 
+def test_integer_div_truncates_like_c():
+    """ONNX Div on integer tensors truncates toward zero (shape math in
+    real exports depends on it — torch.chunk emits (n+k-1) Div k on
+    int64; true division here produced fractional slice bounds)."""
+    a = np.array([50, -50, 7, -7], np.int64)
+    b = np.array([3, 3, -2, -2], np.int64)
+    got = _OPS["Div"](_node("Div"), a, b)
+    np.testing.assert_array_equal(np.asarray(got), [16, -16, -3, 3])
+    assert np.issubdtype(np.asarray(got).dtype, np.integer)
+    # floats keep true division
+    got = _OPS["Div"](_node("Div"), np.float32(1.0), np.float32(4.0))
+    assert float(got) == 0.25
+
+
 def test_legacy_attribute_forms_pad_and_upsample():
     """Opset<11 Pad and opset<=8 Upsample carry their geometry as plain
     int/float list ATTRIBUTES (not initializer inputs) — the executor
@@ -728,6 +742,52 @@ def test_conv_and_pool_auto_pad_matches_torch_same():
                                  kernel_shape=[3, 3], strides=[2, 2]))
     got = np.asarray(_OPS["MaxPool"](node, x))
     assert got.shape == (1, 2, 4, 4)  # ceil(8/2)
+
+
+class _EncoderBlock(torch.nn.Module):
+    """Pre-norm transformer encoder block with explicit multi-head
+    attention (this torch version's TransformerEncoderLayer hits an
+    exporter bug in scaled_dot_product_attention, so the attention math
+    is spelled out — same ops on the wire)."""
+
+    def __init__(self, d=16, heads=4, ff=32):
+        super().__init__()
+        self.h, self.dk = heads, d // heads
+        self.qkv = torch.nn.Linear(d, 3 * d)
+        self.proj = torch.nn.Linear(d, d)
+        self.n1 = torch.nn.LayerNorm(d)
+        self.n2 = torch.nn.LayerNorm(d)
+        self.ff = torch.nn.Sequential(
+            torch.nn.Linear(d, ff), torch.nn.GELU(),
+            torch.nn.Linear(ff, d))
+
+    def forward(self, x):
+        b, s, d = x.shape
+        q, k, v = self.qkv(self.n1(x)).chunk(3, dim=-1)
+
+        def split(t):
+            return t.reshape(b, s, self.h, self.dk).transpose(1, 2)
+
+        q, k, v = split(q), split(k), split(v)
+        att = torch.softmax(
+            q @ k.transpose(-1, -2) / (self.dk ** 0.5), dim=-1)
+        y = (att @ v).transpose(1, 2).reshape(b, s, d)
+        x = x + self.proj(y)
+        return x + self.ff(self.n2(x))
+
+
+def test_transformer_encoder_block_export(tmp_path):
+    """A transformer encoder block (multi-head self-attention + FFN +
+    LayerNorm + GELU) exports to supported ops and executes to torch
+    equality — the executor covers transformer-era blocks, not just
+    CNNs."""
+    torch.manual_seed(11)
+    x = np.random.default_rng(33).normal(
+        size=(2, 5, 16)).astype(np.float32)
+    ex = _check_export(_EncoderBlock(), [x], tmp_path, jit=True,
+                       opset=17, atol=1e-5)
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert {"MatMul", "Softmax", "LayerNormalization"} <= ops
 
 
 class _Recurrent(torch.nn.Module):
