@@ -116,14 +116,16 @@ def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
         raise ValueError(f"pool ceil_mode unsupported ({node.name})")
     ks = node.attrs["kernel_shape"]
     strides = node.attrs.get("strides", [1] * len(ks))
-    pads = _auto_pads(node, x.shape[2:], ks, strides, [1] * len(ks))
+    dilations = node.attrs.get("dilations", [1] * len(ks))
+    pads = _auto_pads(node, x.shape[2:], ks, strides, dilations)
     n = len(ks)
     window = (1, 1) + tuple(ks)
     strd = (1, 1) + tuple(strides)
     padding = ((0, 0), (0, 0)) + tuple(
         (pads[i], pads[i + n]) for i in range(n))
-    out = jax.lax.reduce_window(jnp.asarray(x), init, reducer,
-                                window, strd, padding)
+    out = jax.lax.reduce_window(
+        jnp.asarray(x), init, reducer, window, strd, padding,
+        window_dilation=(1, 1) + tuple(dilations))
     if is_avg:
         if node.attrs.get("count_include_pad", 0) or not any(pads):
             out = out / float(np.prod(ks))
@@ -171,6 +173,11 @@ def _group_norm(node: OnnxNode, x, scale, bias):
     var = jnp.var(g, axis=axes, keepdims=True)
     g = (g - mean) / jnp.sqrt(var + eps)
     out = g.reshape(x.shape)
+    # opset 18 passes per-GROUP scale/bias [num_groups]; opset 21 (and
+    # torch) per-CHANNEL [C] — broadcast the per-group form up
+    if scale.shape[0] == groups and groups != c:
+        scale = jnp.repeat(jnp.asarray(scale), c // groups)
+        bias = jnp.repeat(jnp.asarray(bias), c // groups)
     shape = (1, -1) + (1,) * (x.ndim - 2)
     return scale.reshape(shape) * out + bias.reshape(shape)
 
@@ -370,6 +377,8 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
     if node.attrs.get("exclude_outside", 0):
         raise ValueError(
             f"Resize exclude_outside unsupported ({node.name})")
+    if node.attrs.get("antialias", 0):
+        raise ValueError(f"Resize antialias unsupported ({node.name})")
     if scales is not None and np.asarray(scales).size == 0:
         scales = None
     if not _is_concrete(scales if sizes is None else sizes):
@@ -683,8 +692,7 @@ _OPS: dict[str, Callable] = {
         n, _xp(x).abs(x), axes, kind="sum"),
     "ReduceL2": lambda n, x, axes=None: _xp(x).sqrt(_reduce(
         n, x * x, axes, kind="sum")),
-    "ReduceLogSumExp": lambda n, x, axes=None: _xp(x).log(_reduce(
-        n, _xp(x).exp(x), axes, kind="sum")),
+    "ReduceLogSumExp": lambda n, x, axes=None: _logsumexp(n, x, axes),
     "LpNormalization": lambda n, x: x / _lp_norm(n, x),
     "Mod": lambda n, a, b: (_xp(a, b).fmod(a, b)
                             if n.attrs.get("fmod", 0)
@@ -857,6 +865,9 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
                        (b"Sigmoid", b"Tanh", b"Tanh"))
     if p is not None:
         raise ValueError(f"LSTM peepholes unsupported ({node.name})")
+    if node.attrs.get("input_forget", 0):
+        raise ValueError(
+            f"LSTM input_forget (CIFG) unsupported ({node.name})")
     hs = int(node.attrs["hidden_size"])
     x = jnp.asarray(x)
     s, bsz = x.shape[0], x.shape[1]
@@ -1068,6 +1079,25 @@ def _cumsum(node: OnnxNode, x, axis):
             out = xp.flip(out, axis)
         return out
     return _xp(x).cumsum(x, axis=axis)
+
+
+def _logsumexp(node: OnnxNode, x, axes=None):
+    """Max-shifted (overflow-stable) logsumexp via the _reduce axis
+    plumbing: compute in shifted space, add the shift back."""
+    xp = _xp(x)
+    if axes is None:
+        axes_attr = node.attrs.get("axes")
+    else:
+        axes_attr = np.asarray(axes).reshape(-1).tolist()
+    keep = bool(node.attrs.get("keepdims", 1))
+    ax = (None if axes_attr in (None, [])
+          else tuple(int(a) for a in axes_attr))
+    m = xp.max(x, axis=ax, keepdims=True)
+    m = xp.where(xp.isfinite(m), m, 0.0)  # all -inf slices stay finite
+    out = xp.log(xp.sum(xp.exp(x - m), axis=ax, keepdims=True)) + m
+    if not keep:
+        out = out.squeeze(ax) if ax is not None else out.reshape(())
+    return out
 
 
 def _lp_norm(node: OnnxNode, x):

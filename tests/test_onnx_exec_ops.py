@@ -408,6 +408,44 @@ def test_reduce_ops_axes_as_input_and_noop():
     assert np.asarray(out).shape == (1, 1, 1)
 
 
+def test_dilated_maxpool_matches_torch():
+    x = np.random.default_rng(34).normal(
+        size=(1, 2, 9, 9)).astype(np.float32)
+    node = _node("MaxPool", dict(kernel_shape=[3, 3], strides=[1, 1],
+                                 dilations=[2, 2]))
+    got = np.asarray(_OPS["MaxPool"](node, x))
+    want = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 3, stride=1, dilation=2).numpy()
+    np.testing.assert_allclose(got, want)
+
+
+def test_logsumexp_is_overflow_stable():
+    x = np.array([[1000.0, 999.0], [-2000.0, -2000.0]], np.float32)
+    got = np.asarray(_OPS["ReduceLogSumExp"](
+        _node("ReduceLogSumExp", dict(keepdims=0)), x,
+        np.array([1], np.int64)))
+    from scipy.special import logsumexp as _lse
+    np.testing.assert_allclose(got, _lse(x.astype(np.float64), axis=1),
+                               rtol=1e-5)
+    assert np.all(np.isfinite(got))
+
+
+def test_group_norm_per_group_scale():
+    # opset-18 form: scale/bias are [num_groups], not [C]
+    x = np.random.default_rng(35).normal(
+        size=(2, 6, 4, 3)).astype(np.float32)
+    scale = np.array([2.0, 0.5, 1.5], np.float32)
+    bias = np.array([0.1, -0.2, 0.3], np.float32)
+    got = np.asarray(_OPS["GroupNormalization"](
+        _node("GroupNormalization", dict(num_groups=3)), x, scale,
+        bias))
+    want = torch.nn.functional.group_norm(
+        torch.from_numpy(x), 3,
+        torch.from_numpy(np.repeat(scale, 2)),
+        torch.from_numpy(np.repeat(bias, 2))).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_integer_div_truncates_like_c():
     """ONNX Div on integer tensors truncates toward zero (shape math in
     real exports depends on it — torch.chunk emits (n+k-1) Div k on

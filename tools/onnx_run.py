@@ -70,15 +70,31 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(args.seed)
     if args.input:
-        if len(args.input) != len(graph.inputs):
+        inputs = []
+        for p in args.input:
+            loaded = np.load(p)
+            if isinstance(loaded, np.lib.npyio.NpzFile):
+                inputs.extend(loaded[k] for k in loaded.files)
+            else:
+                inputs.append(loaded)
+        if len(inputs) != len(graph.inputs):
             ap.error(f"model wants {len(graph.inputs)} inputs "
                      f"({[i.name for i in graph.inputs]}), "
-                     f"got {len(args.input)} files")
-        inputs = [np.load(p) for p in args.input]
+                     f"got {len(inputs)} arrays")
     else:
         inputs = [_random_input(i, rng) for i in graph.inputs]
     for info, arr in zip(graph.inputs, inputs):
         print(f"  in  {info.name}: {arr.shape} {arr.dtype}")
+
+    # trip the transfer-mode latch BEFORE timing anything: the first
+    # device->host read in a process can stall minutes on tunneled rigs
+    # and must not be misattributed to compile time (CLAUDE.md)
+    t0 = time.perf_counter()
+    np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+    latch_s = time.perf_counter() - t0
+    if latch_s > 5:
+        print(f"first-device-read stall: {latch_s:.1f} s (rig quirk, "
+              "not the model)")
 
     fn = ex if args.no_jit else jax.jit(ex)
     t0 = time.perf_counter()
