@@ -1324,25 +1324,38 @@ class GraphExecutor:
         return tuple(results) if len(node.outputs) > 1 else results[0]
 
     def _run_if(self, node: OnnxNode, env: dict):
-        """If with a trace-time-resolvable condition: conditions in real
-        CNN exports derive from shape math (concrete numpy here), so the
-        branch choice flattens at trace time — no lax.cond needed and no
-        same-shape-both-branches constraint. A genuinely data-dependent
-        condition fails loudly instead of miscompiling."""
+        """If: a trace-time-resolvable condition (the common case —
+        conditions in real exports derive from concrete shape math)
+        flattens the branch choice at trace time, with no
+        same-shape-both-branches constraint. A genuinely DATA-DEPENDENT
+        condition lowers to lax.cond — both branches trace, so their
+        output shapes/dtypes must match (a mismatch fails loudly)."""
+
+        def run_branch(branch, env):
+            # ONNX subgraph scoping: the branch sees the outer scope;
+            # its own values must not leak back out
+            sub_env = dict(env)
+            sub_env.update(branch.initializers)
+            self._exec_nodes(branch.nodes, sub_env)
+            return tuple(sub_env[o.name] for o in branch.outputs)
+
         cond = env[node.inputs[0]]
-        if not _is_concrete(cond):
+        if _is_concrete(cond):
+            branch = (node.attrs["then_branch"]
+                      if bool(np.asarray(cond).reshape(()))
+                      else node.attrs["else_branch"])
+            outs = run_branch(branch, env)
+            return outs if len(node.outputs) > 1 else outs[0]
+        try:
+            outs = jax.lax.cond(
+                jnp.asarray(cond).reshape(()),
+                lambda: run_branch(node.attrs["then_branch"], env),
+                lambda: run_branch(node.attrs["else_branch"], env))
+        except TypeError as e:
             raise ValueError(
-                f"If with traced (data-dependent) condition "
-                f"({node.name}) is unsupported")
-        branch = (node.attrs["then_branch"]
-                  if bool(np.asarray(cond).reshape(()))
-                  else node.attrs["else_branch"])
-        # ONNX subgraph scoping: the branch sees the outer scope; its
-        # own values must not leak back out
-        sub_env = dict(env)
-        sub_env.update(branch.initializers)
-        self._exec_nodes(branch.nodes, sub_env)
-        outs = tuple(sub_env[o.name] for o in branch.outputs)
+                f"If with a data-dependent condition requires both "
+                f"branches to produce matching shapes/dtypes "
+                f"({node.name}): {e}") from e
         return outs if len(node.outputs) > 1 else outs[0]
 
 

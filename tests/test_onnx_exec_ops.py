@@ -192,8 +192,9 @@ def test_lrn_direct_op_matches_torch():
                                atol=1e-5)
 
 
-def test_if_traced_condition_fails_loudly():
-    """A genuinely data-dependent If must raise, not miscompile."""
+def test_if_concrete_traced_and_mismatched_conditions():
+    """If: concrete conditions flatten at trace time; traced conditions
+    lower to lax.cond; mismatched branch shapes fail loudly."""
     from infercam_onnx_tpu.models.onnx_reader import (
         OnnxGraph,
         OnnxValueInfo,
@@ -217,8 +218,31 @@ def test_if_traced_condition_fails_loudly():
     # concrete condition resolves at trace time
     assert float(ex(np.asarray(True))[0]) == 1.0
     assert float(ex(np.asarray(False))[0]) == 2.0
-    with pytest.raises(ValueError, match="data-dependent"):
-        jax.jit(ex)(np.asarray(True))
+    # a traced condition with shape-matching branches lowers to
+    # lax.cond — genuinely data-dependent dispatch under jit
+    jf = jax.jit(ex)
+    assert float(jf(np.asarray(True))[0]) == 1.0
+    assert float(jf(np.asarray(False))[0]) == 2.0
+
+    # traced condition + MISMATCHED branch shapes fails loudly
+    def vec_branch():
+        return OnnxGraph(
+            nodes=[OnnxNode("Constant", "cv", [], ["y"],
+                            {"value": np.zeros(3, np.float32)})],
+            initializers={}, inputs=[],
+            outputs=[OnnxValueInfo("y", 1, [3])])
+
+    g_mix = OnnxGraph(
+        nodes=[OnnxNode("If", "pick", ["cond"], ["out"],
+                        {"then_branch": branch(1.0),
+                         "else_branch": vec_branch()})],
+        initializers={},
+        inputs=[OnnxValueInfo("cond", 9, [])],
+        outputs=[OnnxValueInfo("out", 1, [None])])
+    ex_mix = GraphExecutor(g_mix)
+    assert np.asarray(ex_mix(np.asarray(False))[0]).shape == (3,)
+    with pytest.raises(ValueError, match="matching shapes"):
+        jax.jit(ex_mix)(np.asarray(True))
 
     # a branch whose declared output is never produced fails at BUILD
     bad = branch(1.0)
