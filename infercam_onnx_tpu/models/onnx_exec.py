@@ -383,11 +383,19 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
         scales = None
     if not _is_concrete(scales if sizes is None else sizes):
         raise ValueError(f"Resize with traced geometry ({node.name})")
+    # opset 18+: scales/sizes may cover only the named axes
+    axes = node.attrs.get("axes")
+    axes = (list(range(x.ndim)) if axes is None
+            else [int(a) % x.ndim for a in axes])
     if sizes is not None:
-        out_shape = [int(s) for s in np.asarray(sizes).reshape(-1)]
+        out_shape = list(x.shape)
+        for a, s in zip(axes, np.asarray(sizes).reshape(-1)):
+            out_shape[a] = int(s)
     elif scales is not None:
         sc = np.asarray(scales, np.float64).reshape(-1)
-        out_shape = [int(np.floor(d * s)) for d, s in zip(x.shape, sc)]
+        out_shape = list(x.shape)
+        for a, s in zip(axes, sc):
+            out_shape[a] = int(np.floor(x.shape[a] * s))
     else:
         raise ValueError(f"Resize without scales/sizes ({node.name})")
     if list(out_shape[:2]) != list(x.shape[:2]):

@@ -349,6 +349,21 @@ def test_resize_matches_torch_interpolate_modes():
                                    atol=1e-5, err_msg=str(attrs))
 
 
+def test_resize_axes_attribute():
+    # opset 18: sizes restricted to the named axes
+    x = np.random.default_rng(36).normal(
+        size=(1, 3, 10, 12)).astype(np.float32)
+    node = _node("Resize", dict(
+        mode=b"linear", coordinate_transformation_mode=b"half_pixel",
+        axes=[2, 3]))
+    got = _OPS["Resize"](node, x, None, None,
+                         np.array([20, 24], np.int64))
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(20, 24), mode="bilinear",
+        align_corners=False).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 def test_resize_downscale_nearest():
     x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
     node = _node("Resize", dict(
