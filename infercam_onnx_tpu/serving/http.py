@@ -22,8 +22,16 @@ import asyncio
 import logging
 import urllib.parse
 
+from infercam_onnx_tpu.protocol import _MJPEG_HEADER, _MJPEG_TRAILER
 from infercam_onnx_tpu.serving.meter import METER, Meter
 from infercam_onnx_tpu.serving.router import FrameRouter
+
+
+def _jpeg_from_part(part: bytes) -> bytes:
+    """Payload of one MJPEG part (as_jpeg_stream_item framing)."""
+    if part.startswith(_MJPEG_HEADER) and part.endswith(_MJPEG_TRAILER):
+        return part[len(_MJPEG_HEADER):-len(_MJPEG_TRAILER)]
+    return part
 
 log = logging.getLogger("infercam.http")
 
@@ -156,6 +164,32 @@ class HttpServer:
                         self._router.subscribe_inferred(name),
                         self._meter.tick_inferred)
                     return
+                elif url.path == "/snapshot":
+                    # one-shot JPEG of the stream's next frame —
+                    # dashboards/thumbnails without an MJPEG consumer.
+                    # ?raw=1 snapshots the raw stream instead of the
+                    # annotated one. Demand-driven like the streams: the
+                    # subscription itself makes the router infer.
+                    raw = query.get("raw", ["0"])[0] not in ("0", "")
+                    sub = (self._router.subscribe_raw(name) if raw
+                           else self._router.subscribe_inferred(name))
+                    timeout_s = float(
+                        query.get("timeout", ["10"])[0] or 10)
+                    try:
+                        with sub:
+                            part = await asyncio.wait_for(
+                                sub.receive(), timeout_s)
+                        jpeg = _jpeg_from_part(part)
+                        (self._meter.tick_raw if raw
+                         else self._meter.tick_inferred)()
+                        writer.write(_simple_response(
+                            "200 OK", jpeg, "image/jpeg",
+                            keep_alive=keep))
+                    except asyncio.TimeoutError:
+                        writer.write(_simple_response(
+                            "504 Gateway Timeout",
+                            b"no frame within timeout",
+                            keep_alive=keep))
                 elif url.path == "/detections":
                     log.info("Detections stream for %s requested", name)
                     await self._stream(

@@ -754,6 +754,49 @@ def test_ycbcr_mode_serves_nonstandard_chroma(detector, tmp_path, kind):
     asyncio.run(run())
 
 
+def test_snapshot_endpoint(detector, jpeg_dir):
+    """/snapshot returns ONE JPEG (annotated by default, ?raw=1 for the
+    raw stream) — demand-driven like the MJPEG endpoints."""
+
+    async def run():
+        server, _ = await _start(detector, 18368, 18369)
+        try:
+            snap_task = asyncio.create_task(
+                _http_get(18368, "/snapshot?name=s", read_bytes=10**6,
+                          timeout=30.0))
+            await asyncio.sleep(0.3)
+            sender = asyncio.create_task(send_stream(
+                ReplaySource(str(jpeg_dir), fps=20),
+                ClientConfig(address="127.0.0.1:18369", channel="s"),
+                max_frames=40))
+            resp = await snap_task
+            sender.cancel()
+            head, body = resp.split(b"\r\n\r\n", 1)
+            assert b"200 OK" in head and b"image/jpeg" in head
+            assert body.startswith(b"\xff\xd8")  # a bare JPEG, no MJPEG framing
+            # raw variant too
+            snap_task = asyncio.create_task(
+                _http_get(18368, "/snapshot?name=s&raw=1",
+                          read_bytes=10**6, timeout=30.0))
+            await asyncio.sleep(0.2)
+            sender = asyncio.create_task(send_stream(
+                ReplaySource(str(jpeg_dir), fps=20),
+                ClientConfig(address="127.0.0.1:18369", channel="s"),
+                max_frames=20))
+            resp = await snap_task
+            sender.cancel()
+            assert resp.split(b"\r\n\r\n", 1)[1].startswith(b"\xff\xd8")
+            # no traffic -> bounded 504, not a hang
+            resp = await _http_get(
+                18368, "/snapshot?name=idle&timeout=0.5",
+                read_bytes=10**6, timeout=20.0)
+            assert b"504" in resp.split(b"\r\n", 1)[0]
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_sharded_ycbcr_path_matches_single_device(detector):
     from infercam_onnx_tpu.native import jpeg as native_jpeg
     from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
