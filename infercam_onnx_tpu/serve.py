@@ -257,6 +257,18 @@ def main(argv: list[str] | None = None) -> int:
             ))
     except KeyboardInterrupt:
         pass
+    finally:
+        if args.distributed:
+            # the jax.distributed service holds non-daemon threads; an
+            # un-shutdown runtime can keep the process alive after a
+            # clean SIGTERM (observed: a lockstep host surviving
+            # termination, still holding its coordinator port)
+            import jax
+
+            try:
+                jax.distributed.shutdown()
+            except Exception:
+                pass
     return 0
 
 
