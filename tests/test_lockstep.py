@@ -184,10 +184,15 @@ def test_two_host_lockstep_deployment(tmp_path):
     2-process jax.distributed CPU 'cluster' (Gloo standing in for DCN),
     one global 2-device mesh, lockstep dispatch; each host ingests its
     own streams and serves its own detections."""
+    # DIFFERENT resolutions per host: each round's agreed schedule must
+    # union two pixel-batch geometries, with each host padding the
+    # other's unit
     rng = np.random.default_rng(5)
-    for i in range(2):
-        frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-        (tmp_path / f"f{i}.jpg").write_bytes(codec.encode_rgb(frame))
+    dirs = [tmp_path / "host0", tmp_path / "host1"]
+    for d, size in zip(dirs, [(48, 64, 3), (32, 48, 3)]):
+        d.mkdir()
+        frame = rng.integers(0, 256, size=size, dtype=np.uint8)
+        (d / "f.jpg").write_bytes(codec.encode_rgb(frame))
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -224,7 +229,7 @@ def test_two_host_lockstep_deployment(tmp_path):
                 [sys.executable, "-m", "infercam_onnx_tpu.client.sender",
                  "--address", f"127.0.0.1:{sock[pid]}",
                  "--channel", f"cam{pid}",
-                 "--replay-dir", str(tmp_path), "--fps", "10"],
+                 "--replay-dir", str(dirs[pid]), "--fps", "10"],
                 env=env, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL))
 
