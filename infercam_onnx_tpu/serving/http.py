@@ -147,8 +147,16 @@ class HttpServer:
                         "200 OK", body, "application/json",
                         keep_alive=keep))
                 elif url.path == "/metrics":
+                    text = self._meter.prometheus()
+                    if self._topology is not None:
+                        labels = ",".join(
+                            f'{k}="{v}"' for k, v in
+                            sorted(self._topology.items()))
+                        text += ("# TYPE infercam_topology_info gauge\n"
+                                 f"infercam_topology_info{{{labels}}}"
+                                 " 1\n")
                     writer.write(_simple_response(
-                        "200 OK", self._meter.prometheus().encode(),
+                        "200 OK", text.encode(),
                         "text/plain; version=0.0.4",
                         keep_alive=keep))
                 elif url.path == "/stream":

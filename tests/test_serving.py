@@ -1042,6 +1042,8 @@ def test_metrics_prometheus_endpoint(detector, jpeg_dir):
             assert "infercam_uptime_seconds" in body
             assert "infercam_inferred_unique_total" in body
             assert "# TYPE" in body
+            assert 'infercam_topology_info{' in body
+            assert 'devices="1"' in body
         finally:
             await server.close()
 
