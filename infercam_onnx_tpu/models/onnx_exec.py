@@ -1171,7 +1171,7 @@ class GraphExecutor:
 
     def _validate(self, nodes, known: set) -> None:
         for node in nodes:
-            if (node.op_type not in ("If", "Loop")
+            if (node.op_type not in ("If", "Loop", "Scan")
                     and node.op_type not in _OPS):
                 raise ValueError(
                     f"unsupported ONNX op {node.op_type!r} "
@@ -1202,6 +1202,36 @@ class GraphExecutor:
                         raise ValueError(
                             f"If node {node.name!r}: {key} outputs "
                             f"never produced: {absent}")
+            if node.op_type == "Scan":
+                body = node.attrs.get("body")
+                if not isinstance(body, OnnxGraph):
+                    raise ValueError(
+                        f"Scan node {node.name!r} missing body")
+                n_scan_in = int(node.attrs.get("num_scan_inputs", 0))
+                n_states = len(node.inputs) - n_scan_in
+                if n_scan_in < 1 or n_states < 0:
+                    raise ValueError(
+                        f"Scan node {node.name!r}: bad num_scan_inputs")
+                if len(body.inputs) != n_states + n_scan_in:
+                    raise ValueError(
+                        f"Scan node {node.name!r}: body declares "
+                        f"{len(body.inputs)} inputs, expected "
+                        f"{n_states + n_scan_in}")
+                n_scan_out = len(body.outputs) - n_states
+                if n_scan_out < 0 \
+                        or len(node.outputs) != n_states + n_scan_out:
+                    raise ValueError(
+                        f"Scan node {node.name!r}: output arity "
+                        f"mismatch")
+                body_known = (set(known) | set(body.initializers)
+                              | {i.name for i in body.inputs})
+                self._validate(body.nodes, body_known)
+                absent = [o.name for o in body.outputs
+                          if o.name not in body_known]
+                if absent:
+                    raise ValueError(
+                        f"Scan node {node.name!r}: body outputs "
+                        f"never produced: {absent}")
             if node.op_type == "Loop":
                 body = node.attrs.get("body")
                 if not isinstance(body, OnnxGraph):
@@ -1251,6 +1281,8 @@ class GraphExecutor:
                 results = self._run_if(node, env)
             elif node.op_type == "Loop":
                 results = self._run_loop(node, env)
+            elif node.op_type == "Scan":
+                results = self._run_scan(node, env)
             else:
                 # optional inputs are empty-named and may sit in the
                 # MIDDLE of the list (torch: Resize(X, "", scales)) —
@@ -1330,6 +1362,51 @@ class GraphExecutor:
                 f"({node.name}): result shape is unknowable")
         results = carried + [_xp(*s).stack(s) for s in scans]
         return tuple(results) if len(node.outputs) > 1 else results[0]
+
+    def _run_scan(self, node: OnnxNode, env: dict):
+        """Scan: iterate the body over slices of the scan inputs (the
+        trip count is a SHAPE, so this unrolls statically and works
+        under jit — unlike Loop's data-dependent trip counts). States
+        thread through; scan outputs stack along their output axis."""
+        body = node.attrs["body"]
+        n_scan_in = int(node.attrs["num_scan_inputs"])
+        args = [env[name] for name in node.inputs]
+        n_states = len(args) - n_scan_in
+        states = list(args[:n_states])
+        xs = args[n_states:]
+        in_axes = node.attrs.get("scan_input_axes", [0] * n_scan_in)
+        in_dirs = node.attrs.get("scan_input_directions",
+                                 [0] * n_scan_in)
+        n_scan_out = len(body.outputs) - n_states
+        out_axes = node.attrs.get("scan_output_axes",
+                                  [0] * n_scan_out)
+        out_dirs = node.attrs.get("scan_output_directions",
+                                  [0] * n_scan_out)
+        xs = [jnp.moveaxis(jnp.asarray(x), int(a), 0)
+              for x, a in zip(xs, in_axes)]
+        xs = [x[::-1] if d else x for x, d in zip(xs, in_dirs)]
+        trip = xs[0].shape[0]
+        names = [i.name for i in body.inputs]
+        scans: list[list] = [[] for _ in range(n_scan_out)]
+        for t in range(trip):
+            sub_env = dict(env)
+            sub_env.update(body.initializers)
+            for nm, v in zip(names[:n_states], states):
+                sub_env[nm] = v
+            for nm, x in zip(names[n_states:], xs):
+                sub_env[nm] = x[t]
+            self._exec_nodes(body.nodes, sub_env)
+            outs = [sub_env[o.name] for o in body.outputs]
+            states = outs[:n_states]
+            for k in range(n_scan_out):
+                scans[k].append(outs[n_states + k])
+        stacked = []
+        for k in range(n_scan_out):
+            s = scans[k][::-1] if out_dirs[k] else scans[k]
+            stacked.append(jnp.moveaxis(jnp.stack(s, axis=0), 0,
+                                        int(out_axes[k])))
+        results = tuple(states) + tuple(stacked)
+        return results if len(node.outputs) > 1 else results[0]
 
     def _run_if(self, node: OnnxNode, env: dict):
         """If: a trace-time-resolvable condition (the common case —

@@ -1001,6 +1001,50 @@ def test_loop_scan_outputs():
     np.testing.assert_allclose(np.asarray(trace), [3.0, 5.0, 7.0])
 
 
+def test_scan_cumulative_sum_under_jit():
+    """Scan: running-sum over a sequence (one state, one scan input,
+    one scan output) — the trip count is a SHAPE, so it unrolls and
+    works under jit, including reversed input direction."""
+    from infercam_onnx_tpu.models.onnx_reader import (
+        OnnxGraph,
+        OnnxValueInfo,
+    )
+
+    body = OnnxGraph(
+        nodes=[OnnxNode("Add", "acc", ["s_in", "x_t"], ["s_out"], {}),
+               OnnxNode("Identity", "y", ["s_out"], ["y_t"], {})],
+        initializers={},
+        inputs=[OnnxValueInfo("s_in", 1, []),
+                OnnxValueInfo("x_t", 1, [])],
+        outputs=[OnnxValueInfo("s_out", 1, []),
+                 OnnxValueInfo("y_t", 1, [])])
+
+    def graph(**attrs):
+        return OnnxGraph(
+            nodes=[OnnxNode("Scan", "S", ["init", "xs"],
+                            ["final", "ys"],
+                            {"body": body, "num_scan_inputs": 1,
+                             **attrs})],
+            initializers={},
+            inputs=[OnnxValueInfo("init", 1, []),
+                    OnnxValueInfo("xs", 1, [None])],
+            outputs=[OnnxValueInfo("final", 1, []),
+                     OnnxValueInfo("ys", 1, [None])])
+
+    ex = GraphExecutor(graph())
+    init = np.float32(0.0)
+    xs = np.arange(1.0, 5.0, dtype=np.float32)
+    final, ys = jax.jit(ex)(init, xs)
+    assert float(final) == 10.0
+    np.testing.assert_allclose(np.asarray(ys), [1, 3, 6, 10])
+
+    ex_rev = GraphExecutor(graph(scan_input_directions=[1],
+                                 scan_output_directions=[1]))
+    final, ys = ex_rev(init, xs)
+    assert float(final) == 10.0  # sum is direction-invariant
+    np.testing.assert_allclose(np.asarray(ys), [10, 9, 7, 4])
+
+
 def test_unsupported_op_fails_loudly_at_build(tmp_path):
     class Mod(torch.nn.Module):
         def forward(self, x):
