@@ -672,6 +672,7 @@ _OPS: dict[str, Callable] = {
     # -- sequence ops: sequences are plain Python lists in the
     # interpreter env (torchscript list-append loops export these,
     # typically as Loop-carried values) --
+    "GridSample": lambda n, x, grid: _grid_sample(n, x, grid),
     "LSTM": lambda n, *a: _lstm(n, *a),
     "GRU": lambda n, *a: _gru(n, *a),
     "RNN": lambda n, *a: _rnn(n, *a),
@@ -829,6 +830,63 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _grid_sample(node: OnnxNode, x, grid):
+    """GridSample (opset 16+): bilinear/nearest sampling of x[B,C,H,W]
+    at grid[B,Ho,Wo,2] locations in [-1,1] xy order — spatial
+    transformers and flow-warping exports."""
+    mode = node.attrs.get("mode", b"bilinear")
+    if mode == b"linear":
+        mode = b"bilinear"  # opset-20 rename
+    pad = node.attrs.get("padding_mode", b"zeros")
+    align = bool(node.attrs.get("align_corners", 0))
+    if mode not in (b"bilinear", b"nearest"):
+        raise ValueError(
+            f"GridSample mode {mode!r} unsupported ({node.name})")
+    if pad not in (b"zeros", b"border"):
+        raise ValueError(
+            f"GridSample padding_mode {pad!r} unsupported "
+            f"({node.name})")
+    x = jnp.asarray(x)
+    grid = jnp.asarray(grid)
+    h, w = x.shape[2], x.shape[3]
+
+    def unnormalize(coord, size):
+        if align:
+            return (coord + 1) * (size - 1) / 2
+        return ((coord + 1) * size - 1) / 2
+
+    gx = unnormalize(grid[..., 0], w)  # [B, Ho, Wo]
+    gy = unnormalize(grid[..., 1], h)
+
+    def sample(iy, ix):
+        """x at integer (iy, ix) with the padding mode; [B,C,Ho,Wo]."""
+        inside = ((iy >= 0) & (iy < h) & (ix >= 0) & (ix < w))
+        cy = jnp.clip(iy, 0, h - 1)
+        cx = jnp.clip(ix, 0, w - 1)
+        v = jax.vmap(
+            lambda xb, yb, xbi: xb[:, yb, xbi])(x, cy, cx)
+        # [B, C, Ho, Wo]: ':' keeps C in place, the advanced index
+        # pair contributes the [Ho, Wo] block after it
+        if pad == b"zeros":
+            v = v * inside[:, None, :, :]
+        return v
+
+    if mode == b"nearest":
+        iy = jnp.round(gy).astype(jnp.int32)
+        ix = jnp.round(gx).astype(jnp.int32)
+        return sample(iy, ix)
+    y0 = jnp.floor(gy)
+    x0 = jnp.floor(gx)
+    wy = (gy - y0)[:, None, :, :]
+    wx = (gx - x0)[:, None, :, :]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    return ((1 - wy) * (1 - wx) * sample(y0i, x0i)
+            + (1 - wy) * wx * sample(y0i, x0i + 1)
+            + wy * (1 - wx) * sample(y0i + 1, x0i)
+            + wy * wx * sample(y0i + 1, x0i + 1))
 
 
 def _rnn_directions(node: OnnxNode):

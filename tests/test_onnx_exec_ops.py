@@ -1001,6 +1001,25 @@ def test_loop_scan_outputs():
     np.testing.assert_allclose(np.asarray(trace), [3.0, 5.0, 7.0])
 
 
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("align", [False, True])
+def test_grid_sample_matches_torch(mode, padding, align):
+    rng = np.random.default_rng(37)
+    x = rng.normal(size=(2, 3, 6, 7)).astype(np.float32)
+    # grid partly outside [-1,1] to exercise the padding modes
+    grid = rng.uniform(-1.4, 1.4, size=(2, 4, 5, 2)).astype(np.float32)
+    got = _OPS["GridSample"](
+        _node("GridSample", dict(mode=mode.encode(),
+                                 padding_mode=padding.encode(),
+                                 align_corners=int(align))),
+        x, grid)
+    want = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode=mode,
+        padding_mode=padding, align_corners=align).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 def test_scan_cumulative_sum_under_jit():
     """Scan: running-sum over a sequence (one state, one scan input,
     one scan output) — the trip count is a SHAPE, so it unrolls and
