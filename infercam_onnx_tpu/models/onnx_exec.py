@@ -673,6 +673,7 @@ _OPS: dict[str, Callable] = {
     # interpreter env (torchscript list-append loops export these,
     # typically as Loop-carried values) --
     "GridSample": lambda n, x, grid: _grid_sample(n, x, grid),
+    "RoiAlign": lambda n, x, rois, bi: _roi_align(n, x, rois, bi),
     "LSTM": lambda n, *a: _lstm(n, *a),
     "GRU": lambda n, *a: _gru(n, *a),
     "RNN": lambda n, *a: _rnn(n, *a),
@@ -830,6 +831,60 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _roi_align(node: OnnxNode, x, rois, batch_idx):
+    """RoiAlign (two-stage detector exports): average/max pooling of
+    bilinear samples over each ROI bin (Mask R-CNN-style)."""
+    mode = node.attrs.get("mode", b"avg")
+    oh = int(node.attrs.get("output_height", 1))
+    ow = int(node.attrs.get("output_width", 1))
+    ratio = int(node.attrs.get("sampling_ratio", 0))
+    scale = float(node.attrs.get("spatial_scale", 1.0))
+    coord = node.attrs.get("coordinate_transformation_mode",
+                           b"half_pixel")
+    offset = 0.5 if coord == b"half_pixel" else 0.0
+    if ratio <= 0:
+        raise ValueError(
+            f"RoiAlign adaptive sampling_ratio unsupported "
+            f"({node.name}) — export with an explicit sampling_ratio")
+    x = jnp.asarray(x)
+    h, w = x.shape[2], x.shape[3]
+
+    def one_roi(roi, b):
+        x1, y1, x2, y2 = (roi[k] * scale - offset for k in range(4))
+        bin_h = (y2 - y1) / oh
+        bin_w = (x2 - x1) / ow
+        # sample grid: ratio x ratio points per bin, at bin-relative
+        # offsets (i + 0.5)/ratio
+        iy = (y1 + (jnp.arange(oh * ratio) + 0.5) / ratio
+              * bin_h)  # [oh*ratio]
+        ix = (x1 + (jnp.arange(ow * ratio) + 0.5) / ratio * bin_w)
+        gy = jnp.clip(iy, 0.0, h - 1.0)
+        gx = jnp.clip(ix, 0.0, w - 1.0)
+        y0 = jnp.floor(gy).astype(jnp.int32)
+        x0 = jnp.floor(gx).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
+        wy = gy - y0
+        wx = gx - x0
+        img = x[b]  # [C, H, W]
+        v00 = img[:, y0[:, None], x0[None, :]]
+        v01 = img[:, y0[:, None], x1i[None, :]]
+        v10 = img[:, y1i[:, None], x0[None, :]]
+        v11 = img[:, y1i[:, None], x1i[None, :]]
+        wy_ = wy[None, :, None]
+        wx_ = wx[None, None, :]
+        v = ((1 - wy_) * (1 - wx_) * v00 + (1 - wy_) * wx_ * v01
+             + wy_ * (1 - wx_) * v10 + wy_ * wx_ * v11)
+        c = v.shape[0]
+        v = v.reshape(c, oh, ratio, ow, ratio)
+        if mode == b"max":
+            return v.max(axis=(2, 4))
+        return v.mean(axis=(2, 4))
+
+    return jax.vmap(one_roi)(jnp.asarray(rois, jnp.float32),
+                             jnp.asarray(batch_idx, jnp.int32))
 
 
 def _grid_sample(node: OnnxNode, x, grid):

@@ -1001,6 +1001,38 @@ def test_loop_scan_outputs():
     np.testing.assert_allclose(np.asarray(trace), [3.0, 5.0, 7.0])
 
 
+def test_roi_align_analytic():
+    """RoiAlign on analytically-solvable images: a constant image pools
+    to the constant everywhere; a linear x-ramp's bilinear-sample
+    average over each bin equals the bin's center x-coordinate."""
+    h, w = 8, 10
+    const = np.full((1, 1, h, w), 3.25, np.float32)
+    ramp = np.tile(np.arange(w, dtype=np.float32), (h, 1))[None, None]
+    rois = np.array([[1.0, 1.0, 7.0, 5.0]], np.float32)
+    bi = np.array([0], np.int64)
+    node = _node("RoiAlign", dict(output_height=2, output_width=3,
+                                  sampling_ratio=2, spatial_scale=1.0,
+                                  coordinate_transformation_mode=
+                                  b"output_half_pixel"))
+    out = np.asarray(_OPS["RoiAlign"](node, const, rois, bi))
+    np.testing.assert_allclose(out, np.full((1, 1, 2, 3), 3.25),
+                               rtol=1e-6)
+    out = np.asarray(_OPS["RoiAlign"](node, ramp, rois, bi))
+    # roi x-range [1, 7], 3 bins of width 2 -> bin centers 2, 4, 6
+    want = np.tile(np.array([2.0, 4.0, 6.0], np.float32), (2, 1))
+    np.testing.assert_allclose(out[0, 0], want, rtol=1e-5)
+    # max mode on the ramp: max sample x per bin = center of the
+    # rightmost sample column = bin right edge - width/(2*ratio)
+    node_max = _node("RoiAlign", dict(
+        output_height=2, output_width=3, sampling_ratio=2,
+        mode=b"max", spatial_scale=1.0,
+        coordinate_transformation_mode=b"output_half_pixel"))
+    out = np.asarray(_OPS["RoiAlign"](node_max, ramp, rois, bi))
+    np.testing.assert_allclose(out[0, 0],
+                               np.tile([2.5, 4.5, 6.5], (2, 1)),
+                               rtol=1e-5)
+
+
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
 @pytest.mark.parametrize("padding", ["zeros", "border"])
 @pytest.mark.parametrize("align", [False, True])
