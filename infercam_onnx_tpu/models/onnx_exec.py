@@ -669,14 +669,14 @@ _OPS: dict[str, Callable] = {
         n, x, scale, b),
     "Einsum": lambda n, *xs: jnp.einsum(
         n.attrs["equation"].decode(), *xs),
-    # -- sequence ops: sequences are plain Python lists in the
-    # interpreter env (torchscript list-append loops export these,
-    # typically as Loop-carried values) --
     "GridSample": lambda n, x, grid: _grid_sample(n, x, grid),
     "RoiAlign": lambda n, x, rois, bi: _roi_align(n, x, rois, bi),
     "LSTM": lambda n, *a: _lstm(n, *a),
     "GRU": lambda n, *a: _gru(n, *a),
     "RNN": lambda n, *a: _rnn(n, *a),
+    # -- sequence ops: sequences are plain Python lists in the
+    # interpreter env (torchscript list-append loops export these,
+    # typically as Loop-carried values) --
     "SequenceEmpty": lambda n: [],
     "SequenceConstruct": lambda n, *xs: list(xs),
     "SequenceInsert": lambda n, seq, x, pos=None: _seq_insert(
@@ -843,7 +843,8 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
     scale = float(node.attrs.get("spatial_scale", 1.0))
     coord = node.attrs.get("coordinate_transformation_mode",
                            b"half_pixel")
-    offset = 0.5 if coord == b"half_pixel" else 0.0
+    aligned = coord == b"half_pixel"
+    offset = 0.5 if aligned else 0.0
     if ratio <= 0:
         raise ValueError(
             f"RoiAlign adaptive sampling_ratio unsupported "
@@ -853,13 +854,22 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
 
     def one_roi(roi, b):
         x1, y1, x2, y2 = (roi[k] * scale - offset for k in range(4))
-        bin_h = (y2 - y1) / oh
-        bin_w = (x2 - x1) / ow
+        roi_h, roi_w = y2 - y1, x2 - x1
+        if not aligned:
+            # legacy (output_half_pixel) mode clamps thin ROIs to 1px
+            roi_h = jnp.maximum(roi_h, 1.0)
+            roi_w = jnp.maximum(roi_w, 1.0)
+        bin_h = roi_h / oh
+        bin_w = roi_w / ow
         # sample grid: ratio x ratio points per bin, at bin-relative
         # offsets (i + 0.5)/ratio
         iy = (y1 + (jnp.arange(oh * ratio) + 0.5) / ratio
               * bin_h)  # [oh*ratio]
         ix = (x1 + (jnp.arange(ow * ratio) + 0.5) / ratio * bin_w)
+        # samples more than 1px outside the image contribute ZERO
+        # (ONNX/torchvision reference kernel), inside ones clamp
+        ok = (((iy >= -1.0) & (iy <= h))[:, None]
+              & ((ix >= -1.0) & (ix <= w))[None, :])
         gy = jnp.clip(iy, 0.0, h - 1.0)
         gx = jnp.clip(ix, 0.0, w - 1.0)
         y0 = jnp.floor(gy).astype(jnp.int32)
@@ -875,13 +885,22 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
         v11 = img[:, y1i[:, None], x1i[None, :]]
         wy_ = wy[None, :, None]
         wx_ = wx[None, None, :]
-        v = ((1 - wy_) * (1 - wx_) * v00 + (1 - wy_) * wx_ * v01
-             + wy_ * (1 - wx_) * v10 + wy_ * wx_ * v11)
-        c = v.shape[0]
-        v = v.reshape(c, oh, ratio, ow, ratio)
+        w00 = (1 - wy_) * (1 - wx_)
+        w01 = (1 - wy_) * wx_
+        w10 = wy_ * (1 - wx_)
+        w11 = wy_ * wx_
+        okc = ok[None, :, :]
+        c = img.shape[0]
         if mode == b"max":
-            return v.max(axis=(2, 4))
-        return v.mean(axis=(2, 4))
+            # Caffe2-lineage quirk the ONNX reference keeps: per
+            # sample, max over the four WEIGHTED corner contributions
+            v = jnp.maximum(jnp.maximum(w00 * v00, w01 * v01),
+                            jnp.maximum(w10 * v10, w11 * v11))
+            v = jnp.where(okc, v, 0.0)
+            return v.reshape(c, oh, ratio, ow, ratio).max(axis=(2, 4))
+        v = w00 * v00 + w01 * v01 + w10 * v10 + w11 * v11
+        v = jnp.where(okc, v, 0.0)
+        return v.reshape(c, oh, ratio, ow, ratio).mean(axis=(2, 4))
 
     return jax.vmap(one_roi)(jnp.asarray(rois, jnp.float32),
                              jnp.asarray(batch_idx, jnp.int32))
@@ -925,7 +944,9 @@ def _grid_sample(node: OnnxNode, x, grid):
         # [B, C, Ho, Wo]: ':' keeps C in place, the advanced index
         # pair contributes the [Ho, Wo] block after it
         if pad == b"zeros":
-            v = v * inside[:, None, :, :]
+            # select, don't multiply: 0 * inf/nan at a clamped border
+            # pixel must still yield exact 0 like torch
+            v = jnp.where(inside[:, None, :, :], v, 0.0)
         return v
 
     if mode == b"nearest":
@@ -1495,10 +1516,16 @@ class GraphExecutor:
                                   [0] * n_scan_out)
         out_dirs = node.attrs.get("scan_output_directions",
                                   [0] * n_scan_out)
-        xs = [jnp.moveaxis(jnp.asarray(x), int(a), 0)
+        # preserve the concrete-numpy convention (like _run_loop):
+        # concrete scan results must stay usable as static shape math
+        xs = [_xp(x).moveaxis(_xp(x).asarray(x), int(a), 0)
               for x, a in zip(xs, in_axes)]
         xs = [x[::-1] if d else x for x, d in zip(xs, in_dirs)]
         trip = xs[0].shape[0]
+        if trip == 0 and n_scan_out:
+            raise ValueError(
+                f"Scan over a zero-length sequence with scan outputs "
+                f"({node.name}): result shape is unknowable")
         names = [i.name for i in body.inputs]
         scans: list[list] = [[] for _ in range(n_scan_out)]
         for t in range(trip):
@@ -1516,8 +1543,9 @@ class GraphExecutor:
         stacked = []
         for k in range(n_scan_out):
             s = scans[k][::-1] if out_dirs[k] else scans[k]
-            stacked.append(jnp.moveaxis(jnp.stack(s, axis=0), 0,
-                                        int(out_axes[k])))
+            xp = _xp(*s)
+            stacked.append(xp.moveaxis(xp.stack(s, axis=0), 0,
+                                       int(out_axes[k])))
         results = tuple(states) + tuple(stacked)
         return results if len(node.outputs) > 1 else results[0]
 

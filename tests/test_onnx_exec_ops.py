@@ -1021,16 +1021,65 @@ def test_roi_align_analytic():
     # roi x-range [1, 7], 3 bins of width 2 -> bin centers 2, 4, 6
     want = np.tile(np.array([2.0, 4.0, 6.0], np.float32), (2, 1))
     np.testing.assert_allclose(out[0, 0], want, rtol=1e-5)
-    # max mode on the ramp: max sample x per bin = center of the
-    # rightmost sample column = bin right edge - width/(2*ratio)
+    # max mode uses the reference kernel's WEIGHTED-corner max: all
+    # sample coords here fall on .5 fractions (weights 0.25 each), so
+    # each bin's value is 0.25 * its largest right-corner x
     node_max = _node("RoiAlign", dict(
         output_height=2, output_width=3, sampling_ratio=2,
         mode=b"max", spatial_scale=1.0,
         coordinate_transformation_mode=b"output_half_pixel"))
     out = np.asarray(_OPS["RoiAlign"](node_max, ramp, rois, bi))
     np.testing.assert_allclose(out[0, 0],
-                               np.tile([2.5, 4.5, 6.5], (2, 1)),
+                               np.tile([0.75, 1.25, 1.75], (2, 1)),
                                rtol=1e-5)
+
+
+def test_roi_align_reference_kernel_quirks():
+    """The ONNX reference kernel's edge semantics: samples >1px outside
+    the image contribute ZERO (not border-clamped values); max mode
+    takes the max of WEIGHTED corner contributions; output_half_pixel
+    clamps thin ROIs to 1px."""
+    h, w = 8, 10
+    ramp = np.tile(np.arange(w, dtype=np.float32), (h, 1))[None, None]
+    bi = np.array([0], np.int64)
+    # out-of-image ROI: the upper-left bin samples at y<-1 -> zeros
+    node = _node("RoiAlign", dict(output_height=2, output_width=2,
+                                  sampling_ratio=2, spatial_scale=1.0))
+    out = np.asarray(_OPS["RoiAlign"](
+        node, ramp, np.array([[-6.0, -6.0, 4.0, 4.0]], np.float32),
+        bi))
+    np.testing.assert_allclose(out[0, 0], [[0.0, 0.0], [0.0, 1.125]],
+                               atol=1e-6)
+    # max mode at a fractional sample: one sample at the center of a
+    # 2x2 pixel block -> weights 0.25 each -> 0.25 * max(corners)
+    img = np.zeros((1, 1, 2, 2), np.float32)
+    img[0, 0] = [[1.0, 2.0], [3.0, 8.0]]
+    node = _node("RoiAlign", dict(output_height=1, output_width=1,
+                                  sampling_ratio=1, mode=b"max",
+                                  spatial_scale=1.0))
+    out = np.asarray(_OPS["RoiAlign"](
+        node, img, np.array([[0.5, 0.5, 1.5, 1.5]], np.float32), bi))
+    np.testing.assert_allclose(out.reshape(()), 0.25 * 8.0, rtol=1e-6)
+    # thin ROI in legacy coordinate mode clamps to 1px width
+    node = _node("RoiAlign", dict(
+        output_height=1, output_width=1, sampling_ratio=1,
+        spatial_scale=1.0,
+        coordinate_transformation_mode=b"output_half_pixel"))
+    out = np.asarray(_OPS["RoiAlign"](
+        node, ramp, np.array([[2.0, 2.0, 2.4, 2.4]], np.float32), bi))
+    np.testing.assert_allclose(out.reshape(()), 2.5, rtol=1e-6)
+
+
+def test_grid_sample_zeros_padding_ignores_border_inf():
+    x = np.zeros((1, 1, 2, 2), np.float32)
+    x[0, 0, 0, 0] = np.inf
+    # a grid point well outside the left edge (zeros padding must give
+    # exact 0, not inf*0 = nan from the clamped border pixel)
+    grid = np.array([[[[-2.0, -2.0]]]], np.float32)
+    out = np.asarray(_OPS["GridSample"](
+        _node("GridSample", dict(mode=b"bilinear",
+                                 padding_mode=b"zeros")), x, grid))
+    np.testing.assert_array_equal(out.reshape(()), 0.0)
 
 
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
@@ -1094,6 +1143,16 @@ def test_scan_cumulative_sum_under_jit():
     final, ys = ex_rev(init, xs)
     assert float(final) == 10.0  # sum is direction-invariant
     np.testing.assert_allclose(np.asarray(ys), [10, 9, 7, 4])
+
+    # concrete inputs produce CONCRETE numpy results (usable as static
+    # shape math downstream, like Loop)
+    final, ys = ex(init, xs)
+    assert isinstance(np.asarray(final), np.ndarray)
+    assert type(ys).__module__ == "numpy"
+
+    # zero-length scan input with scan outputs: named loud failure
+    with pytest.raises(ValueError, match="zero-length"):
+        ex(init, np.zeros((0,), np.float32))
 
 
 def test_unsupported_op_fails_loudly_at_build(tmp_path):
