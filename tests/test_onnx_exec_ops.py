@@ -1155,6 +1155,46 @@ def test_scan_cumulative_sum_under_jit():
         ex(init, np.zeros((0,), np.float32))
 
 
+def test_malformed_control_flow_fails_at_build():
+    """Every malformed If/Loop/Scan shape fails at GraphExecutor
+    construction with a named ValueError — never a crash later."""
+    from infercam_onnx_tpu.models.onnx_reader import (
+        OnnxGraph,
+        OnnxValueInfo,
+    )
+
+    def g(nodes, inputs, outputs):
+        return OnnxGraph(nodes=nodes, initializers={},
+                         inputs=inputs, outputs=outputs)
+
+    scalar = lambda n: OnnxValueInfo(n, 1, [])  # noqa: E731
+    body = g([OnnxNode("Identity", "i", ["a"], ["b"], {})],
+             [scalar("a")], [scalar("b")])
+
+    cases = [
+        # If without branches
+        (OnnxNode("If", "f", ["c"], ["o"], {}), [scalar("c")],
+         "missing then_branch"),
+        # Loop without body
+        (OnnxNode("Loop", "l", ["m", "", "s"], ["o"], {}),
+         [scalar("m"), scalar("s")], "missing body"),
+        # Loop body arity mismatch (1 input declared, needs 3)
+        (OnnxNode("Loop", "l", ["m", "", "s"], ["o"], {"body": body}),
+         [scalar("m"), scalar("s")], "body declares"),
+        # Scan without num_scan_inputs
+        (OnnxNode("Scan", "s", ["x"], ["o"], {"body": body}),
+         [scalar("x")], "num_scan_inputs"),
+        # Scan body arity mismatch (needs states+scan inputs = 2)
+        (OnnxNode("Scan", "s", ["st", "x"], ["o1", "o2"],
+                  {"body": body, "num_scan_inputs": 1}),
+         [scalar("st"), scalar("x")], "body declares"),
+    ]
+    for node, inputs, match in cases:
+        with pytest.raises(ValueError, match=match):
+            GraphExecutor(g([node], inputs,
+                            [scalar(o) for o in node.outputs]))
+
+
 def test_unsupported_op_fails_loudly_at_build(tmp_path):
     class Mod(torch.nn.Module):
         def forward(self, x):
