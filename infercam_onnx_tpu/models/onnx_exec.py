@@ -510,8 +510,24 @@ def _slice(node: OnnxNode, x, starts=None, ends=None, axes=None,
     return x[tuple(slices)]
 
 
-def _softmax(node: OnnxNode, x):
+def _softmax(node: OnnxNode, x, log: bool = False):
+    # opset < 13: flattened-2D semantics — softmax over ALL dims from
+    # `axis` on (default axis 1), not just one axis. Identical when
+    # axis is the last dim (the common export shape), different
+    # otherwise. The reader records the model opset; subgraph nodes
+    # inherit it via the build-time annotation pass.
+    opset = node.attrs.get("_opset", 13)
+    if opset < 13:
+        axis = int(node.attrs.get("axis", 1)) % max(x.ndim, 1)
+        shape = x.shape
+        lead = int(np.prod(shape[:axis])) if axis else 1
+        flat = x.reshape(lead, -1)
+        out = (jax.nn.log_softmax(jnp.asarray(flat), axis=-1) if log
+               else jax.nn.softmax(jnp.asarray(flat), axis=-1))
+        return out.reshape(shape)
     axis = node.attrs.get("axis", -1)
+    if log:
+        return jax.nn.log_softmax(jnp.asarray(x), axis=axis)
     xp = _xp(x)
     if xp is np:
         e = np.exp(x - x.max(axis=axis, keepdims=True))
@@ -695,8 +711,7 @@ _OPS: dict[str, Callable] = {
     "ScatterElements": lambda n, x, idx, upd: _scatter_elements(
         n, x, idx, upd),
     "ScatterND": lambda n, x, idx, upd: _scatter_nd(n, x, idx, upd),
-    "LogSoftmax": lambda n, x: jax.nn.log_softmax(
-        jnp.asarray(x), axis=n.attrs.get("axis", -1)),
+    "LogSoftmax": lambda n, x: _softmax(n, x, log=True),
     "CumSum": lambda n, x, axis: _cumsum(n, x, axis),
     "ReduceL1": lambda n, x, axes=None: _reduce(
         n, _xp(x).abs(x), axes, kind="sum"),
@@ -1298,10 +1313,21 @@ class GraphExecutor:
         self.input_names = [i.name for i in graph.inputs]
         self.output_names = [o.name for o in graph.outputs]
         known = set(self.input_names) | set(graph.initializers) | {""}
+        self._annotate_opset(graph.nodes, graph.opset)
         self._validate(graph.nodes, known)
         absent = [o for o in self.output_names if o not in known]
         if absent:
             raise ValueError(f"graph outputs never produced: {absent}")
+
+    def _annotate_opset(self, nodes, opset: int) -> None:
+        """Ops whose SEMANTICS changed across opsets need the model's
+        opset at run time; record it on the node (subgraphs inherit)."""
+        for node in nodes:
+            if node.op_type in ("Softmax", "LogSoftmax"):
+                node.attrs.setdefault("_opset", opset)
+            for v in node.attrs.values():
+                if isinstance(v, OnnxGraph):
+                    self._annotate_opset(v.nodes, opset)
 
     def _validate(self, nodes, known: set) -> None:
         for node in nodes:

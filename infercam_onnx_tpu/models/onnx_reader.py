@@ -180,6 +180,10 @@ class OnnxGraph:
     inputs: list[OnnxValueInfo]
     outputs: list[OnnxValueInfo]
     name: str = ""
+    # default-domain opset version from the enclosing ModelProto (13
+    # when absent/standalone): pre-13 Softmax-family ops have different
+    # (flattened-2D) semantics
+    opset: int = 13
 
 
 # AttributeProto.AttributeType values
@@ -313,10 +317,27 @@ def read_onnx_graph(path: str) -> OnnxGraph:
     surface as a clean parse failure."""
     with open(path, "rb") as f:
         model = f.read()
+    graph = None
+    opset = None
     try:
         for field, wtype, val in iter_fields(model):
             if field == 7 and wtype == 2:  # ModelProto.graph
-                return parse_graph(val)  # type: ignore[arg-type]
+                graph = parse_graph(val)  # type: ignore[arg-type]
+            elif field == 8 and wtype == 2:  # opset_import
+                domain = b""
+                version = 0
+                for f2, w2, v2 in iter_fields(val):  # type: ignore
+                    if f2 == 1 and w2 == 2:
+                        domain = bytes(v2)  # type: ignore[arg-type]
+                    elif f2 == 2 and w2 == 0:
+                        version = int(v2)  # type: ignore[arg-type]
+                if domain in (b"", b"ai.onnx"):
+                    opset = version
     except (IndexError, UnicodeDecodeError) as e:
         raise ValueError(f"{path}: malformed ONNX file ({e})") from e
-    raise ValueError(f"{path}: no graph found (not an ONNX ModelProto?)")
+    if graph is None:
+        raise ValueError(
+            f"{path}: no graph found (not an ONNX ModelProto?)")
+    if opset is not None:
+        graph.opset = opset
+    return graph

@@ -1155,6 +1155,43 @@ def test_scan_cumulative_sum_under_jit():
         ex(init, np.zeros((0,), np.float32))
 
 
+def test_softmax_pre13_flattened_semantics():
+    """Opset<13 Softmax is a FLATTENED-2D softmax over dims[axis:]
+    (torch's own old exporter relied on it); opset-13 is per-axis. The
+    reader records the model opset and the executor switches."""
+    from infercam_onnx_tpu.models.onnx_reader import (
+        OnnxGraph,
+        OnnxValueInfo,
+    )
+
+    x = np.random.default_rng(40).normal(size=(2, 3, 4)).astype(
+        np.float32)
+
+    def run(opset):
+        g = OnnxGraph(
+            nodes=[OnnxNode("Softmax", "s", ["x"], ["y"],
+                            {"axis": 1})],
+            initializers={},
+            inputs=[OnnxValueInfo("x", 1, [2, 3, 4])],
+            outputs=[OnnxValueInfo("y", 1, [2, 3, 4])],
+            opset=opset)
+        return np.asarray(GraphExecutor(g)(x)[0])
+
+    old = run(11)
+    new = run(13)
+    # flattened: each outer row's 12 values sum to 1
+    np.testing.assert_allclose(old.reshape(2, -1).sum(-1), [1.0, 1.0],
+                               rtol=1e-5)
+    e = np.exp(x.reshape(2, -1) - x.reshape(2, -1).max(-1,
+                                                      keepdims=True))
+    np.testing.assert_allclose(old,
+                               (e / e.sum(-1, keepdims=True)).reshape(
+                                   x.shape), rtol=1e-5)
+    # per-axis: every (outer, inner) fiber along axis 1 sums to 1
+    np.testing.assert_allclose(new.sum(1), np.ones((2, 4)), rtol=1e-5)
+    assert not np.allclose(old, new)
+
+
 def test_malformed_control_flow_fails_at_build():
     """Every malformed If/Loop/Scan shape fails at GraphExecutor
     construction with a named ValueError — never a crash later."""
