@@ -101,6 +101,9 @@ def _conv(node: OnnxNode, x, w, b=None):
 def _batch_norm(node: OnnxNode, x, scale, bias, mean, var):
     # dtype-module-agnostic: the stats may be concrete numpy OR traced
     # jit arguments (GraphDetector passes weights as arguments)
+    if not node.attrs.get("spatial", 1):
+        raise ValueError(
+            f"BatchNormalization spatial=0 unsupported ({node.name})")
     eps = node.attrs.get("epsilon", 1e-5)
     shape = (1, -1) + (1,) * (x.ndim - 2)
     inv = scale * (var + eps) ** -0.5
@@ -364,11 +367,20 @@ def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
 
 
 def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
+    legacy = node.attrs.get("_opset", 13) < 11
+    if legacy and scales is None and sizes is None \
+            and roi is not None:
+        # opset-10 Resize has inputs (X, scales) — no roi slot
+        roi, scales = None, roi
     mode = node.attrs.get("mode", b"nearest").decode()
-    coord = node.attrs.get(
-        "coordinate_transformation_mode", b"half_pixel").decode()
-    nearest = node.attrs.get(
-        "nearest_mode", b"round_prefer_floor").decode()
+    if legacy:
+        # opset-10 semantics: asymmetric coordinates, floor rounding
+        coord, nearest = "asymmetric", "floor"
+    else:
+        coord = node.attrs.get(
+            "coordinate_transformation_mode", b"half_pixel").decode()
+        nearest = node.attrs.get(
+            "nearest_mode", b"round_prefer_floor").decode()
     if mode not in ("nearest", "linear", "cubic"):
         raise ValueError(f"Resize mode {mode!r} unsupported ({node.name})")
     if mode == "cubic" and node.attrs.get("cubic_coeff_a", -0.75) != -0.75:
@@ -1323,7 +1335,7 @@ class GraphExecutor:
         """Ops whose SEMANTICS changed across opsets need the model's
         opset at run time; record it on the node (subgraphs inherit)."""
         for node in nodes:
-            if node.op_type in ("Softmax", "LogSoftmax"):
+            if node.op_type in ("Softmax", "LogSoftmax", "Resize"):
                 node.attrs.setdefault("_opset", opset)
             for v in node.attrs.values():
                 if isinstance(v, OnnxGraph):

@@ -375,6 +375,27 @@ def test_resize_downscale_nearest():
     np.testing.assert_allclose(np.asarray(got), want)
 
 
+def test_resize_opset10_two_input_form():
+    """Opset-10 Resize has inputs (X, scales) — the second positional
+    input is SCALES, not roi — with asymmetric/floor semantics."""
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    node = _node("Resize", dict(mode=b"nearest", _opset=10))
+    got = _OPS["Resize"](node, x, np.array([1, 1, 2, 2], np.float32))
+    want = torch.nn.functional.interpolate(torch.from_numpy(x),
+                                           scale_factor=2,
+                                           mode="nearest").numpy()
+    np.testing.assert_allclose(np.asarray(got), want)
+
+
+def test_batch_norm_spatial0_fails_loudly():
+    with pytest.raises(ValueError, match="spatial"):
+        _OPS["BatchNormalization"](
+            _node("BatchNormalization", dict(spatial=0)),
+            np.zeros((1, 2, 3, 3), np.float32), np.ones(2, np.float32),
+            np.zeros(2, np.float32), np.zeros(2, np.float32),
+            np.ones(2, np.float32))
+
+
 def test_upsample_legacy_op():
     x = np.random.default_rng(8).normal(
         size=(1, 2, 3, 4)).astype(np.float32)
