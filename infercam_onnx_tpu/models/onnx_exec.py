@@ -945,7 +945,7 @@ def _grid_sample(node: OnnxNode, x, grid):
     if mode not in (b"bilinear", b"nearest"):
         raise ValueError(
             f"GridSample mode {mode!r} unsupported ({node.name})")
-    if pad not in (b"zeros", b"border"):
+    if pad not in (b"zeros", b"border", b"reflection"):
         raise ValueError(
             f"GridSample padding_mode {pad!r} unsupported "
             f"({node.name})")
@@ -953,10 +953,26 @@ def _grid_sample(node: OnnxNode, x, grid):
     grid = jnp.asarray(grid)
     h, w = x.shape[2], x.shape[3]
 
+    def reflect(coord, size):
+        # reflect about [0, size-1] (align) or [-0.5, size-0.5]: fold
+        # into a doubled period, mirror the upper half
+        if align:
+            span = 2.0 * max(size - 1, 1)
+            c = jnp.abs(coord) % span
+            return jnp.where(c > span / 2, span - c, c)
+        span = 2.0 * size
+        c = jnp.mod(coord + 0.5, span)
+        c = jnp.where(c > size, span - c, c)
+        return jnp.clip(c - 0.5, 0.0, size - 1.0)
+
     def unnormalize(coord, size):
         if align:
-            return (coord + 1) * (size - 1) / 2
-        return ((coord + 1) * size - 1) / 2
+            c = (coord + 1) * (size - 1) / 2
+        else:
+            c = ((coord + 1) * size - 1) / 2
+        if pad == b"reflection":
+            c = reflect(c, size)
+        return c
 
     gx = unnormalize(grid[..., 0], w)  # [B, Ho, Wo]
     gy = unnormalize(grid[..., 1], h)

@@ -1104,7 +1104,7 @@ def test_grid_sample_zeros_padding_ignores_border_inf():
 
 
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
-@pytest.mark.parametrize("padding", ["zeros", "border"])
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
 @pytest.mark.parametrize("align", [False, True])
 def test_grid_sample_matches_torch(mode, padding, align):
     rng = np.random.default_rng(37)
