@@ -873,9 +873,26 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
     aligned = coord == b"half_pixel"
     offset = 0.5 if aligned else 0.0
     if ratio <= 0:
-        raise ValueError(
-            f"RoiAlign adaptive sampling_ratio unsupported "
-            f"({node.name}) — export with an explicit sampling_ratio")
+        # adaptive ratio = ceil(roi_size / output) is per-ROI dynamic,
+        # so it cannot trace — support it on the CONCRETE path by
+        # re-dispatching each ROI with its own explicit ratio
+        if not _is_concrete(x, rois, batch_idx):
+            raise ValueError(
+                f"RoiAlign adaptive sampling_ratio under jit "
+                f"unsupported ({node.name}) — export with an explicit "
+                f"sampling_ratio")
+        rois_np = np.asarray(rois, np.float32)
+        outs = []
+        for r in range(rois_np.shape[0]):
+            x1, y1, x2, y2 = rois_np[r] * scale
+            rr = max(int(np.ceil((y2 - y1) / oh)),
+                     int(np.ceil((x2 - x1) / ow)), 1)
+            sub = OnnxNode(node.op_type, node.name, node.inputs,
+                           node.outputs,
+                           dict(node.attrs, sampling_ratio=rr))
+            outs.append(_roi_align(sub, x, rois_np[r:r + 1],
+                                   np.asarray(batch_idx)[r:r + 1]))
+        return np.concatenate([np.asarray(o) for o in outs])
     x = jnp.asarray(x)
     h, w = x.shape[2], x.shape[3]
 

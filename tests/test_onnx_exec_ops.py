@@ -1091,6 +1091,28 @@ def test_roi_align_reference_kernel_quirks():
     np.testing.assert_allclose(out.reshape(()), 2.5, rtol=1e-6)
 
 
+def test_roi_align_adaptive_ratio_concrete():
+    """sampling_ratio=0 (adaptive, ceil(roi/output) per ROI) works on
+    the concrete path by per-ROI re-dispatch; matches the explicit
+    ratio it resolves to."""
+    h, w = 8, 10
+    ramp = np.tile(np.arange(w, dtype=np.float32), (h, 1))[None, None]
+    rois = np.array([[1.0, 1.0, 7.0, 5.0],   # 6x4 -> ratio 2
+                     [0.0, 0.0, 3.0, 2.0]], np.float32)  # -> ratio 1
+    bi = np.array([0, 0], np.int64)
+    adaptive = _node("RoiAlign", dict(output_height=2, output_width=3,
+                                      sampling_ratio=0,
+                                      spatial_scale=1.0))
+    got = np.asarray(_OPS["RoiAlign"](adaptive, ramp, rois, bi))
+    for r, expl in [(0, 2), (1, 1)]:
+        node = _node("RoiAlign", dict(output_height=2, output_width=3,
+                                      sampling_ratio=expl,
+                                      spatial_scale=1.0))
+        want = np.asarray(_OPS["RoiAlign"](node, ramp, rois[r:r + 1],
+                                           bi[r:r + 1]))
+        np.testing.assert_allclose(got[r:r + 1], want, rtol=1e-6)
+
+
 def test_grid_sample_zeros_padding_ignores_border_inf():
     x = np.zeros((1, 1, 2, 2), np.float32)
     x[0, 0, 0, 0] = np.inf
