@@ -1533,15 +1533,21 @@ class GraphExecutor:
         trip = (None if m is None
                 else int(np.asarray(m).reshape(())))
 
+        class _Traced(Exception):
+            pass
+
         def as_bool(v, what):
             if not _is_concrete(v):
-                raise ValueError(
-                    f"Loop with traced (data-dependent) {what} "
-                    f"({node.name}) is unsupported")
+                raise _Traced(what)
             return bool(np.asarray(v).reshape(()))
 
-        cond_val = True if cond is None else as_bool(cond, "condition")
         names = [i.name for i in body.inputs]
+        try:
+            cond_val = (True if cond is None
+                        else as_bool(cond, "condition"))
+        except _Traced:
+            return self._run_loop_traced(node, env, trip, cond,
+                                         carried, n_scan)
         scans: list[list] = [[] for _ in range(n_scan)]
         i = 0
         while (trip is None or i < trip) and cond_val:
@@ -1556,7 +1562,14 @@ class GraphExecutor:
                 sub_env[nm] = v
             self._exec_nodes(body.nodes, sub_env)
             outs = [sub_env[o.name] for o in body.outputs]
-            cond_val = as_bool(outs[0], "loop-exit condition")
+            try:
+                cond_val = as_bool(outs[0], "loop-exit condition")
+            except _Traced:
+                # the body makes the exit condition data-dependent:
+                # restart on the lax.while_loop path (the unrolled
+                # iterations had no side effects — env was copied)
+                return self._run_loop_traced(
+                    node, env, trip, cond, list(args[2:]), n_scan)
             carried = outs[1:1 + n_carried]
             for k in range(n_scan):
                 scans[k].append(outs[1 + n_carried + k])
@@ -1567,6 +1580,57 @@ class GraphExecutor:
                 f"({node.name}): result shape is unknowable")
         results = carried + [_xp(*s).stack(s) for s in scans]
         return tuple(results) if len(node.outputs) > 1 else results[0]
+
+    def _run_loop_traced(self, node: OnnxNode, env: dict, trip,
+                         cond, carried, n_scan: int):
+        """Loop whose exit condition is genuinely data-dependent:
+        lowers to lax.while_loop (carried deps only — scan outputs
+        would have data-dependent shape, so they fail loudly; carried
+        shapes/dtypes must be invariant across iterations)."""
+        if n_scan:
+            raise ValueError(
+                f"Loop with a data-dependent condition AND scan "
+                f"outputs ({node.name}): scan output shape would be "
+                f"data-dependent")
+        body = node.attrs["body"]
+        names = [i.name for i in body.inputs]
+        n_carried = len(carried)
+
+        def cond_fn(carry):
+            i, c = carry[0], carry[1]
+            ok = c
+            if trip is not None:
+                ok = ok & (i < trip)
+            return ok
+
+        def body_fn(carry):
+            i, c = carry[0], carry[1]
+            sub_env = dict(env)
+            sub_env.update(body.initializers)
+            sub_env[names[0]] = i
+            sub_env[names[1]] = c
+            for nm, v in zip(names[2:], carry[2:]):
+                sub_env[nm] = v
+            self._exec_nodes(body.nodes, sub_env)
+            outs = [sub_env[o.name] for o in body.outputs]
+            return (i + 1,
+                    jnp.asarray(outs[0]).reshape(()).astype(bool),
+                    *(jnp.asarray(o) for o in outs[1:1 + n_carried]))
+
+        init = (jnp.asarray(0, jnp.int32),
+                (jnp.asarray(True) if cond is None
+                 else jnp.asarray(cond).reshape(()).astype(bool)),
+                *(jnp.asarray(c) for c in carried))
+        try:
+            out = jax.lax.while_loop(cond_fn, body_fn, init)
+        except TypeError as e:
+            raise ValueError(
+                f"Loop with a data-dependent condition requires "
+                f"iteration-invariant carried shapes/dtypes "
+                f"({node.name}): {e}") from e
+        results = out[2:]
+        return (tuple(results) if len(node.outputs) > 1
+                else results[0])
 
     def _run_scan(self, node: OnnxNode, env: dict):
         """Scan: iterate the body over slices of the scan inputs (the

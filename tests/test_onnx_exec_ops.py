@@ -1144,6 +1144,40 @@ def test_grid_sample_matches_torch(mode, padding, align):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def test_loop_data_dependent_condition_lowers_to_while():
+    """A Loop whose exit condition depends on DATA (not shape math)
+    compiles as lax.while_loop under jit: double x until x >= limit."""
+    from infercam_onnx_tpu.models.onnx_reader import (
+        OnnxGraph,
+        OnnxValueInfo,
+    )
+
+    body = OnnxGraph(
+        nodes=[
+            OnnxNode("Mul", "dbl", ["x_in", "two"], ["x_out"], {}),
+            OnnxNode("Less", "chk", ["x_out", "limit"], ["cond_out"],
+                     {}),
+        ],
+        initializers={"two": np.float32(2.0)},
+        inputs=[OnnxValueInfo("iter", 7, []),
+                OnnxValueInfo("cond_in", 9, []),
+                OnnxValueInfo("x_in", 1, [])],
+        outputs=[OnnxValueInfo("cond_out", 9, []),
+                 OnnxValueInfo("x_out", 1, [])])
+    g = OnnxGraph(
+        nodes=[OnnxNode("Less", "c0", ["x", "limit"], ["go"], {}),
+               OnnxNode("Loop", "L", ["", "go", "x"], ["final"],
+                        {"body": body})],
+        initializers={"limit": np.float32(10.0)},
+        inputs=[OnnxValueInfo("x", 1, [])],
+        outputs=[OnnxValueInfo("final", 1, [])])
+    ex = GraphExecutor(g)
+    jf = jax.jit(ex)
+    for x0, want in [(3.0, 12.0), (0.5, 16.0), (64.0, 64.0)]:
+        assert float(jf(np.float32(x0))[0]) == want
+        assert float(ex(np.float32(x0))[0]) == want  # concrete agrees
+
+
 def test_scan_cumulative_sum_under_jit():
     """Scan: running-sum over a sequence (one state, one scan input,
     one scan output) — the trip count is a SHAPE, so it unrolls and
