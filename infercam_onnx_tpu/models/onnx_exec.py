@@ -872,27 +872,49 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
                            b"half_pixel")
     aligned = coord == b"half_pixel"
     offset = 0.5 if aligned else 0.0
-    if ratio <= 0:
-        # adaptive ratio = ceil(roi_size / output) is per-ROI dynamic,
-        # so it cannot trace — support it on the CONCRETE path by
-        # re-dispatching each ROI with its own explicit ratio
-        if not _is_concrete(x, rois, batch_idx):
-            raise ValueError(
-                f"RoiAlign adaptive sampling_ratio under jit "
-                f"unsupported ({node.name}) — export with an explicit "
-                f"sampling_ratio")
-        rois_np = np.asarray(rois, np.float32)
-        outs = []
-        for r in range(rois_np.shape[0]):
-            x1, y1, x2, y2 = rois_np[r] * scale
-            rr = max(int(np.ceil((y2 - y1) / oh)),
-                     int(np.ceil((x2 - x1) / ow)), 1)
-            sub = OnnxNode(node.op_type, node.name, node.inputs,
-                           node.outputs,
-                           dict(node.attrs, sampling_ratio=rr))
-            outs.append(_roi_align(sub, x, rois_np[r:r + 1],
-                                   np.asarray(batch_idx)[r:r + 1]))
-        return np.concatenate([np.asarray(o) for o in outs])
+    if ratio > 0:
+        rh = rw = ratio
+    else:
+        rhw = node.attrs.get("_ratio_hw")
+        if rhw is not None:
+            rh, rw = rhw
+        else:
+            # adaptive ratio = ceil(roi_size / output) PER AXIS is
+            # per-ROI dynamic, so it cannot trace — on the concrete-ROI
+            # path, group ROIs by their resolved (gh, gw) grid and run
+            # one batched call per distinct grid (one dispatch +
+            # readback per group, not per ROI)
+            if not _is_concrete(rois, batch_idx):
+                raise ValueError(
+                    f"RoiAlign adaptive sampling_ratio with traced "
+                    f"ROIs unsupported ({node.name}) — export with an "
+                    f"explicit sampling_ratio")
+            rois_np = np.asarray(rois, np.float32)
+            bi_np = np.asarray(batch_idx)
+            n = rois_np.shape[0]
+            c = x.shape[1]
+            if n == 0:
+                return np.zeros((0, c, oh, ow),
+                                np.asarray(x[:0]).dtype
+                                if hasattr(x, "dtype") else np.float32)
+            sizes = (rois_np[:, 2:4] - rois_np[:, 0:2]) * scale
+            gw_all = np.maximum(np.ceil(sizes[:, 0] / ow), 1
+                                ).astype(int)
+            gh_all = np.maximum(np.ceil(sizes[:, 1] / oh), 1
+                                ).astype(int)
+            out = [None] * n
+            for key in {(int(gh_all[k]), int(gw_all[k]))
+                        for k in range(n)}:
+                idx = [k for k in range(n)
+                       if (gh_all[k], gw_all[k]) == key]
+                sub = OnnxNode(node.op_type, node.name, node.inputs,
+                               node.outputs,
+                               dict(node.attrs, _ratio_hw=key))
+                grp = np.asarray(_roi_align(sub, x, rois_np[idx],
+                                            bi_np[idx]))
+                for j, k in enumerate(idx):
+                    out[k] = grp[j]
+            return np.stack(out)
     x = jnp.asarray(x)
     h, w = x.shape[2], x.shape[3]
 
@@ -905,11 +927,11 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
             roi_w = jnp.maximum(roi_w, 1.0)
         bin_h = roi_h / oh
         bin_w = roi_w / ow
-        # sample grid: ratio x ratio points per bin, at bin-relative
-        # offsets (i + 0.5)/ratio
-        iy = (y1 + (jnp.arange(oh * ratio) + 0.5) / ratio
-              * bin_h)  # [oh*ratio]
-        ix = (x1 + (jnp.arange(ow * ratio) + 0.5) / ratio * bin_w)
+        # sample grid: rh x rw points per bin, at bin-relative
+        # offsets (i + 0.5)/ratio (per axis)
+        iy = (y1 + (jnp.arange(oh * rh) + 0.5) / rh
+              * bin_h)  # [oh*rh]
+        ix = (x1 + (jnp.arange(ow * rw) + 0.5) / rw * bin_w)
         # samples more than 1px outside the image contribute ZERO
         # (ONNX/torchvision reference kernel), inside ones clamp
         ok = (((iy >= -1.0) & (iy <= h))[:, None]
@@ -941,10 +963,10 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
             v = jnp.maximum(jnp.maximum(w00 * v00, w01 * v01),
                             jnp.maximum(w10 * v10, w11 * v11))
             v = jnp.where(okc, v, 0.0)
-            return v.reshape(c, oh, ratio, ow, ratio).max(axis=(2, 4))
+            return v.reshape(c, oh, rh, ow, rw).max(axis=(2, 4))
         v = w00 * v00 + w01 * v01 + w10 * v10 + w11 * v11
         v = jnp.where(okc, v, 0.0)
-        return v.reshape(c, oh, ratio, ow, ratio).mean(axis=(2, 4))
+        return v.reshape(c, oh, rh, ow, rw).mean(axis=(2, 4))
 
     return jax.vmap(one_roi)(jnp.asarray(rois, jnp.float32),
                              jnp.asarray(batch_idx, jnp.int32))
@@ -1532,6 +1554,10 @@ class GraphExecutor:
                 f"({node.name}) is unsupported")
         trip = (None if m is None
                 else int(np.asarray(m).reshape(())))
+        if trip is not None and trip >= 2**31 - 1:
+            # torchscript exports `while cond:` as trip=INT64_MAX;
+            # treat it as unbounded (and keep int32-safe under jit)
+            trip = None
 
         class _Traced(Exception):
             pass

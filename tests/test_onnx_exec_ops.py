@@ -1112,6 +1112,25 @@ def test_roi_align_adaptive_ratio_concrete():
                                            bi[r:r + 1]))
         np.testing.assert_allclose(got[r:r + 1], want, rtol=1e-6)
 
+    # anisotropic ROI resolves INDEPENDENT per-axis grids (spec): a
+    # 2-wide x 6-tall ROI with 2x2 output -> gh=3, gw=1; the x-ramp's
+    # bin average must still be the exact bin-center x
+    aniso = np.array([[3.0, 1.0, 5.0, 7.0]], np.float32)
+    out = np.asarray(_OPS["RoiAlign"](
+        _node("RoiAlign", dict(output_height=2, output_width=2,
+                               sampling_ratio=0, spatial_scale=1.0,
+                               coordinate_transformation_mode=
+                               b"output_half_pixel")),
+        ramp, aniso, np.array([0], np.int64)))
+    np.testing.assert_allclose(out[0, 0],
+                               np.tile([3.5, 4.5], (2, 1)), rtol=1e-5)
+
+    # zero proposals: empty output, not a crash
+    out = _OPS["RoiAlign"](adaptive, ramp,
+                           np.zeros((0, 4), np.float32),
+                           np.zeros((0,), np.int64))
+    assert np.asarray(out).shape == (0, 1, 2, 3)
+
 
 def test_grid_sample_zeros_padding_ignores_border_inf():
     x = np.zeros((1, 1, 2, 2), np.float32)
@@ -1176,6 +1195,19 @@ def test_loop_data_dependent_condition_lowers_to_while():
     for x0, want in [(3.0, 12.0), (0.5, 16.0), (64.0, 64.0)]:
         assert float(jf(np.float32(x0))[0]) == want
         assert float(ex(np.float32(x0))[0]) == want  # concrete agrees
+
+    # torchscript spells `while cond:` as trip=INT64_MAX — must be
+    # treated as unbounded, not overflow int32 under jit
+    g_m = OnnxGraph(
+        nodes=[OnnxNode("Less", "c0", ["x", "limit"], ["go"], {}),
+               OnnxNode("Loop", "L", ["m", "go", "x"], ["final"],
+                        {"body": body})],
+        initializers={"limit": np.float32(10.0),
+                      "m": np.int64(2**63 - 1)},
+        inputs=[OnnxValueInfo("x", 1, [])],
+        outputs=[OnnxValueInfo("final", 1, [])])
+    assert float(jax.jit(GraphExecutor(g_m))(np.float32(3.0))[0]) \
+        == 12.0
 
 
 def test_scan_cumulative_sum_under_jit():
