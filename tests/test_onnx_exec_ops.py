@@ -1022,6 +1022,22 @@ def test_loop_scan_outputs():
     np.testing.assert_allclose(np.asarray(trace), [3.0, 5.0, 7.0])
 
 
+class _Warp(torch.nn.Module):
+    def forward(self, x, grid):
+        return torch.nn.functional.grid_sample(
+            x, grid, mode="bilinear", padding_mode="border",
+            align_corners=False)
+
+
+def test_grid_sample_export(tmp_path):
+    x = np.random.default_rng(38).normal(
+        size=(1, 3, 16, 16)).astype(np.float32)
+    g = np.random.default_rng(39).uniform(
+        -1, 1, size=(1, 12, 12, 2)).astype(np.float32)
+    ex = _check_export(_Warp(), [x, g], tmp_path, jit=True, opset=16)
+    assert any(n.op_type == "GridSample" for n in ex.graph.nodes)
+
+
 def test_roi_align_analytic():
     """RoiAlign on analytically-solvable images: a constant image pools
     to the constant everywhere; a linear x-ramp's bilinear-sample
