@@ -404,6 +404,71 @@ def test_graph_detector_device_decode_tails(exports, rng):
         np.testing.assert_allclose(got, want, atol=2e-2)
 
 
+def test_graph_detector_serves_ycbcr_detections(exports, rng,
+                                                tmp_path):
+    """The graph runtime serves through the transfer-optimal ycbcr
+    decode tail end-to-end: live frames in, NDJSON detections out,
+    pixels never materialized on the host."""
+    import asyncio
+    import json
+
+    from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import (
+        ClientConfig,
+        DetectorConfig,
+        EngineConfig,
+        ServerConfig,
+    )
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+    from infercam_onnx_tpu.serving.app import start_server
+
+    frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(frame, 90,
+                                                      "420"))
+    det = GraphDetector(
+        exports[True],
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"))
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address="127.0.0.1:18394",
+                socket_address="127.0.0.1:18395"),
+            engine_config=EngineConfig(batch_buckets=(1, 2),
+                                       batch_window_ms=5.0,
+                                       decode_mode="ycbcr"),
+            detector=det, data_parallel="off")
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18394)
+            writer.write(b"GET /detections?name=g HTTP/1.1\r\n"
+                         b"Host: x\r\n\r\n")
+            await writer.drain()
+            await asyncio.sleep(0.2)
+            sender = asyncio.create_task(send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18395", channel="g"),
+                max_frames=40))
+            data = b""
+            try:
+                while b"\n" not in data.split(b"\r\n\r\n", 1)[-1]:
+                    data += await asyncio.wait_for(reader.read(4096),
+                                                   60.0)
+            except asyncio.TimeoutError:
+                pass
+            sender.cancel()
+            body = data.split(b"\r\n\r\n", 1)[1]
+            line = body.split(b"\n")[0]
+            rec = json.loads(line)
+            assert rec["width"] == 64 and rec["height"] == 48
+            writer.close()
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_graph_detector_unfolded_export_with_bn_nodes(exports, rng):
     """GraphDetector with an export that KEEPS BatchNormalization nodes:
     the BN statistics are traced jit arguments, exercising the
