@@ -259,16 +259,19 @@ def main(argv: list[str] | None = None) -> int:
         pass
     finally:
         if args.distributed:
-            # the jax.distributed service holds non-daemon threads; an
-            # un-shutdown runtime can keep the process alive after a
-            # clean SIGTERM (observed: a lockstep host surviving
-            # termination, still holding its coordinator port)
-            import jax
+            # after the graceful close (listeners + sender connections
+            # are down, peers notified), exit HARD: the jax.distributed
+            # runtime's non-daemon threads otherwise keep the process
+            # alive, and jax.distributed.shutdown() barriers on peers —
+            # which never arrive when one host of a cluster terminates
+            # alone (observed live)
+            import os as _os
 
-            try:
-                jax.distributed.shutdown()
-            except Exception:
-                pass
+            logging.getLogger("infercam.serve").info(
+                "distributed runtime: hard exit after graceful close")
+            sys.stdout.flush()
+            sys.stderr.flush()
+            _os._exit(0)
     return 0
 
 
