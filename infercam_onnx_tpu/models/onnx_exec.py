@@ -697,6 +697,12 @@ _OPS: dict[str, Callable] = {
         n, x, scale, b),
     "Einsum": lambda n, *xs: jnp.einsum(
         n.attrs["equation"].decode(), *xs),
+    "Trilu": lambda n, x, k=None: (
+        _xp(x).tril if not n.attrs.get("upper", 1)
+        else _xp(x).triu)(
+            x, int(np.asarray(k).reshape(())) if k is not None else 0),
+    "OneHot": lambda n, idx, depth, values: _one_hot(
+        n, idx, depth, values),
     "GridSample": lambda n, x, grid: _grid_sample(n, x, grid),
     "RoiAlign": lambda n, x, rois, bi: _roi_align(n, x, rois, bi),
     "LSTM": lambda n, *a: _lstm(n, *a),
@@ -858,6 +864,24 @@ def _nms_onnx(node: OnnxNode, boxes, scores, max_out=None,
                     kept.append(int(i))
             selected.extend([b, c, i] for i in kept)
     return np.asarray(selected, np.int64).reshape(-1, 3)
+
+
+def _one_hot(node: OnnxNode, idx, depth, values):
+    if not _is_concrete(depth):
+        raise ValueError(f"OneHot with traced depth ({node.name})")
+    d = int(np.asarray(depth).reshape(()))
+    axis = node.attrs.get("axis", -1)
+    xp = _xp(idx, values)
+    idx = xp.asarray(idx)
+    idx = xp.where(idx < 0, idx + d, idx)  # negative indices per spec
+    off_on = xp.asarray(values)
+    hot = xp.arange(d)
+    # broadcast compare along a new trailing axis, then move into place
+    eye = (idx[..., None] == hot)
+    out = xp.where(eye, off_on[1], off_on[0])
+    if axis != -1:
+        out = xp.moveaxis(out, -1, axis % (idx.ndim + 1))
+    return out
 
 
 def _roi_align(node: OnnxNode, x, rois, batch_idx):

@@ -1022,6 +1022,28 @@ def test_loop_scan_outputs():
     np.testing.assert_allclose(np.asarray(trace), [3.0, 5.0, 7.0])
 
 
+class _TriluNet(torch.nn.Module):
+    def forward(self, x):
+        return torch.tril(x) + torch.triu(x, diagonal=1)
+
+
+def test_trilu_export_and_onehot(tmp_path):
+    x = np.random.default_rng(41).normal(size=(3, 4, 4)).astype(
+        np.float32)
+    ex = _check_export(_TriluNet(), [x], tmp_path, jit=True, opset=14)
+    assert any(n.op_type == "Trilu" for n in ex.graph.nodes)
+
+    got = _OPS["OneHot"](_node("OneHot"),
+                         np.array([0, 2, -1], np.int64), np.int64(3),
+                         np.array([0.0, 1.0], np.float32))
+    np.testing.assert_array_equal(np.asarray(got), np.eye(3)[[0, 2, 2]])
+    got = _OPS["OneHot"](_node("OneHot", dict(axis=0)),
+                         np.array([1, 0], np.int64), np.int64(2),
+                         np.array([5.0, 7.0], np.float32))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  [[5.0, 7.0], [7.0, 5.0]])
+
+
 class _Warp(torch.nn.Module):
     def forward(self, x, grid):
         return torch.nn.functional.grid_sample(
