@@ -697,6 +697,22 @@ _OPS: dict[str, Callable] = {
         n, x, scale, b),
     "Einsum": lambda n, *xs: jnp.einsum(
         n.attrs["equation"].decode(), *xs),
+    "Shrink": lambda n, x: jnp.where(
+        x > n.attrs.get("lambd", 0.5),
+        x - n.attrs.get("bias", 0.0),
+        jnp.where(x < -n.attrs.get("lambd", 0.5),
+                  x + n.attrs.get("bias", 0.0), 0.0)),
+    "IsNaN": lambda n, x: _xp(x).isnan(x),
+    "IsInf": lambda n, x: (
+        _xp(x).isinf(x)
+        & ((x > 0) if not n.attrs.get("detect_negative", 1)
+           else (x == x))
+        & ((x < 0) if not n.attrs.get("detect_positive", 1)
+           else (x == x))),
+    "EyeLike": lambda n, x: _xp(x).eye(
+        x.shape[0], x.shape[1], k=n.attrs.get("k", 0),
+        dtype=(_ONNX_DTYPES[n.attrs["dtype"]] if "dtype" in n.attrs
+               else x.dtype)),
     "Trilu": lambda n, x, k=None: (
         _xp(x).tril if not n.attrs.get("upper", 1)
         else _xp(x).triu)(

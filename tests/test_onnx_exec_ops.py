@@ -1044,6 +1044,48 @@ def test_trilu_export_and_onehot(tmp_path):
                                   [[5.0, 7.0], [7.0, 5.0]])
 
 
+class _ShrinkNet(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.hard = torch.nn.Hardshrink(0.4)
+        self.soft = torch.nn.Softshrink(0.3)
+
+    def forward(self, x):
+        return self.hard(x) + self.soft(x)
+
+
+def test_shrink_export_and_misc_predicates(tmp_path):
+    x = np.random.default_rng(42).normal(size=(3, 5)).astype(
+        np.float32)
+    # (this torch version decomposes the shrinks on export — the
+    # numeric path still verifies; pin the dedicated op directly)
+    _check_export(_ShrinkNet(), [x], tmp_path, jit=True)
+    got = _OPS["Shrink"](_node("Shrink", dict(lambd=0.4)), x)
+    want = torch.nn.functional.hardshrink(torch.from_numpy(x),
+                                          0.4).numpy()
+    np.testing.assert_allclose(np.asarray(got), want)
+    got = _OPS["Shrink"](_node("Shrink", dict(lambd=0.3, bias=0.3)), x)
+    want = torch.nn.functional.softshrink(torch.from_numpy(x),
+                                          0.3).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-7)
+
+    v = np.array([1.0, np.nan, np.inf, -np.inf], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_OPS["IsNaN"](_node("IsNaN"), v)),
+        [False, True, False, False])
+    np.testing.assert_array_equal(
+        np.asarray(_OPS["IsInf"](_node("IsInf"), v)),
+        [False, False, True, True])
+    np.testing.assert_array_equal(
+        np.asarray(_OPS["IsInf"](
+            _node("IsInf", dict(detect_negative=0)), v)),
+        [False, False, True, False])
+    got = _OPS["EyeLike"](_node("EyeLike", dict(k=1)),
+                          np.zeros((3, 4), np.float32))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.eye(3, 4, k=1, dtype=np.float32))
+
+
 class _Warp(torch.nn.Module):
     def forward(self, x, grid):
         return torch.nn.functional.grid_sample(
