@@ -1275,15 +1275,23 @@ def _norm_indices(idx, x, node: OnnxNode):
 
 def _gather_nd(node: OnnxNode, x, idx):
     b = int(node.attrs.get("batch_dims", 0))
-    if b:
-        raise ValueError(
-            f"GatherND batch_dims > 0 unsupported ({node.name})")
-    xp = _xp(x, idx)
-    x = xp.asarray(x)
-    idx = np.asarray(idx) if _is_concrete(idx) else jnp.asarray(idx)
-    r = idx.shape[-1]
-    parts = tuple(idx[..., k] for k in range(r))
-    return x[parts]
+    if b == 0:
+        xp = _xp(x, idx)
+        x = xp.asarray(x)
+        idx = (np.asarray(idx) if _is_concrete(idx)
+               else jnp.asarray(idx))
+        r = idx.shape[-1]
+        parts = tuple(idx[..., k] for k in range(r))
+        return x[parts]
+
+    def core(xb, ib):
+        r = ib.shape[-1]
+        return xb[tuple(ib[..., k] for k in range(r))]
+
+    fn = core
+    for _ in range(b):
+        fn = jax.vmap(fn)
+    return fn(jnp.asarray(x), jnp.asarray(idx))
 
 
 def _scatter_elements(node: OnnxNode, x, idx, upd):

@@ -749,6 +749,14 @@ def test_gather_scatter_element_ops():
     got = _OPS["GatherND"](_node("GatherND"), x, nd_idx)
     np.testing.assert_allclose(np.asarray(got), [x[0, 1], x[2, 3]])
 
+    # batch_dims=1: per-batch row gathers
+    xb = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    ib = np.array([[[2]], [[0]]], np.int64)  # [B=2, 1, 1]
+    got = _OPS["GatherND"](_node("GatherND", dict(batch_dims=1)),
+                           xb, ib)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.stack([xb[0, [2]], xb[1, [0]]]))
+
     upd = np.full((2, 4), 9.0, np.float32)
     got = _OPS["ScatterElements"](
         _node("ScatterElements", dict(axis=0)), x,
