@@ -133,6 +133,10 @@ class HttpServer:
                     writer.write(_simple_response(
                         "405 Method Not Allowed", b"method not allowed",
                         keep_alive=keep))
+                elif url.path in ("/", "/index.html"):
+                    writer.write(_simple_response(
+                        "200 OK", self._dashboard(),
+                        "text/html; charset=utf-8", keep_alive=keep))
                 elif url.path == "/healthcheck":
                     writer.write(_simple_response("200 OK", b"healthy",
                                                   keep_alive=keep))
@@ -223,6 +227,49 @@ class HttpServer:
             except (ConnectionError, asyncio.TimeoutError):
                 pass
             writer.close()
+
+    def _dashboard(self) -> bytes:
+        """Zero-dependency status page: active streams with raw
+        thumbnails + links to every per-stream surface. Auto-refreshes;
+        browsers are the reference's first-class client (README.md)."""
+        import html as _html
+
+        names = self._router.active_streams()
+        rows = []
+        for n in names:
+            q = urllib.parse.quote(n)
+            e = _html.escape(n)
+            rows.append(
+                f'<div class="s"><h3>{e}</h3>'
+                f'<a href="/face_stream?name={q}">'
+                f'<img src="/snapshot?name={q}&raw=1&timeout=3" '
+                f'alt="{e}" width="320"></a><p>'
+                f'<a href="/stream?name={q}">raw</a> · '
+                f'<a href="/face_stream?name={q}">annotated</a> · '
+                f'<a href="/detections?name={q}">detections</a>'
+                f'</p></div>')
+        body = ("".join(rows)
+                or "<p>No active streams. Point a sender at the "
+                   "ingest socket.</p>")
+        topo = ""
+        if self._topology:
+            topo = " · ".join(f"{k}: {v}" for k, v in
+                              sorted(self._topology.items()))
+        page = (
+            "<!doctype html><html><head>"
+            "<meta http-equiv='refresh' content='5'>"
+            "<title>infercam_onnx_tpu</title><style>"
+            "body{font-family:sans-serif;margin:2em}"
+            ".s{display:inline-block;margin:1em;vertical-align:top}"
+            "img{background:#eee;min-height:60px}"
+            "</style></head><body>"
+            f"<h1>infercam_onnx_tpu</h1><p>{topo}</p>"
+            f"{body}"
+            "<p><a href='/stats'>stats</a> · "
+            "<a href='/metrics'>metrics</a> · "
+            "<a href='/healthcheck'>healthcheck</a></p>"
+            "</body></html>")
+        return page.encode()
 
     async def _stream(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter, sub, tick,

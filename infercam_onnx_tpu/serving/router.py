@@ -71,6 +71,9 @@ class FrameRouter:
         self._raw: dict[int, Broadcast] = {}
         self._inferred: dict[int, Broadcast] = {}
         self._detections: dict[int, Broadcast] = {}
+        # stream NAME registry (name -> last-seen monotonic time): the
+        # broadcast tables key by hash, but the dashboard lists names
+        self._seen: dict[str, float] = {}
 
     # -- subscriptions (called by HTTP handlers) ---------------------------
 
@@ -97,6 +100,17 @@ class FrameRouter:
 
     # -- main loop ---------------------------------------------------------
 
+    def active_streams(self, max_age_s: float = 15.0) -> list[str]:
+        """Names of streams with frames in the last ``max_age_s``."""
+        import asyncio as _asyncio
+
+        try:
+            now = _asyncio.get_running_loop().time()
+        except RuntimeError:
+            return sorted(self._seen)
+        return sorted(n for n, t in self._seen.items()
+                      if now - t <= max_age_s)
+
     def _prune(self) -> None:
         for table in (self._raw, self._inferred, self._detections):
             dead = [k for k, chan in table.items()
@@ -114,6 +128,7 @@ class FrameRouter:
                 if not isinstance(msg, FrameMsg):
                     continue  # ConnectReq and garbage: accepted, ignored
                 key = stream_key(msg.id)
+                self._seen[msg.id] = loop.time()
 
                 raw_chan = self._raw.get(key)
                 if raw_chan is not None and raw_chan.receiver_count > 0:

@@ -754,6 +754,29 @@ def test_ycbcr_mode_serves_nonstandard_chroma(detector, tmp_path, kind):
     asyncio.run(run())
 
 
+def test_dashboard_lists_active_streams(detector, jpeg_dir):
+    """GET / renders the zero-dep status page: active stream names with
+    thumbnails/links appear once frames flow."""
+
+    async def run():
+        server, _ = await _start(detector, 18372, 18373)
+        try:
+            resp = await _http_get(18372, "/")
+            assert b"200 OK" in resp and b"No active streams" in resp
+            await send_stream(
+                ReplaySource(str(jpeg_dir), fps=50),
+                ClientConfig(address="127.0.0.1:18373", channel="cam-A"),
+                max_frames=5)
+            await asyncio.sleep(0.3)
+            resp = await _http_get(18372, "/")
+            assert b"cam-A" in resp
+            assert b"/face_stream?name=cam-A" in resp
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_snapshot_endpoint(detector, jpeg_dir):
     """/snapshot returns ONE JPEG (annotated by default, ?raw=1 for the
     raw stream) — demand-driven like the MJPEG endpoints."""
