@@ -111,6 +111,20 @@ class FrameRouter:
         return sorted(n for n, t in self._seen.items()
                       if now - t <= max_age_s)
 
+    def _prune_seen(self, now: float, max_age_s: float = 60.0,
+                    cap: int = 4096) -> None:
+        """Bound the name registry: drop stale entries each refresh
+        cycle, and under a name-flood keep only the freshest ``cap``
+        (a sender can mint unlimited distinct stream ids)."""
+        stale = [n for n, t in self._seen.items()
+                 if now - t > max_age_s]
+        for n in stale:
+            del self._seen[n]
+        if len(self._seen) > cap:
+            for n, _ in sorted(self._seen.items(),
+                               key=lambda kv: kv[1])[:-cap]:
+                del self._seen[n]
+
     def _prune(self) -> None:
         for table in (self._raw, self._inferred, self._detections):
             dead = [k for k, chan in table.items()
@@ -122,6 +136,7 @@ class FrameRouter:
         loop = asyncio.get_running_loop()
         while True:
             self._prune()
+            self._prune_seen(loop.time())
             for _ in range(self._config.router_refresh_every):
                 raw = await queue.get()
                 msg = decode_proto_msg(raw)

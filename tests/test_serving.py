@@ -777,6 +777,22 @@ def test_dashboard_lists_active_streams(detector, jpeg_dir):
     asyncio.run(run())
 
 
+def test_stream_name_registry_bounded():
+    """A sender minting unlimited distinct stream ids must not grow the
+    router's name registry without bound."""
+    from infercam_onnx_tpu.serving.router import FrameRouter
+
+    router = FrameRouter(lambda job: True)
+    for i in range(6000):
+        router._seen[f"flood-{i}"] = float(i)
+    router._prune_seen(now=float(6000), max_age_s=10**9, cap=4096)
+    assert len(router._seen) == 4096
+    assert "flood-5999" in router._seen  # freshest kept
+    assert "flood-0" not in router._seen
+    router._prune_seen(now=10**9, max_age_s=60.0)
+    assert not router._seen  # stale entries age out
+
+
 def test_snapshot_endpoint(detector, jpeg_dir):
     """/snapshot returns ONE JPEG (annotated by default, ?raw=1 for the
     raw stream) — demand-driven like the MJPEG endpoints."""
