@@ -777,6 +777,47 @@ def test_dashboard_lists_active_streams(detector, jpeg_dir):
     asyncio.run(run())
 
 
+def test_snapshot_keepalive_two_requests_one_connection(detector,
+                                                        jpeg_dir):
+    """/snapshot is a non-streaming endpoint: HTTP/1.1 keep-alive
+    serves several snapshots over one socket."""
+
+    async def run():
+        server, _ = await _start(detector, 18376, 18377)
+        try:
+            sender = asyncio.create_task(send_stream(
+                ReplaySource(str(jpeg_dir), fps=30),
+                ClientConfig(address="127.0.0.1:18377", channel="k"),
+                max_frames=200))
+            await asyncio.sleep(0.3)
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18376)
+            bodies = []
+            for _ in range(2):
+                writer.write(b"GET /snapshot?name=k&raw=1&timeout=10 "
+                             b"HTTP/1.1\r\nHost: x\r\n\r\n")
+                await writer.drain()
+                head = b""
+                while b"\r\n\r\n" not in head:
+                    head += await asyncio.wait_for(
+                        reader.read(1), 20.0)
+                headers = head.decode("latin-1")
+                assert "200 OK" in headers
+                assert "keep-alive" in headers
+                n = int([ln.split(":")[1] for ln in headers.split("\r\n")
+                         if ln.lower().startswith("content-length")][0])
+                body = await asyncio.wait_for(
+                    reader.readexactly(n), 20.0)
+                bodies.append(body)
+            sender.cancel()
+            writer.close()
+            assert all(b.startswith(b"\xff\xd8") for b in bodies)
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_stream_name_registry_bounded():
     """A sender minting unlimited distinct stream ids must not grow the
     router's name registry without bound."""
