@@ -53,16 +53,24 @@ def merge_proposals(proposals: list[list[dict]], ladder: tuple[int, ...],
                     granularity: int) -> list[dict]:
     """One decision list from every host's proposals: the union of unit
     descriptors (keyed by kind/geometry/pack), each sized to the ladder
-    bucket covering the LARGEST per-host row count, rounded up to the
-    per-host device granularity. Deterministic order (sorted by key) so
-    every process dispatches identically."""
+    bucket covering the LARGEST per-host row count — where a host's row
+    count is the SUM over its duplicate-descriptor units, so one round
+    serves every pending unit of a geometry instead of deferring
+    duplicates a full round-trip — rounded up to the per-host device
+    granularity. Deterministic order (sorted by key) so every process
+    dispatches identically."""
     want: dict[str, dict] = {}
     for units in proposals:
+        per_host: dict[str, int] = {}
+        descs: dict[str, dict] = {}
         for unit in units:
             desc = dict(unit)
             n = desc.pop("n")
             key = _desc_key(desc)
-            cur = want.setdefault(key, {"desc": desc, "n": 0})
+            per_host[key] = per_host.get(key, 0) + n
+            descs[key] = desc
+        for key, n in per_host.items():
+            cur = want.setdefault(key, {"desc": descs[key], "n": 0})
             cur["n"] = max(cur["n"], n)
     decisions = []
     for key in sorted(want):
@@ -307,21 +315,39 @@ class LockstepDetector(ShardedDetector):
                     raise ConnectionError("coordinator ended session")
                 for decision in msg["units"]:
                     rows = decision.pop("rows")
-                    match = next(
-                        (p for p in pending
-                         if _desc_key(p[0]) == _desc_key(decision)),
-                        None)
-                    if match is not None:
-                        pending.remove(match)
+                    key = _desc_key(decision)
+                    # every pending unit of this geometry rides this
+                    # dispatch (the coordinator sized it for the host's
+                    # SUM), up to the decided capacity — any overflow
+                    # stays pending for the next round
+                    matches, total = [], 0
+                    for p in list(pending):
+                        if _desc_key(p[0]) != key:
+                            continue
+                        if matches and total + p[1] > rows:
+                            break
+                        matches.append(p)
+                        total += p[1]
+                        pending.remove(p)
                     try:
-                        out = self._execute(decision, rows, match)
-                        if match is not None:
-                            match[3].put(out)
-                    except Exception as e:  # deliver, don't kill pump
-                        if match is not None:
-                            match[3].put(e)
-                        else:
-                            raise
+                        outs = self._execute(decision, rows, matches)
+                        for p, out in zip(matches, outs):
+                            p[3].put(out)
+                    except Exception as e:
+                        # peers executed (or are blocked inside) the
+                        # agreed collective program for this slot; after
+                        # such divergence the cluster would hang until
+                        # the socket timeout — end the session promptly
+                        # instead (ADVICE r2)
+                        for p in matches:
+                            p[3].put(e)
+                        log.error("lockstep execute failed; ending "
+                                  "session: %s", e)
+                        try:
+                            self._conn.send({"t": "bye"})
+                        except OSError:
+                            pass
+                        return
         except (ConnectionError, OSError) as e:
             log.info("lockstep pump stopping: %s", e)
         finally:
@@ -353,62 +379,74 @@ class LockstepDetector(ShardedDetector):
         return jax.make_array_from_process_local_data(
             self._batch_sharding, local, global_shape)
 
-    def _readback(self, out, n_local: int, pack: bool):
+    def _readback(self, out, counts_per_unit: list[int], pack: bool):
+        """Split this host's rows back into one result per served unit."""
         def host_rows(arr):
             shards = sorted(arr.addressable_shards,
                             key=lambda s: s.index[0].start or 0)
             return np.concatenate([np.asarray(s.data) for s in shards])
 
-        if pack:
-            return host_rows(out)[:n_local]
-        boxes, confs, counts = out
-        return (host_rows(boxes)[:n_local], host_rows(confs)[:n_local],
-                host_rows(counts)[:n_local])
+        def split(arr):
+            outs, at = [], 0
+            for n in counts_per_unit:
+                outs.append(arr[at:at + n])
+                at += n
+            return outs
 
-    def _execute(self, desc: dict, rows: int, match):
-        n_local = match[1] if match is not None else 0
-        data = match[2] if match is not None else None
+        if pack:
+            return split(host_rows(out))
+        boxes, confs, counts = out
+        return list(zip(split(host_rows(boxes)), split(host_rows(confs)),
+                        split(host_rows(counts))))
+
+    def _execute(self, desc: dict, rows: int, matches: list):
+        """Run one agreed collective dispatch, feeding the concatenated
+        rows of every locally matched unit (possibly none — padding-only
+        participation); returns one result per match, in order."""
+        counts = [m[1] for m in matches]
+        datas = [m[2] for m in matches]
+
+        def local_concat(field, empty_shape, empty_dtype):
+            if not datas:
+                return np.zeros((0,) + empty_shape, empty_dtype)
+            return np.concatenate([d[field] for d in datas])
+
         pack = desc["pack"]
         self.dispatches += 1
         if desc["kind"] == "pixels":
             h, w = desc["h"], desc["w"]
-            local = (data["images"] if data is not None
-                     else np.zeros((0, h, w, 3), np.uint8))
+            local = local_concat("images", (h, w, 3), np.uint8)
             garr = self._global(local, rows)
             r_h, r_w = self.preprocessor.matrices(w, h)
             prog = self._packed if pack else self._tuple
             out = prog(self._params, self._priors, garr, r_h, r_w)
-            return self._readback(out, n_local, pack)
+            return self._readback(out, counts, pack)
         if desc["kind"] == "ycbcr":
             geom = {k: (tuple(v) if isinstance(v, list) else v)
                     for k, v in desc["geom"].items()}
             plane_len = (geom["y_pw"] * geom["y_ph"]
                          + 2 * geom["c_pw"] * geom["c_ph"])
-            local = (data["packed"] if data is not None
-                     else np.zeros((0, plane_len), np.uint8))
+            local = local_concat("packed", (plane_len,), np.uint8)
             garr = self._global(local, rows)
             r_h, r_w = self.preprocessor.matrices(geom["width"],
                                                   geom["height"])
             prog = self._ycbcr_program(geom, pack)
             out = prog(self._params, self._priors, garr, r_h, r_w)
-            return self._readback(out, n_local, pack)
+            return self._readback(out, counts, pack)
         if desc["kind"] == "coef":
             w, h = desc["w"], desc["h"]
             y_shape = tuple(desc["y_shape"])
             c_shape = tuple(desc["c_shape"])
             coef_dt, quant_dt = (np.dtype(d) for d in desc["dtypes"])
-            if data is not None:
-                y, cb, cr, quant = (data["y"], data["cb"], data["cr"],
-                                    data["quant"])
-            else:
-                y = np.zeros((0,) + y_shape, coef_dt)
-                cb = cr = np.zeros((0,) + c_shape, coef_dt)
-                quant = np.zeros((0, 3, 64), quant_dt)
+            y = local_concat("y", y_shape, coef_dt)
+            cb = local_concat("cb", c_shape, coef_dt)
+            cr = local_concat("cr", c_shape, coef_dt)
+            quant = local_concat("quant", (3, 64), quant_dt)
             args = tuple(self._global(a, rows)
                          for a in (y, cb, cr, quant))
             r_h, r_w = self.preprocessor.matrices(w, h)
             prog = self._coef_program(
                 w, h, tuple(desc["sampling"]), pack)
             out = prog(self._params, self._priors, *args, r_h, r_w)
-            return self._readback(out, n_local, pack)
+            return self._readback(out, counts, pack)
         raise ValueError(f"unknown lockstep unit kind {desc['kind']!r}")

@@ -230,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
         detector = Detector(detector_config,
                             params=params_from_onnx(args.onnx))
 
+    exit_code = 0
     try:
         with device_trace(args.profile_dir):
             asyncio.run(serve_forever(
@@ -257,6 +258,15 @@ def main(argv: list[str] | None = None) -> int:
             ))
     except KeyboardInterrupt:
         pass
+    except BaseException:
+        # Crashes (bind failure, lockstep device-count mismatch, detector
+        # errors) must surface a traceback and a non-zero status so
+        # supervisors / cluster_launch see a failure, not a clean stop —
+        # even on the --distributed hard-exit path below.
+        import traceback as _traceback
+
+        _traceback.print_exc()
+        exit_code = 1
     finally:
         if args.distributed:
             # after the graceful close (listeners + sender connections
@@ -271,8 +281,8 @@ def main(argv: list[str] | None = None) -> int:
                 "distributed runtime: hard exit after graceful close")
             sys.stdout.flush()
             sys.stderr.flush()
-            _os._exit(0)
-    return 0
+            _os._exit(exit_code)
+    return exit_code
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ import signal
 import socket
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -53,6 +54,22 @@ def test_merge_proposals_union_and_buckets():
 
 def test_merge_empty_proposals_is_empty_decision():
     assert merge_proposals([[], []], (1, 2), 1) == []
+
+
+def test_merge_sums_duplicate_units_per_host():
+    # two same-geometry units from ONE host must be served by a single
+    # decision sized for their SUM (not max), so neither is deferred a
+    # full round-trip (ADVICE r2)
+    ladder = (1, 2, 4, 8)
+    a = [{"kind": "pixels", "h": 48, "w": 64, "pack": True, "n": 3},
+         {"kind": "pixels", "h": 48, "w": 64, "pack": True, "n": 2}]
+    out = merge_proposals([a], ladder, granularity=1)
+    assert len(out) == 1
+    assert out[0]["rows"] == 8  # sum 5 -> bucket 8
+    # across hosts it is still max-of-sums
+    b = [{"kind": "pixels", "h": 48, "w": 64, "pack": True, "n": 2}]
+    out = merge_proposals([a, b], ladder, granularity=1)
+    assert out[0]["rows"] == 8  # max(5, 2) -> 8
 
 
 def test_merge_clamps_to_ladder_top():
@@ -122,6 +139,63 @@ def test_lockstep_coefficients_matches_plain_detector(lockstep_pair):
     got = lock.run_device_coefficients_arrays(
         y, cb, cr, q, wh, sampling=samp, pack_output=True)
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_lockstep_concurrent_same_geometry_units(lockstep_pair):
+    # two same-geometry submissions racing into one session: both must
+    # complete and match the plain detector (they may share one round —
+    # the multi-match dispatch path — or land in adjacent rounds)
+    det, lock = lockstep_pair
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(2, 48, 64, 3), dtype=np.uint8)
+              for _ in range(2)]
+    results = [None, None]
+
+    def run(i):
+        results[i] = lock.run_device(frames[i], pack_output=True)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    for i in range(2):
+        want = np.asarray(det.run_device(frames[i], pack_output=True))
+        np.testing.assert_allclose(results[i], want, atol=1e-5)
+
+
+def test_lockstep_execute_failure_ends_session():
+    # a failed execute during an AGREED dispatch means peers already ran
+    # the collective — the session must end promptly (bye + pump stop)
+    # instead of leaving the cluster to hang until the socket timeout
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    lock = LockstepDetector(det, make_mesh(8),
+                            f"127.0.0.1:{_free_port()}",
+                            coordinator=True, n_processes=1,
+                            tick_ms=5.0)
+    try:
+        def boom(desc, rows, matches):
+            raise ValueError("injected execute failure")
+
+        lock._execute = boom
+        with pytest.raises(ValueError, match="injected"):
+            lock.run_device(np.zeros((1, 48, 64, 3), np.uint8),
+                            pack_output=True)
+        deadline = time.time() + 10
+        while not lock._stopped.is_set() and time.time() < deadline:
+            time.sleep(0.05)
+        assert lock._stopped.is_set(), \
+            "pump must stop after an agreed-dispatch failure"
+        with pytest.raises(RuntimeError, match="ended"):
+            lock.run_device(np.zeros((1, 48, 64, 3), np.uint8),
+                            pack_output=True)
+    finally:
+        lock.close()
 
 
 def test_lockstep_closed_session_raises(tmp_path):
