@@ -69,6 +69,16 @@ class EngineConfig:
     # packed uint8 buffer (~half the bytes of RGB for 4:2:0; the bench
     # headline path).
     decode_mode: str = "pixels"
+    # Annotated /face_stream rendering. "device": boxes + labels are
+    # rendered into the frame ON the TPU inside the fused detection
+    # program, the forward DCT + quantization run as MXU matmuls, and
+    # the host performs JPEG entropy coding only (the encode mirror of
+    # the ycbcr decode split — ops/jpeg_encode_device.py). "host":
+    # reference-style host pixel draw + full host JPEG encode
+    # (reference inferer.rs:37-39). Device mode needs the native shim;
+    # the worker falls back to host mode (with a log line) when the
+    # shim or the stream geometry can't support it.
+    annotate_mode: str = "device"
     # Tiled high-res detection (BASELINE config 5): frames with at least
     # this many pixels (post-decode) run through the overlapping tile grid
     # with cross-tile NMS merge instead of a single squashed resize.

@@ -11,6 +11,7 @@ device->host transfer.
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -175,6 +176,119 @@ detect_from_ycbcr = jax.jit(
 )
 
 
+def detect_annotate_from_ycbcr_impl(
+    params,
+    priors: jax.Array,
+    packed: jax.Array,  # [B, n] uint8 packed planes
+    r_h: jax.Array,
+    r_w: jax.Array,
+    quant2: jax.Array,  # [2, 64] encode quant tables (luma, chroma)
+    *,
+    width: int,
+    height: int,
+    y_pw: int,
+    y_ph: int,
+    c_pw: int,
+    c_ph: int,
+    sampling: tuple,
+    disp_dims: tuple | None,
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+):
+    """The fully-fused ANNOTATED pipeline: packed YCbCr planes in,
+    (quantized JPEG coefficients, packed detections) out. Detection,
+    overlay rendering (reference inferer.rs:57-101's green rects +
+    labels) and the forward DCT/quantization all run in ONE XLA
+    program; the host entropy-codes the coefficients
+    (native ic_jpeg_write_coefs) and serves the JPEG. /face_stream
+    viewers thus ride the packed-plane transfer in BOTH directions
+    (~1.5 B/px up, 3 B/px of int16 coefficients down, zero host pixel
+    work)."""
+    from infercam_onnx_tpu.ops.jpeg_device import (
+        combine_ycbcr,
+        unpack_ycbcr_planes,
+    )
+    from infercam_onnx_tpu.ops.jpeg_encode_device import (
+        encode_planes,
+        render_overlay_ycbcr,
+    )
+
+    y, cb, cr = unpack_ycbcr_planes(packed, y_pw=y_pw, y_ph=y_ph,
+                                    c_pw=c_pw, c_ph=c_ph)
+    rgb = combine_ycbcr(y, cb, cr, width=width, height=height,
+                        sampling=sampling)
+    packed_det = detect_program_impl(
+        params, priors, rgb, r_h, r_w,
+        compute_dtype=compute_dtype, min_confidence=min_confidence,
+        max_iou=max_iou, top_k=top_k, max_detections=max_detections,
+        pack_output=True)
+    y, cb, cr = render_overlay_ycbcr(
+        y, cb, cr, packed_det, width=width, height=height,
+        sampling=sampling, disp_dims=disp_dims)
+    return encode_planes(y, cb, cr, quant2), packed_det
+
+
+detect_annotate_from_ycbcr = jax.jit(
+    detect_annotate_from_ycbcr_impl,
+    static_argnames=(
+        "width", "height", "y_pw", "y_ph", "c_pw", "c_ph", "sampling",
+        "disp_dims", "compute_dtype", "min_confidence", "max_iou",
+        "top_k", "max_detections",
+    ),
+)
+
+
+def detect_annotate_impl(
+    params,
+    priors: jax.Array,
+    images: jax.Array,  # [B, H, W, 3] uint8
+    r_h: jax.Array,
+    r_w: jax.Array,
+    quant2: jax.Array,
+    *,
+    out_sampling: tuple,
+    disp_dims: tuple | None,
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+):
+    """RGB-input variant of the fused annotated pipeline (the default
+    "pixels" decode mode): detect, convert to YCbCr planes on-device,
+    render the overlay, FDCT+quantize — host does entropy coding only
+    instead of draw + full JPEG encode."""
+    from infercam_onnx_tpu.ops.jpeg_encode_device import (
+        encode_planes,
+        render_overlay_ycbcr,
+        rgb_to_ycbcr_planes,
+    )
+
+    _, h, w, _ = images.shape
+    packed_det = detect_program_impl(
+        params, priors, images, r_h, r_w,
+        compute_dtype=compute_dtype, min_confidence=min_confidence,
+        max_iou=max_iou, top_k=top_k, max_detections=max_detections,
+        pack_output=True)
+    y, cb, cr = rgb_to_ycbcr_planes(images, sampling=out_sampling)
+    y, cb, cr = render_overlay_ycbcr(
+        y, cb, cr, packed_det, width=w, height=h,
+        sampling=out_sampling, disp_dims=disp_dims)
+    return encode_planes(y, cb, cr, quant2), packed_det
+
+
+detect_annotate = jax.jit(
+    detect_annotate_impl,
+    static_argnames=(
+        "out_sampling", "disp_dims", "compute_dtype", "min_confidence",
+        "max_iou", "top_k", "max_detections",
+    ),
+)
+
+
 def unpack_detections(packed: np.ndarray) -> list[list[Detection]]:
     """Host-side inverse of ``pack_output=True``."""
     out: list[list[Detection]] = []
@@ -303,6 +417,57 @@ class Detector:
             min_confidence=c.min_confidence, max_iou=c.max_iou,
             top_k=c.top_k, max_detections=c.max_detections,
             pack_output=pack_output)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=8)
+    def _encode_quant(quality: int):
+        """[2, 64] float32 device-side copy of libjpeg's quant tables
+        for this quality (native shim; cached per quality)."""
+        from infercam_onnx_tpu.native import jpeg as native_jpeg
+
+        tables = native_jpeg.load().quant_tables(quality)
+        return jnp.asarray(tables.astype(np.float32))
+
+    def run_device_ycbcr_annotated(self, packed, geom: dict, *,
+                                   quality: int = 95,
+                                   disp_dims: tuple | None = None):
+        """Fused annotated path: packed planes in, ONE int16 coefficient
+        array + packed detections out (see
+        detect_annotate_from_ycbcr_impl). Host completes each frame
+        with entropy coding only (native encode_coefs). Non-8-aligned
+        plane dims (scaled decodes) are edge-padded on device."""
+        w, h = geom["width"], geom["height"]
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        c = self.config
+        return detect_annotate_from_ycbcr(
+            self.model.params, self.model.priors, jnp.asarray(packed),
+            r_h, r_w, self._encode_quant(quality),
+            width=w, height=h,
+            y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+            c_pw=geom["c_pw"], c_ph=geom["c_ph"],
+            sampling=tuple(geom["sampling"]),
+            disp_dims=tuple(disp_dims) if disp_dims else None,
+            compute_dtype=self._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections)
+
+    def run_device_annotated(self, images, *, quality: int = 95,
+                             subsampling: str = "420",
+                             disp_dims: tuple | None = None):
+        """RGB-input fused annotated path (pixels decode mode)."""
+        sampling = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[
+            subsampling]
+        _, h, w, _ = images.shape
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        c = self.config
+        return detect_annotate(
+            self.model.params, self.model.priors, jnp.asarray(images),
+            r_h, r_w, self._encode_quant(quality),
+            out_sampling=sampling,
+            disp_dims=tuple(disp_dims) if disp_dims else None,
+            compute_dtype=self._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections)
 
     def warmup(self, batch_size: int, height: int, width: int, *,
                pack_output: bool = False) -> None:

@@ -447,6 +447,144 @@ extern "C" {
 // dims_out[8]: width, height, y_bw, y_bh, c_bw, c_bh, h_samp, v_samp.
 // Plane buffers receive int16[bh][bw][64]. Returns 0, or -1 corrupt,
 // -2 buffer too small, -3 unsupported layout.
+// Export the quantization tables libjpeg would use at `quality`
+// (jpeg_set_quality semantics, force_baseline=TRUE), in natural
+// (row-major) order: out[0..63] luma, out[64..127] chroma. The device
+// JPEG-encode tail (ops/jpeg_encode_device.py) quantizes with EXACTLY
+// these tables so the host entropy encoder (ic_jpeg_write_coefs) can
+// embed them verbatim. Returns 0.
+int ic_jpeg_quant_tables(int32_t quality, uint16_t* out) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  cinfo.image_width = 16;
+  cinfo.image_height = 16;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  for (int t = 0; t < 2; ++t) {
+    JQUANT_TBL* qt = cinfo.quant_tbl_ptrs[t];
+    for (int k = 0; k < 64; ++k) out[t * 64 + k] = qt->quantval[k];
+  }
+  jpeg_destroy_compress(&cinfo);
+  return 0;
+}
+
+// Entropy-encode pre-quantized DCT coefficient planes into a baseline
+// JPEG (jpeg_write_coefficients): the host half of the DEVICE-side
+// encode tail. The TPU program renders detection overlays into the
+// YCbCr planes, runs the forward FDCT as MXU matmuls and quantizes
+// (ops/jpeg_encode_device.py); this function only Huffman-codes the
+// resulting int16 blocks — the encode mirror of ic_jpeg_read_coefs.
+//
+// Inputs are [in_bh][in_bw][64] int16 blocks in natural order per plane
+// (in_* dims may exceed the JPEG's block dims — iMCU padding from the
+// decode side — extras are ignored; missing padding blocks are zero).
+// quant: 2*64 uint16 natural order (luma, chroma), typically from
+// ic_jpeg_quant_tables. Returns encoded size, -1 error, -2 out buffer
+// too small.
+int64_t ic_jpeg_write_coefs(const int16_t* y, const int16_t* cb,
+                            const int16_t* cr, int32_t in_y_bw,
+                            int32_t in_y_bh, int32_t in_c_bw,
+                            int32_t in_c_bh, int32_t w, int32_t h,
+                            int32_t hs, int32_t vs, const uint16_t* quant,
+                            uint8_t* out, int64_t max_bytes) {
+  jpeg_compress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  jerr.pub.output_message = silence_output;
+  static thread_local uint8_t* buf;
+  static thread_local unsigned long buf_size;
+  buf = nullptr;
+  buf_size = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (buf) free(buf);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buf_size);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  cinfo.comp_info[0].h_samp_factor = hs;
+  cinfo.comp_info[0].v_samp_factor = vs;
+  cinfo.comp_info[1].h_samp_factor = 1;
+  cinfo.comp_info[1].v_samp_factor = 1;
+  cinfo.comp_info[2].h_samp_factor = 1;
+  cinfo.comp_info[2].v_samp_factor = 1;
+  {
+    unsigned int tbl[64];
+    for (int t = 0; t < 2; ++t) {
+      for (int k = 0; k < 64; ++k) tbl[k] = quant[t * 64 + k];
+      jpeg_add_quant_table(&cinfo, t, tbl, 100, TRUE);
+    }
+  }
+  cinfo.comp_info[0].quant_tbl_no = 0;
+  cinfo.comp_info[1].quant_tbl_no = 1;
+  cinfo.comp_info[2].quant_tbl_no = 1;
+
+  // component block geometry (mirrors jpeg's master computation):
+  // luma samp = (hs, vs) with max = (hs, vs); chroma samp = (1, 1)
+  const int64_t y_bw = (static_cast<int64_t>(w) + 7) / 8;
+  const int64_t y_bh = (static_cast<int64_t>(h) + 7) / 8;
+  const int64_t c_bw = (static_cast<int64_t>(w) + 8 * hs - 1) / (8 * hs);
+  const int64_t c_bh = (static_cast<int64_t>(h) + 8 * vs - 1) / (8 * vs);
+  auto round_up = [](int64_t v, int64_t m) { return ((v + m - 1) / m) * m; };
+  const int64_t dims[3][2] = {{y_bw, y_bh}, {c_bw, c_bh}, {c_bw, c_bh}};
+  const int64_t samp[3][2] = {{hs, vs}, {1, 1}, {1, 1}};
+  jvirt_barray_ptr arrays[3];
+  for (int c = 0; c < 3; ++c) {
+    arrays[c] = (*cinfo.mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, FALSE,
+        static_cast<JDIMENSION>(round_up(dims[c][0], samp[c][0])),
+        static_cast<JDIMENSION>(round_up(dims[c][1], samp[c][1])),
+        static_cast<JDIMENSION>(samp[c][1]));
+  }
+  jpeg_write_coefficients(&cinfo, arrays);
+
+  const int16_t* ins[3] = {y, cb, cr};
+  const int64_t in_bw[3] = {in_y_bw, in_c_bw, in_c_bw};
+  const int64_t in_bh[3] = {in_y_bh, in_c_bh, in_c_bh};
+  for (int c = 0; c < 3; ++c) {
+    const int64_t bw_pad = round_up(dims[c][0], samp[c][0]);
+    const int64_t bh_pad = round_up(dims[c][1], samp[c][1]);
+    for (int64_t row = 0; row < bh_pad; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), arrays[c],
+          static_cast<JDIMENSION>(row), 1, TRUE);
+      memset(rows[0], 0, sizeof(JBLOCK) * bw_pad);
+      if (row < in_bh[c]) {
+        const int64_t ncols = bw_pad < in_bw[c] ? bw_pad : in_bw[c];
+        memcpy(rows[0], ins[c] + row * in_bw[c] * 64,
+               sizeof(JCOEF) * 64 * ncols);
+      }
+    }
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+
+  int64_t n = static_cast<int64_t>(buf_size);
+  if (n > max_bytes) {
+    free(buf);
+    return -2;
+  }
+  memcpy(out, buf, n);
+  free(buf);
+  return n;
+}
+
 int ic_jpeg_read_coefs(const uint8_t* data, int64_t len, int16_t* out_y,
                        int16_t* out_cb, int16_t* out_cr,
                        int64_t max_coefs_each, uint16_t* quant_out,

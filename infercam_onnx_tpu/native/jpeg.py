@@ -83,6 +83,19 @@ class NativeJpeg:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.ic_jpeg_quant_tables.restype = ctypes.c_int
+        lib.ic_jpeg_quant_tables.argtypes = [
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint16),
+        ]
+        lib.ic_jpeg_write_coefs.restype = ctypes.c_int64
+        lib.ic_jpeg_write_coefs.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
         lib.ic_jpeg_decode_ycbcr_batch.restype = None
         lib.ic_jpeg_decode_ycbcr_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int64),
@@ -225,6 +238,51 @@ class NativeJpeg:
             quant.reshape(3, 64).copy(),
             (w, h), (hs, vs),
         )
+
+    def quant_tables(self, quality: int) -> np.ndarray:
+        """[2, 64] uint16 quant tables (luma, chroma) in natural order —
+        exactly what libjpeg would use at this quality (baseline). The
+        device encode tail quantizes with these so the entropy encoder
+        can embed them verbatim."""
+        out = np.empty(2 * 64, np.uint16)
+        rc = self._lib.ic_jpeg_quant_tables(
+            quality, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+        if rc != 0:
+            raise ValueError(f"quant table export failed (rc={rc})")
+        return out.reshape(2, 64)
+
+    def encode_coefs(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     wh: tuple[int, int], sampling: tuple[int, int],
+                     quant: np.ndarray) -> bytes:
+        """Entropy-encode pre-quantized DCT blocks into a baseline JPEG.
+
+        ``y/cb/cr``: [bh, bw, 64] int16 natural-order blocks (iMCU-padded
+        dims accepted — the device FDCT tail emits exactly these);
+        ``quant``: [2, 64] natural-order tables (see quant_tables). This
+        is the ONLY host compute on the annotated output path — the
+        encode mirror of decode_ycbcr_batch's entropy+IDCT split.
+        """
+        w, h = wh
+        hs, vs = sampling
+        y = np.ascontiguousarray(y, np.int16)
+        cb = np.ascontiguousarray(cb, np.int16)
+        cr = np.ascontiguousarray(cr, np.int16)
+        quant = np.ascontiguousarray(quant, np.uint16)
+        cap = w * h * 3 + (1 << 16)
+        out = np.empty(cap, np.uint8)
+
+        def p16(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+        n = self._lib.ic_jpeg_write_coefs(
+            p16(y), p16(cb), p16(cr),
+            y.shape[1], y.shape[0], cb.shape[1], cb.shape[0],
+            w, h, hs, vs,
+            quant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        if n < 0:
+            raise ValueError(f"coefficient JPEG encode failed (rc={n})")
+        return out[:n].tobytes()
 
     def encode_rgb(self, frame: np.ndarray, quality: int = 95,
                    subsampling: str = "420") -> bytes:

@@ -1,0 +1,336 @@
+"""Device-side annotated-JPEG encode tail: overlay + FDCT + quantize.
+
+The reference annotates frames on the host (green hollow rectangles and
+a confidence label, reference infer_server/src/inferer.rs:57-101) and
+re-encodes with turbojpeg (reference inferer.rs:39). Here the whole
+annotated-output path after entropy coding runs ON the TPU, fused with
+detection:
+
+- detection boxes are rendered directly into the YCbCr planes as hollow
+  rectangles via two small matmuls per plane (row-edge x col-span +
+  row-span x col-edge masks over the detection axis — MXU work, no
+  scatter);
+- confidence labels ("{:.2f}%" in 16 px DejaVu Sans Mono, the
+  reference's face/size) are stamped from a pre-rendered glyph-atlas
+  with per-detection dynamic-slice updates, alpha-blended like PIL's
+  antialiased text;
+- the forward 8x8 DCT runs as two matmuls per block (the exact mirror
+  of ops/jpeg_device.py's IDCT tail) followed by quantization with
+  libjpeg's exact tables for the configured quality;
+- the host then performs entropy (Huffman) coding ONLY
+  (native ic_jpeg_write_coefs) — the encode mirror of the decode
+  split, so /face_stream viewers ride the packed-plane transfer in
+  BOTH directions.
+
+Documented divergences from the host (PIL) path: a label whose leading
+digits are blank keeps the text left-anchored at the box corner (same as
+PIL); labels that would overflow the frame edge are shifted fully inside
+(PIL clips them); glyph antialiasing matches PIL's alpha compositing to
+within a few u8 steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from infercam_onnx_tpu.ops.jpeg_device import _IDCT_A
+
+# BT.601 full-range YCbCr for pure green Rgb(0,255,0) (libjpeg jccolor
+# constants; reference inferer.rs:62 draws Rgb([0, 255, 0])).
+GREEN_Y = 0.587 * 255.0
+GREEN_CB = 128.0 - 0.331264 * 255.0
+GREEN_CR = 128.0 - 0.418688 * 255.0
+
+_DOT, _PCT, _BLANK = 10, 11, 12
+
+
+@functools.lru_cache(maxsize=1)
+def glyph_atlas() -> tuple[np.ndarray, int, int]:
+    """([13, gh, gw] float32 alpha in 0..1, gh, gw) for "0123456789.%"
+    plus a blank cell, rendered with the same font object the host draw
+    path uses (16 px DejaVu Sans Mono, draw.py). Cell dims are padded to
+    even so 4:2:0 chroma stamps subsample cleanly."""
+    from PIL import Image, ImageDraw
+
+    from infercam_onnx_tpu.draw import FONT_SIZE, _font
+
+    font = _font()
+    chars = "0123456789.%"
+    try:
+        gw = int(np.ceil(font.getlength("0")))
+        ascent, descent = font.getmetrics()
+        gh = ascent + descent
+    except AttributeError:  # bitmap fallback font
+        left, top, right, bottom = font.getbbox("0")
+        gw, gh = right - left, bottom + 2
+    gh = max(gh, FONT_SIZE)
+    gh += gh % 2
+    gw += gw % 2
+    atlas = np.zeros((13, gh, gw), np.float32)
+    for i, ch in enumerate(chars):
+        img = Image.new("L", (gw, gh), 0)
+        ImageDraw.Draw(img).text((0, 0), ch, fill=255, font=font)
+        atlas[i] = np.asarray(img, np.float32) / 255.0
+    return atlas, gh, gw
+
+
+def _label_indices(conf: jax.Array) -> jax.Array:
+    """[...,] confidence -> [..., 7] glyph indices for "{:.2f}%" of
+    confidence*100, left-aligned (blank-padded on the right), matching
+    Python's format for values >= 1%."""
+    v = jnp.round(conf * 10000.0).astype(jnp.int32)  # percent * 100
+    hund = v // 10000
+    tens = (v // 1000) % 10
+    unit = (v // 100) % 10
+    tenth = (v // 10) % 10
+    hundredth = v % 10
+    blank = jnp.full_like(v, _BLANK)
+    dot = jnp.full_like(v, _DOT)
+    pct = jnp.full_like(v, _PCT)
+    # three layouts: "100.00%", "99.99%", "9.99%"
+    a = jnp.stack([hund, tens, unit, dot, tenth, hundredth, pct], -1)
+    b = jnp.stack([tens, unit, dot, tenth, hundredth, pct, blank], -1)
+    c = jnp.stack([unit, dot, tenth, hundredth, pct, blank, blank], -1)
+    out = jnp.where(hund[..., None] > 0, a,
+                    jnp.where(tens[..., None] > 0, b, c))
+    return out
+
+
+def _label_strips(conf: jax.Array) -> jax.Array:
+    """[B, D] confidences -> [B, D, gh, 7*gw] float alpha strips."""
+    atlas, gh, gw = glyph_atlas()
+    idx = _label_indices(conf)  # [B, D, 7]
+    strips = jnp.asarray(atlas)[idx]  # [B, D, 7, gh, gw]
+    b, d = conf.shape
+    return strips.transpose(0, 1, 3, 2, 4).reshape(b, d, gh, 7 * gw)
+
+
+def _border_mask(x0, y0, x1, y1, valid, ph: int, pw: int) -> jax.Array:
+    """Hollow-rectangle mask [B, ph, pw] from per-detection corner
+    coords [B, D] (inclusive), as two matmuls over the detection axis."""
+    rows = jnp.arange(ph, dtype=jnp.float32)[None, :, None]  # [1,H,1]
+    cols = jnp.arange(pw, dtype=jnp.float32)[None, :, None]
+    y0e, y1e = y0[:, None, :], y1[:, None, :]
+    x0e, x1e = x0[:, None, :], x1[:, None, :]
+    v = valid[:, None, :]
+    in_r = ((rows >= y0e) & (rows <= y1e)).astype(jnp.float32) * v
+    edge_r = (((rows == y0e) | (rows == y1e)).astype(jnp.float32)) * v
+    in_c = ((cols >= x0e) & (cols <= x1e)).astype(jnp.float32)
+    edge_c = (((cols == x0e) | (cols == x1e)).astype(jnp.float32))
+    border = (jnp.einsum("bhd,bwd->bhw", edge_r, in_c,
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bhd,bwd->bhw", in_r, edge_c,
+                           preferred_element_type=jnp.float32))
+    return border > 0.0
+
+
+def _stamp_labels(plane: jax.Array, xs: jax.Array, ys: jax.Array,
+                  strips: jax.Array, value: float) -> jax.Array:
+    """Alpha-blend label strips into [B, ph, pw] planes at per-detection
+    (ys, xs) (already validity-gated via zeroed strips and clamped
+    in-bounds by the caller / dynamic_slice semantics)."""
+    d = strips.shape[1]
+    gh, sw = strips.shape[2], strips.shape[3]
+    if gh > plane.shape[1] or sw > plane.shape[2]:
+        # frame smaller than one label — skip text (PIL would render a
+        # clipped fragment; documented divergence for tiny frames)
+        return plane
+
+    def one(plane_b, xs_b, ys_b, strips_b):
+        def body(i, pl):
+            a = strips_b[i]
+            reg = lax.dynamic_slice(pl, (ys_b[i], xs_b[i]), (gh, sw))
+            new = reg * (1.0 - a) + value * a
+            return lax.dynamic_update_slice(pl, new, (ys_b[i], xs_b[i]))
+
+        return lax.fori_loop(0, d, body, plane_b)
+
+    return jax.vmap(one)(plane, xs, ys, strips)
+
+
+def render_overlay_ycbcr(
+    y: jax.Array,  # [B, y_ph, y_pw] float (0..255)
+    cb: jax.Array,  # [B, c_ph, c_pw]
+    cr: jax.Array,
+    packed_det: jax.Array,  # [B, D, 6] (x0, y0, x1, y1, conf, valid)
+    *,
+    width: int,
+    height: int,
+    sampling: tuple[int, int],
+    disp_dims: tuple[int, int] | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Draw the reference's annotation (hollow green rects + confidence
+    labels, reference inferer.rs:57-101) into YCbCr planes on-device.
+
+    ``disp_dims`` mirrors ServerConfig.assume_frame_dims: relative
+    coords scale by these instead of the true frame dims when set
+    (the reference hard-codes 1280x720, reference router.rs:66-67).
+    """
+    hs, vs = sampling
+    dw, dh = disp_dims if disp_dims is not None else (width, height)
+    boxes = packed_det[..., :4]
+    conf = packed_det[..., 4]
+    valid = packed_det[..., 5]
+
+    # pixel corners exactly like the host path (draw.py:62-66):
+    # int() truncation, rectangle spans [x_tl, x_br - 1] inclusive
+    x0 = jnp.floor(boxes[..., 0] * dw)
+    y0 = jnp.floor(boxes[..., 1] * dh)
+    x1 = jnp.floor(boxes[..., 2] * dw) - 1.0
+    y1 = jnp.floor(boxes[..., 3] * dh) - 1.0
+    # clip to the true image (the padded plane region must stay
+    # untouched; PIL clips the same way)
+    x0 = jnp.clip(x0, 0.0, width - 1.0)
+    x1 = jnp.clip(x1, 0.0, width - 1.0)
+    y0 = jnp.clip(y0, 0.0, height - 1.0)
+    y1 = jnp.clip(y1, 0.0, height - 1.0)
+
+    yb = _border_mask(x0, y0, x1, y1, valid, y.shape[1], y.shape[2])
+    y = jnp.where(yb, GREEN_Y, y)
+    cbb = _border_mask(jnp.floor(x0 / hs), jnp.floor(y0 / vs),
+                       jnp.floor(x1 / hs), jnp.floor(y1 / vs),
+                       valid, cb.shape[1], cb.shape[2])
+    # subsampled chroma of a 1-px line averages ~50% line / 50%
+    # background in the host encoder's box downsampling — blend the
+    # same way so the border's color saturation matches
+    ca = 1.0 if (hs == 1 and vs == 1) else 0.5
+    cb = jnp.where(cbb, ca * GREEN_CB + (1 - ca) * cb, cb)
+    cr = jnp.where(cbb, ca * GREEN_CR + (1 - ca) * cr, cr)
+
+    # labels: 16px mono "{conf*100:.2f}%" at the box top-left corner
+    strips = _label_strips(conf) * valid[..., None, None]
+    _, gh, sw = strips.shape[1], strips.shape[2], strips.shape[3]
+    # map display coords onto the stored plane grid; shift fully inside
+    # so dynamic_slice never clamps asymmetrically (divergence: PIL
+    # clips edge-overflowing labels instead)
+    lx = jnp.clip(x0, 0.0, max(y.shape[2] - sw, 0)).astype(jnp.int32)
+    ly = jnp.clip(y0, 0.0, max(y.shape[1] - gh, 0)).astype(jnp.int32)
+    y = _stamp_labels(y, lx, ly, strips, GREEN_Y)
+    if hs == 2 or vs == 2:
+        b, d = strips.shape[0], strips.shape[1]
+        cstrips = strips.reshape(
+            b, d, gh // vs, vs, sw // hs, hs).mean(axis=(3, 5))
+        clx = jnp.clip(lx // hs, 0,
+                       max(cb.shape[2] - sw // hs, 0))
+        cly = jnp.clip(ly // vs, 0,
+                       max(cb.shape[1] - gh // vs, 0))
+        cb = _stamp_labels(cb, clx, cly, cstrips, GREEN_CB)
+        cr = _stamp_labels(cr, clx, cly, cstrips, GREEN_CR)
+    else:
+        cb = _stamp_labels(cb, lx, ly, strips, GREEN_CB)
+        cr = _stamp_labels(cr, lx, ly, strips, GREEN_CR)
+    return y, cb, cr
+
+
+def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
+    """[B, ph, pw] float samples (0..255) + [64] quant -> [B, bh, bw, 64]
+    int16 quantized DCT blocks (natural order) — the forward mirror of
+    ops/jpeg_device.py decode_plane, batched over all blocks on the MXU.
+    Plane dims must be multiples of 8 (iMCU-padded decode output is)."""
+    b, ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    p = (plane.reshape(b, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
+         - 128.0)
+    a = jnp.asarray(_IDCT_A)
+    # C = A^T P A (A orthonormal; decode is P = A C A^T)
+    c = jnp.einsum("xu,nhwxy,yv->nhwuv", a, p, a,
+                   preferred_element_type=jnp.float32)
+    c = c.reshape(b, bh, bw, 64) / qtable.astype(jnp.float32)
+    return jnp.clip(jnp.round(c), -32767.0, 32767.0).astype(jnp.int16)
+
+
+def _pad8(plane: jax.Array) -> jax.Array:
+    """Edge-replicate a [B, h, w] plane up to 8-multiples (scaled
+    decodes can fold chroma to non-block-aligned dims)."""
+    _, h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        plane = jnp.pad(plane, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_planes(y: jax.Array, cb: jax.Array, cr: jax.Array,
+                  quant2: jax.Array) -> jax.Array:
+    """Quantize all three planes and pack them into ONE int16 array
+    [B, y_blocks*64 + 2*c_blocks*64] — a single device->host transfer
+    per batch; the host entropy encoder slices it back apart
+    (native jpeg.py encode_coefs / serving inferer). Non-8-aligned
+    plane dims are edge-padded first (split_coefs mirrors this)."""
+    b = y.shape[0]
+    yq = fdct_quant(_pad8(y), quant2[0])
+    cbq = fdct_quant(_pad8(cb), quant2[1])
+    crq = fdct_quant(_pad8(cr), quant2[1])
+    return jnp.concatenate(
+        [yq.reshape(b, -1), cbq.reshape(b, -1), crq.reshape(b, -1)],
+        axis=1)
+
+
+def rgb_to_ycbcr_planes(
+    rgb: jax.Array,  # [B, H, W, 3] float/uint8 (0..255)
+    *,
+    sampling: tuple[int, int],
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """RGB frames -> (y, cb, cr) planes with iMCU padding (edge
+    replication) and box-average chroma subsampling — the device-side
+    equivalent of libjpeg's color conversion + h2v2 downsampling, so
+    the pixels decode path can also ride the device encode tail."""
+    hs, vs = sampling
+    b, h, w, _ = rgb.shape
+    rgb = rgb.astype(jnp.float32)
+    r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bch
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    y_pw = -(-w // mcu_w) * mcu_w
+    y_ph = -(-h // mcu_h) * mcu_h
+
+    def pad(p, pw, ph):
+        return jnp.pad(p, ((0, 0), (0, ph - p.shape[1]),
+                           (0, pw - p.shape[2])), mode="edge")
+
+    y = pad(y, y_pw, y_ph)
+    cb = pad(cb, y_pw, y_ph)
+    cr = pad(cr, y_pw, y_ph)
+    if hs == 2 or vs == 2:
+        c_pw, c_ph = y_pw // hs, y_ph // vs
+
+        def down(p):
+            return p.reshape(b, c_ph, vs, c_pw, hs).mean(axis=(2, 4))
+
+        cb, cr = down(cb), down(cr)
+    return y, cb, cr
+
+
+def plane_geometry(width: int, height: int,
+                   sampling: tuple[int, int]) -> dict:
+    """The ycbcr-geom dict rgb_to_ycbcr_planes' output corresponds to
+    (same keys as native decode_ycbcr_batch)."""
+    hs, vs = sampling
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    y_pw = -(-width // mcu_w) * mcu_w
+    y_ph = -(-height // mcu_h) * mcu_h
+    return {"width": width, "height": height, "y_pw": y_pw,
+            "y_ph": y_ph, "c_pw": y_pw // hs, "c_ph": y_ph // vs,
+            "sampling": (hs, vs)}
+
+
+def split_coefs(packed: np.ndarray, geom: dict) -> tuple[np.ndarray,
+                                                         np.ndarray,
+                                                         np.ndarray]:
+    """Host-side inverse of encode_planes' packing for ONE frame:
+    [n] int16 -> ([y_bh, y_bw, 64], cb, cr) block arrays (ceil block
+    dims — encode_planes edge-pads non-aligned planes)."""
+    y_bw, y_bh = -(-geom["y_pw"] // 8), -(-geom["y_ph"] // 8)
+    c_bw, c_bh = -(-geom["c_pw"] // 8), -(-geom["c_ph"] // 8)
+    y_n, c_n = y_bw * y_bh * 64, c_bw * c_bh * 64
+    y = packed[:y_n].reshape(y_bh, y_bw, 64)
+    cb = packed[y_n:y_n + c_n].reshape(c_bh, c_bw, 64)
+    cr = packed[y_n + c_n:y_n + 2 * c_n].reshape(c_bh, c_bw, 64)
+    return y, cb, cr

@@ -30,6 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from infercam_onnx_tpu.detector import (
     Detector,
+    detect_annotate_from_ycbcr_impl,
+    detect_annotate_impl,
     detect_from_coefficients_impl,
     detect_from_ycbcr_impl,
     detect_program_impl,
@@ -169,6 +171,78 @@ class ShardedDetector(Detector):
                                else (batch, batch, batch)))
             self._coef_programs[key] = prog
         return prog
+
+    def _annot_ycbcr_program(self, geom: dict, disp: tuple | None):
+        key = ("annot_ycbcr", tuple(sorted(
+            (k, tuple(v) if isinstance(v, tuple) else v)
+            for k, v in geom.items())), disp)
+        prog = self._coef_programs.get(key)
+        if prog is None:
+            batch, repl = self._batch_sharding, self._repl_sharding
+            fn = functools.partial(
+                detect_annotate_from_ycbcr_impl,
+                width=geom["width"], height=geom["height"],
+                y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+                c_pw=geom["c_pw"], c_ph=geom["c_ph"],
+                sampling=tuple(geom["sampling"]), disp_dims=disp,
+                **self._static)
+            prog = jax.jit(
+                fn,
+                in_shardings=(repl, repl, batch, repl, repl, repl),
+                out_shardings=(batch, batch))
+            self._coef_programs[key] = prog
+        return prog
+
+    def _annot_rgb_program(self, h: int, w: int, sampling: tuple,
+                           disp: tuple | None):
+        key = ("annot_rgb", (h, w), sampling, disp)
+        prog = self._coef_programs.get(key)
+        if prog is None:
+            batch, repl = self._batch_sharding, self._repl_sharding
+            fn = functools.partial(
+                detect_annotate_impl, out_sampling=sampling,
+                disp_dims=disp, **self._static)
+            prog = jax.jit(
+                fn,
+                in_shardings=(repl, repl, batch, repl, repl, repl),
+                out_shardings=(batch, batch))
+            self._coef_programs[key] = prog
+        return prog
+
+    def run_device_ycbcr_annotated(self, packed, geom: dict, *,
+                                   quality: int = 95,
+                                   disp_dims: tuple | None = None):
+        """Sharded variant of the fused annotated pipeline
+        (detector.detect_annotate_from_ycbcr_impl): batch shards over
+        the mesh, coefficients and detections come back batch-sharded.
+        """
+        disp = tuple(disp_dims) if disp_dims else None
+        prog = self._annot_ycbcr_program(geom, disp)
+        b = packed.shape[0]
+        r_h, r_w = self.preprocessor.matrices(geom["width"],
+                                              geom["height"])
+        self.dispatches += 1
+        coefs, det = prog(self._params, self._priors,
+                          jnp.asarray(self._pad(packed, b)), r_h, r_w,
+                          self._encode_quant(quality))
+        return coefs[:b], det[:b]
+
+    def run_device_annotated(self, images, *, quality: int = 95,
+                             subsampling: str = "420",
+                             disp_dims: tuple | None = None):
+        """Sharded RGB-input fused annotated pipeline."""
+        sampling = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[
+            subsampling]
+        _, h, w, _ = images.shape
+        disp = tuple(disp_dims) if disp_dims else None
+        prog = self._annot_rgb_program(h, w, sampling, disp)
+        b = images.shape[0]
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        self.dispatches += 1
+        coefs, det = prog(self._params, self._priors,
+                          jnp.asarray(self._pad(images, b)), r_h, r_w,
+                          self._encode_quant(quality))
+        return coefs[:b], det[:b]
 
     def _pad(self, arr, b: int):
         pad = (-b) % self.n

@@ -235,6 +235,31 @@ class LockstepDetector(ShardedDetector):
         return self._submit(desc, int(packed.shape[0]),
                             {"packed": np.asarray(packed)})
 
+    def run_device_ycbcr_annotated(self, packed, geom: dict, *,
+                                   quality: int = 95,
+                                   disp_dims: tuple | None = None):
+        """Fused annotated path as a lockstep unit: every host runs the
+        same sharded annotate+encode program in the agreed round;
+        coefficient rows and detections read back per host."""
+        jgeom = {k: (list(v) if isinstance(v, tuple) else v)
+                 for k, v in geom.items()}
+        desc = {"kind": "ycbcr_annot", "geom": jgeom,
+                "quality": int(quality),
+                "disp": list(disp_dims) if disp_dims else None}
+        return self._submit(desc, int(packed.shape[0]),
+                            {"packed": np.asarray(packed)})
+
+    def run_device_annotated(self, images, *, quality: int = 95,
+                             subsampling: str = "420",
+                             disp_dims: tuple | None = None):
+        """RGB-input fused annotated path as a lockstep unit."""
+        desc = {"kind": "rgb_annot", "h": int(images.shape[1]),
+                "w": int(images.shape[2]), "sub": subsampling,
+                "quality": int(quality),
+                "disp": list(disp_dims) if disp_dims else None}
+        return self._submit(desc, int(images.shape[0]),
+                            {"images": np.asarray(images)})
+
     def run_device_coefficients_arrays(self, y, cb, cr, quant, wh, *,
                                        sampling=(2, 2),
                                        pack_output: bool = False):
@@ -393,6 +418,10 @@ class LockstepDetector(ShardedDetector):
                 at += n
             return outs
 
+        if pack == "multi":
+            # per-unit TUPLES across several batch-sharded arrays
+            # (annotated units: coefficients + detections)
+            return list(zip(*(split(host_rows(a)) for a in out)))
         if pack:
             return split(host_rows(out))
         boxes, confs, counts = out
@@ -411,8 +440,34 @@ class LockstepDetector(ShardedDetector):
                 return np.zeros((0,) + empty_shape, empty_dtype)
             return np.concatenate([d[field] for d in datas])
 
-        pack = desc["pack"]
         self.dispatches += 1
+        if desc["kind"] == "ycbcr_annot":
+            geom = {k: (tuple(v) if isinstance(v, list) else v)
+                    for k, v in desc["geom"].items()}
+            plane_len = (geom["y_pw"] * geom["y_ph"]
+                         + 2 * geom["c_pw"] * geom["c_ph"])
+            local = local_concat("packed", (plane_len,), np.uint8)
+            garr = self._global(local, rows)
+            r_h, r_w = self.preprocessor.matrices(geom["width"],
+                                                  geom["height"])
+            disp = tuple(desc["disp"]) if desc["disp"] else None
+            prog = self._annot_ycbcr_program(geom, disp)
+            out = prog(self._params, self._priors, garr, r_h, r_w,
+                       self._encode_quant(desc["quality"]))
+            return self._readback(out, counts, "multi")
+        if desc["kind"] == "rgb_annot":
+            h, w = desc["h"], desc["w"]
+            local = local_concat("images", (h, w, 3), np.uint8)
+            garr = self._global(local, rows)
+            r_h, r_w = self.preprocessor.matrices(w, h)
+            disp = tuple(desc["disp"]) if desc["disp"] else None
+            sampling = {"444": (1, 1), "422": (2, 1),
+                        "420": (2, 2)}[desc["sub"]]
+            prog = self._annot_rgb_program(h, w, sampling, disp)
+            out = prog(self._params, self._priors, garr, r_h, r_w,
+                       self._encode_quant(desc["quality"]))
+            return self._readback(out, counts, "multi")
+        pack = desc["pack"]
         if desc["kind"] == "pixels":
             h, w = desc["h"], desc["w"]
             local = local_concat("images", (h, w, 3), np.uint8)

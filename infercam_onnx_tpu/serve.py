@@ -11,7 +11,8 @@ Usage::
         [--queue-capacity 10] [--no-coalesce] \
         [--warmup 640x480,1280x720] [--warmup-async] \
         [--decode-scale 1|2|4|8] \
-        [--decode-mode pixels|coefficients|ycbcr] [--tile-min-pixels N] \
+        [--decode-mode pixels|coefficients|ycbcr] [--annotate device|host] \
+        [--tile-min-pixels N] \
         [--tile-grid 2x2] [--assume-frame-dims 1280x720] \
         [--data-parallel auto|on|off] [--max-rss-mb N] \
         [--onnx model.onnx [--runtime native|graph]] \
@@ -101,6 +102,13 @@ def main(argv: list[str] | None = None) -> int:
                     choices=[1, 2, 4, 8],
                     help="decode incoming JPEGs at 1/N resolution "
                          "(fast path; annotated output is then scaled)")
+    ap.add_argument("--annotate", default="device",
+                    choices=["device", "host"],
+                    help="device: /face_stream overlays are rendered on "
+                         "the TPU and the output JPEG's DCT+quantize "
+                         "run there too (host does entropy coding "
+                         "only); host: reference-style host draw + "
+                         "full host encode")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -248,6 +256,7 @@ def main(argv: list[str] | None = None) -> int:
                     coalesce_streams=not args.no_coalesce,
                     decode_scale=args.decode_scale,
                     decode_mode=args.decode_mode,
+                    annotate_mode=args.annotate,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(
                         int(v) for v in args.tile_grid.split("x"))),

@@ -80,6 +80,37 @@ class InferenceWorker:
         # lazily-built tiled detectors per decoded frame size
         # (BASELINE config 5: high-res frames tile across the detector)
         self._tiled: dict[tuple[int, int], object] = {}
+        # device-side annotated output (overlay + FDCT/quant on the TPU,
+        # host entropy-codes only): needs the native shim AND a detector
+        # exposing the fused annotated programs; otherwise fall back to
+        # the reference-style host draw + encode path
+        self._annotate_device = False
+        if engine_config.annotate_mode == "device":
+            if not hasattr(self._detector, "run_device_annotated"):
+                log.info("annotate=device unavailable on %s; using the "
+                         "host draw path",
+                         type(self._detector).__name__)
+            else:
+                try:
+                    from infercam_onnx_tpu.native import jpeg as nj
+
+                    nj.load()
+                    self._annotate_device = True
+                except Exception as e:  # toolchain/libjpeg missing
+                    log.warning("annotate=device needs the native JPEG "
+                                "shim (%s); using the host draw path",
+                                e)
+
+    def _host_quant(self, quality: int):
+        """[2, 64] uint16 encode quant tables for the host entropy
+        encoder (cached per quality)."""
+        if not hasattr(self, "_quant_cache"):
+            self._quant_cache = {}
+        if quality not in self._quant_cache:
+            from infercam_onnx_tpu.native import jpeg as nj
+
+            self._quant_cache[quality] = nj.load().quant_tables(quality)
+        return self._quant_cache[quality]
 
     # -- submission (called from the router on the event loop) -------------
 
@@ -192,9 +223,17 @@ class InferenceWorker:
         discipline as bench.py's pipeline."""
         coef_mode = self._cfg.decode_mode == "coefficients"
         ycbcr_mode = self._cfg.decode_mode == "ycbcr"
+        # annotated viewers in a device-decode-tail mode ride the fused
+        # annotate+encode program (packed planes up, coefficients down)
+        # instead of forcing a host pixel decode
+        annot_ids = {id(j) for j in jobs
+                     if j.reply is not None and self._annotate_device
+                     and (coef_mode or ycbcr_mode)}
+        annot_jobs = [j for j in jobs if id(j) in annot_ids]
         pixel_jobs = [j for j in jobs
-                      if j.reply is not None
-                      or not (coef_mode or ycbcr_mode)]
+                      if id(j) not in annot_ids
+                      and (j.reply is not None
+                           or not (coef_mode or ycbcr_mode))]
         coef_jobs = [j for j in jobs
                      if j.reply is None and coef_mode]
         ycbcr_jobs = [j for j in jobs
@@ -254,19 +293,18 @@ class InferenceWorker:
             # Fast path: ONE batched C call when all frames share
             # geometry (the common case — same cameras); fall back to
             # per-job decode + grouping on mixed/corrupt batches.
-            ycbcr_groups = []
-            if ycbcr_jobs:
+            def group_ycbcr(jlist):
                 from infercam_onnx_tpu.native import jpeg as native_jpeg
 
                 native = native_jpeg.load()
+                groups = []
                 try:
                     packed, geom = native.decode_ycbcr_batch(
-                        [j.data for j in ycbcr_jobs], scale=scale)
-                    ycbcr_groups.append(
-                        (list(zip(ycbcr_jobs, packed)), geom))
+                        [j.data for j in jlist], scale=scale)
+                    groups.append((list(zip(jlist, packed)), geom))
                 except ValueError:
                     yc_by_geom: dict = {}
-                    for job in ycbcr_jobs:
+                    for job in jlist:
                         try:
                             packed, geom = native.decode_ycbcr_batch(
                                 [job.data], scale=scale)
@@ -280,7 +318,16 @@ class InferenceWorker:
                         except ValueError as e:
                             pixel_fallback(job, e)
                     for members, geom in yc_by_geom.values():
-                        ycbcr_groups.append((members, geom))
+                        groups.append((members, geom))
+                return groups
+
+            ycbcr_groups = group_ycbcr(ycbcr_jobs) if ycbcr_jobs else []
+
+            # annotated-viewer frames: same packed-plane decode, but the
+            # device program also renders the overlay and produces the
+            # output JPEG's quantized coefficients (non-8-aligned
+            # scaled planes are edge-padded on device)
+            annot_groups = group_ycbcr(annot_jobs) if annot_jobs else []
 
         # assemble padded batches + start async uploads (still on the
         # decode thread: overlaps the device thread's current dispatch).
@@ -318,6 +365,11 @@ class InferenceWorker:
                     "kind": "pixels", "members": members[:bucket],
                     "n": min(len(members), bucket),
                     "batch": put(batch), "w": w, "h": h,
+                    # pixels-mode annotated viewers also get the device
+                    # encode tail (RGB-input fused program) when enabled
+                    "annotate": (self._annotate_device
+                                 and any(m[0].reply is not None
+                                         for m in members[:bucket])),
                 })
 
             for members in coef_groups:
@@ -341,20 +393,22 @@ class InferenceWorker:
                     "w": w, "h": h, "sampling": sampling,
                 })
 
-            for members, geom in ycbcr_groups:
-                bucket = self._bucket_size(len(members))
-                overflow(members, bucket)
-                rows = [m[1] for m in members[:bucket]]
-                if bucket > len(members):
-                    rows.extend([np.zeros_like(rows[0])]
-                                * (bucket - len(members)))
-                units.append({
-                    "kind": "ycbcr",
-                    "members": members[:bucket],
-                    "n": min(len(members), bucket),
-                    "packed": put(np.stack(rows)),
-                    "geom": geom,
-                })
+            for kind, groups in (("ycbcr", ycbcr_groups),
+                                 ("ycbcr_annot", annot_groups)):
+                for members, geom in groups:
+                    bucket = self._bucket_size(len(members))
+                    overflow(members, bucket)
+                    rows = [m[1] for m in members[:bucket]]
+                    if bucket > len(members):
+                        rows.extend([np.zeros_like(rows[0])]
+                                    * (bucket - len(members)))
+                    units.append({
+                        "kind": kind,
+                        "members": members[:bucket],
+                        "n": min(len(members), bucket),
+                        "packed": put(np.stack(rows)),
+                        "geom": geom,
+                    })
         return units
 
     # -- stage 2: device + draw + encode + publish (device thread) ---------
@@ -387,18 +441,38 @@ class InferenceWorker:
         }) + "\n").encode()
 
     def _device_stage(self, units: list[dict]) -> list:
-        """Dispatch the pre-uploaded batches; returns
-        [(members, packed, w, h), ...] for the publish stage. Batch
-        assembly + host->device upload already happened on the decode
-        thread (see _decode), so this stage is dispatch + readback only.
-        """
+        """Dispatch the pre-uploaded batches; returns publish-stage
+        entries {members, packed, w, h, coefs, geom}. Batch assembly +
+        host->device upload already happened on the decode thread (see
+        _decode), so this stage is dispatch + readback only. ``coefs``
+        (annotated units) carries the output JPEG's quantized DCT
+        blocks straight off the device — the publish stage only
+        entropy-codes them."""
         results = []
         for unit in units:
             t0 = time.monotonic()
+            coefs = geom = None
             if unit["kind"] == "pixels":
                 w, h = unit["w"], unit["h"]
-                with STAGES.stage("device"):
-                    packed = self._run_detection(unit["batch"], h, w)
+                tiled = (self._cfg.tile_min_pixels
+                         and h * w >= self._cfg.tile_min_pixels)
+                if unit.get("annotate") and not tiled:
+                    from infercam_onnx_tpu.ops.jpeg_encode_device import (
+                        plane_geometry)
+
+                    sub = self._server_cfg.jpeg_subsampling
+                    with STAGES.stage("device"):
+                        coefs, packed = self._detector.run_device_annotated(
+                            unit["batch"],
+                            quality=self._server_cfg.jpeg_quality,
+                            subsampling=sub,
+                            disp_dims=self._server_cfg.assume_frame_dims)
+                    geom = plane_geometry(
+                        w, h, {"444": (1, 1), "422": (2, 1),
+                               "420": (2, 2)}[sub])
+                else:
+                    with STAGES.stage("device"):
+                        packed = self._run_detection(unit["batch"], h, w)
                 members = unit["members"]
             elif unit["kind"] == "coef":
                 w, h = unit["w"], unit["h"]
@@ -408,6 +482,16 @@ class InferenceWorker:
                             *unit["arrays"], (w, h),
                             sampling=unit["sampling"], pack_output=True))
                 members = [(job, None) for job, _ in unit["members"]]
+            elif unit["kind"] == "ycbcr_annot":
+                geom = unit["geom"]
+                w, h = geom["width"], geom["height"]
+                with STAGES.stage("device_annot"):
+                    coefs, packed = (
+                        self._detector.run_device_ycbcr_annotated(
+                            unit["packed"], geom,
+                            quality=self._server_cfg.jpeg_quality,
+                            disp_dims=self._server_cfg.assume_frame_dims))
+                members = [(job, None) for job, _ in unit["members"]]
             else:  # ycbcr
                 geom = unit["geom"]
                 w, h = geom["width"], geom["height"]
@@ -415,38 +499,66 @@ class InferenceWorker:
                     packed = self._detector.run_device_ycbcr_packed(
                         unit["packed"], geom, pack_output=True)
                 members = [(job, None) for job, _ in unit["members"]]
-            # start the device->host copy without blocking this thread;
-            # the publish stage materializes it (np.asarray) when it
-            # actually needs the numbers
-            if hasattr(packed, "copy_to_host_async"):
-                packed.copy_to_host_async()
+            # start the device->host copies without blocking this
+            # thread; the publish stage materializes them (np.asarray)
+            # when it actually needs the numbers
+            for arr in (packed, coefs):
+                if hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
             self._meter.tick_batch(unit["n"], time.monotonic() - t0)
-            results.append((members, packed, w, h))
+            results.append({"members": members, "packed": packed,
+                            "w": w, "h": h, "coefs": coefs,
+                            "geom": geom})
         return results
 
     # -- stage 3: draw + encode + publish (publish thread) ------------------
 
     def _publish_results(self, results: list) -> None:
         dims = self._server_cfg.assume_frame_dims
-        for members, packed, w, h in results:
-            packed = np.asarray(packed)  # completes the async D2H copy
+        for entry in results:
+            members, w, h = entry["members"], entry["w"], entry["h"]
+            packed = np.asarray(entry["packed"])  # completes async D2H
+            coefs = entry["coefs"]
+            if coefs is not None:
+                coefs = np.asarray(coefs)
             n = len(members)
             for i, (job, frame) in enumerate(members):
                 if job.det_reply is not None:
                     self._publish(job.det_reply,
                                   self._detections_json(packed[i], w, h))
-                if job.reply is None or frame is None:
+                if job.reply is None:
                     self._tick_e2e(job)
                     continue
-                count = int(packed[i, :, 5].sum())
-                dets = [(packed[i, d, :4], float(packed[i, d, 4]))
-                        for d in range(count)]
-                with STAGES.stage("draw"):
-                    annotated = draw_detections(frame, dets, dims)
-                with STAGES.stage("encode"):
-                    jpeg = codec.encode_rgb(
-                        annotated, self._server_cfg.jpeg_quality,
-                        self._server_cfg.jpeg_subsampling)
+                if coefs is not None:
+                    # device-annotated path: the TPU already rendered
+                    # the overlay and quantized the DCT blocks — finish
+                    # with host entropy coding only
+                    from infercam_onnx_tpu.native import jpeg as nj
+                    from infercam_onnx_tpu.ops.jpeg_encode_device import (
+                        split_coefs)
+
+                    geom = entry["geom"]
+                    with STAGES.stage("encode"):
+                        yq, cbq, crq = split_coefs(coefs[i], geom)
+                        jpeg = nj.load().encode_coefs(
+                            yq, cbq, crq,
+                            (geom["width"], geom["height"]),
+                            geom["sampling"],
+                            self._host_quant(
+                                self._server_cfg.jpeg_quality))
+                elif frame is not None:
+                    count = int(packed[i, :, 5].sum())
+                    dets = [(packed[i, d, :4], float(packed[i, d, 4]))
+                            for d in range(count)]
+                    with STAGES.stage("draw"):
+                        annotated = draw_detections(frame, dets, dims)
+                    with STAGES.stage("encode"):
+                        jpeg = codec.encode_rgb(
+                            annotated, self._server_cfg.jpeg_quality,
+                            self._server_cfg.jpeg_subsampling)
+                else:
+                    self._tick_e2e(job)
+                    continue
                 self._publish(job.reply, as_jpeg_stream_item(jpeg))
                 self._tick_e2e(job)
             self._meter.tick_inferred_unique(n)
@@ -482,10 +594,22 @@ class InferenceWorker:
         In coefficient mode the coefficient programs compile too (a
         synthetic JPEG of each resolution supplies exact block geometry).
         """
+        import jax as _jax
+
         s = self._cfg.decode_scale
         for (h, w) in resolutions or [(480, 640)]:
             for b in self._buckets:
                 self._detector.warmup(b, h // s, w // s, pack_output=True)
+            if self._annotate_device and self._cfg.decode_mode == "pixels":
+                for b in self._buckets:
+                    dummy = np.zeros((b, h // s, w // s, 3), np.uint8)
+                    _jax.block_until_ready(
+                        self._detector.run_device_annotated(
+                            dummy,
+                            quality=self._server_cfg.jpeg_quality,
+                            subsampling=self._server_cfg.jpeg_subsampling,
+                            disp_dims=self._server_cfg.assume_frame_dims)
+                        [0])
             if self._cfg.decode_mode == "coefficients":
                 import jax
 
@@ -514,3 +638,11 @@ class InferenceWorker:
                     jax.block_until_ready(
                         self._detector.run_device_ycbcr_packed(
                             packed, geom, pack_output=True))
+                    if self._annotate_device:
+                        jax.block_until_ready(
+                            self._detector.run_device_ycbcr_annotated(
+                                packed, geom,
+                                quality=self._server_cfg.jpeg_quality,
+                                disp_dims=(
+                                    self._server_cfg.assume_frame_dims))
+                            [0])

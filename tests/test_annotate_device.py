@@ -1,0 +1,336 @@
+"""Device-side annotated path: overlay render + FDCT/quant on the TPU
+program, host entropy coding only (reference annotates and re-encodes
+fully on the host, reference infer_server/src/inferer.rs:37-39,57-101).
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from infercam_onnx_tpu import codec  # noqa: E402
+from infercam_onnx_tpu.config import DetectorConfig, EngineConfig  # noqa: E402
+from infercam_onnx_tpu.detector import Detector, unpack_detections  # noqa: E402
+from infercam_onnx_tpu.draw import draw_detections  # noqa: E402
+from infercam_onnx_tpu.ops.jpeg_device import (  # noqa: E402
+    decode_plane,
+    unpack_ycbcr_planes,
+)
+from infercam_onnx_tpu.ops.jpeg_encode_device import (  # noqa: E402
+    _label_indices,
+    encode_planes,
+    fdct_quant,
+    plane_geometry,
+    render_overlay_ycbcr,
+    rgb_to_ycbcr_planes,
+    split_coefs,
+)
+
+
+@pytest.fixture(scope="module")
+def native():
+    from infercam_onnx_tpu.native import jpeg as nj
+
+    try:
+        return nj.load()
+    except Exception as e:  # toolchain unavailable
+        pytest.skip(f"native JPEG shim unavailable: {e}")
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+
+
+def _grad_frame(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 0.5 + 30) % 256, (xx * 0.4 + 80) % 256,
+                     ((xx + yy) * 0.3) % 256], -1).astype(np.uint8)
+
+
+# -- FDCT / quantization ----------------------------------------------------
+
+
+def test_fdct_is_inverse_of_idct():
+    """fdct_quant with unit quant must invert decode_plane exactly (the
+    DCT basis is orthonormal)."""
+    rng = np.random.default_rng(0)
+    plane = rng.uniform(0, 255, size=(2, 16, 24)).astype(np.float32)
+    ones = jnp.ones((64,), jnp.float32)
+    q = fdct_quant(jnp.asarray(plane), ones)
+    assert q.dtype == jnp.int16
+    # back through the decode tail
+    back = np.asarray(decode_plane(q, ones[None].repeat(2, 0)))
+    np.testing.assert_allclose(back, plane, atol=1.0)
+
+
+def test_device_encode_matches_host_encoder_no_detections(native):
+    """Full encode tail with an empty overlay: the device-encoded JPEG
+    must decode to (almost) the same pixels as libjpeg's own encode of
+    the same frame at the same quality/subsampling (float FDCT vs
+    libjpeg's fixed-point FDCT differ by a coefficient step or two)."""
+    frame = _grad_frame(120, 200)
+    data = codec.encode_rgb(frame, 95, "420")
+    packed, geom = native.decode_ycbcr_batch([data])
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    quant = native.quant_tables(90)
+    coefs = np.asarray(encode_planes(
+        y, cb, cr, jnp.asarray(quant.astype(np.float32))))
+    yq, cbq, crq = split_coefs(coefs[0], geom)
+    jpg = native.encode_coefs(yq, cbq, crq, (200, 120), (2, 2), quant)
+    dev = codec.decode_rgb(jpg)
+
+    host_jpg = codec.encode_rgb(codec.decode_rgb(data), 90, "420")
+    host = codec.decode_rgb(host_jpg)
+    d = np.abs(dev.astype(int) - host.astype(int))
+    assert d.mean() < 1.5 and d.max() <= 40, (d.mean(), d.max())
+
+
+def test_label_indices_layouts():
+    idx = np.asarray(_label_indices(jnp.asarray([1.0, 0.8765, 0.0512])))
+    # "100.00%", "87.65%", "5.12%" — left-aligned, blank-padded
+    assert idx[0].tolist() == [1, 0, 0, 10, 0, 0, 11]
+    assert idx[1].tolist() == [8, 7, 10, 6, 5, 11, 12]
+    assert idx[2].tolist() == [5, 10, 1, 2, 11, 12, 12]
+
+
+# -- overlay parity vs the host draw path -----------------------------------
+
+
+@pytest.mark.parametrize("sampling,sub", [((2, 2), "420"),
+                                          ((1, 1), "444")])
+def test_overlay_parity_vs_host_draw(native, sampling, sub):
+    frame = _grad_frame(240, 320)
+    data = codec.encode_rgb(frame, 95, sub)
+    packed, geom = native.decode_ycbcr_batch([data])
+    assert tuple(geom["sampling"]) == sampling
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    pdet = np.zeros((1, 4, 6), np.float32)
+    pdet[0, 0] = [0.25, 0.25, 0.75, 0.75, 0.8765, 1.0]
+    pdet[0, 1] = [0.05, 0.60, 0.35, 0.95, 0.5012, 1.0]
+    y2, cb2, cr2 = render_overlay_ycbcr(
+        y, cb, cr, jnp.asarray(pdet), width=320, height=240,
+        sampling=sampling)
+    quant = native.quant_tables(95)
+    coefs = np.asarray(encode_planes(
+        y2, cb2, cr2, jnp.asarray(quant.astype(np.float32))))
+    yq, cbq, crq = split_coefs(coefs[0], geom)
+    jpg = native.encode_coefs(yq, cbq, crq, (320, 240), sampling, quant)
+    dev = codec.decode_rgb(jpg)
+
+    host = draw_detections(
+        codec.decode_rgb(data),
+        [(pdet[0, i, :4], float(pdet[0, i, 4])) for i in range(2)])
+    hostd = codec.decode_rgb(codec.encode_rgb(host, 95, sub))
+    d = np.abs(dev.astype(int) - hostd.astype(int))
+    # identical box geometry; differences are glyph antialiasing and
+    # 1-px-line chroma halos
+    assert d.mean() < 1.0, d.mean()
+    assert (d > 32).mean() < 0.02, (d > 32).mean()
+
+
+def test_overlay_skips_invalid_and_out_of_range(native):
+    """Invalid rows (valid=0) must not draw; boxes outside [0,1] clamp
+    into the frame instead of corrupting the padded plane region."""
+    frame = _grad_frame(120, 200)
+    data = codec.encode_rgb(frame, 95, "420")
+    packed, geom = native.decode_ycbcr_batch([data])
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    pdet = np.zeros((1, 2, 6), np.float32)
+    pdet[0, 0] = [0.2, 0.2, 0.8, 0.8, 0.9, 0.0]  # invalid: no draw
+    pdet[0, 1] = [-0.5, -0.5, 1.5, 1.5, 0.9, 1.0]  # clamped border
+    y2, cb2, cr2 = render_overlay_ycbcr(
+        y, cb, cr, jnp.asarray(pdet), width=200, height=120,
+        sampling=(2, 2))
+    y2 = np.asarray(y2)
+    inner = np.abs(y2[0, 30:90, 50:150] - np.asarray(y)[0, 30:90, 50:150])
+    assert inner.max() < 1e-5  # nothing drawn inside (invalid box)
+    # the out-of-range box clamps to the frame edge ring
+    assert np.allclose(y2[0, 0, :200], 149.685, atol=0.01)
+    # padded plane rows (beyond height 120) stay untouched
+    pad = np.abs(y2[0, 120:, :] - np.asarray(y)[0, 120:, :])
+    assert pad.max() < 1e-5
+
+
+# -- detector-level fused programs ------------------------------------------
+
+
+def test_detector_ycbcr_annotated_roundtrip(native, detector):
+    frames = [_grad_frame(240, 320) for _ in range(2)]
+    datas = [codec.encode_rgb(f, 90, "420") for f in frames]
+    packed, geom = native.decode_ycbcr_batch(datas)
+    coefs, pdet = detector.run_device_ycbcr_annotated(packed, geom,
+                                                      quality=95)
+    coefs, pdet = np.asarray(coefs), np.asarray(pdet)
+    quant = native.quant_tables(95)
+    for i in range(2):
+        yq, cbq, crq = split_coefs(coefs[i], geom)
+        jpg = native.encode_coefs(yq, cbq, crq, (320, 240), (2, 2),
+                                  quant)
+        dev = codec.decode_rgb(jpg)
+        dets = unpack_detections(pdet[i:i + 1])[0]
+        host = draw_detections(codec.decode_rgb(datas[i]), dets)
+        hostd = codec.decode_rgb(codec.encode_rgb(host, 95, "420"))
+        d = np.abs(dev.astype(int) - hostd.astype(int))
+        assert d.mean() < 4.0, d.mean()
+    # detections identical to the detection-only program
+    want = np.asarray(detector.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
+    np.testing.assert_allclose(pdet, want, atol=1e-5)
+
+
+def test_detector_rgb_annotated_matches_ycbcr_variant(native, detector):
+    """The pixels-mode fused program must produce an equivalent JPEG
+    (same overlay; color conversion/subsampling done on-device)."""
+    frame = _grad_frame(240, 320)
+    batch = frame[None]
+    coefs, pdet = detector.run_device_annotated(batch, quality=95,
+                                                subsampling="420")
+    coefs, pdet = np.asarray(coefs), np.asarray(pdet)
+    geom = plane_geometry(320, 240, (2, 2))
+    yq, cbq, crq = split_coefs(coefs[0], geom)
+    quant = native.quant_tables(95)
+    jpg = native.encode_coefs(yq, cbq, crq, (320, 240), (2, 2), quant)
+    dev = codec.decode_rgb(jpg)
+    dets = unpack_detections(pdet[:1])[0]
+    host = draw_detections(frame.copy(), dets)
+    hostd = codec.decode_rgb(codec.encode_rgb(host, 95, "420"))
+    d = np.abs(dev.astype(int) - hostd.astype(int))
+    assert d.mean() < 4.0, d.mean()
+
+
+def test_rgb_to_ycbcr_planes_roundtrip():
+    frame = _grad_frame(100, 130)  # non-multiple-of-16 dims: padding
+    y, cb, cr = rgb_to_ycbcr_planes(jnp.asarray(frame[None]),
+                                    sampling=(2, 2))
+    assert y.shape == (1, 112, 144)
+    assert cb.shape == (1, 56, 72)
+    # luma of pure-gray pixels equals the gray level
+    gray = np.full((1, 10, 10, 3), 77, np.uint8)
+    y2, cb2, cr2 = rgb_to_ycbcr_planes(jnp.asarray(gray),
+                                       sampling=(1, 1))
+    assert np.allclose(np.asarray(y2)[0, :10, :10], 77.0, atol=0.01)
+    assert np.allclose(np.asarray(cb2)[0, :10, :10], 128.0, atol=0.01)
+
+
+def test_sharded_annotated_matches_plain(native, detector):
+    from infercam_onnx_tpu.parallel import ShardedDetector, make_mesh
+
+    mesh = make_mesh(8)
+    sharded = ShardedDetector(detector, mesh)
+    frames = [_grad_frame(120, 200) for _ in range(3)]
+    datas = [codec.encode_rgb(f, 90, "420") for f in frames]
+    packed, geom = native.decode_ycbcr_batch(datas)
+    want_c, want_d = detector.run_device_ycbcr_annotated(packed, geom)
+    got_c, got_d = sharded.run_device_ycbcr_annotated(packed, geom)
+    assert sharded.dispatches == 1
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_c),
+                                  np.asarray(want_c))
+
+
+def test_annotated_path_handles_unaligned_scaled_planes(native,
+                                                        detector):
+    """Scaled decodes can fold chroma to non-8-aligned plane dims
+    (e.g. 640x427 at scale 2 -> c_ph=108); the device tail edge-pads
+    and still produces a decodable JPEG at the scaled dims."""
+    frame = _grad_frame(427, 640)
+    data = codec.encode_rgb(frame, 92, "420")
+    packed, geom = native.decode_ycbcr_batch([data], scale=2)
+    assert any(geom[k] % 8 for k in ("y_pw", "y_ph", "c_pw", "c_ph")), \
+        f"expected unaligned planes, got {geom}"
+    coefs, pdet = detector.run_device_ycbcr_annotated(packed, geom,
+                                                      quality=95)
+    yq, cbq, crq = split_coefs(np.asarray(coefs)[0], geom)
+    jpg = native.encode_coefs(yq, cbq, crq,
+                              (geom["width"], geom["height"]),
+                              geom["sampling"], native.quant_tables(95))
+    img = codec.decode_rgb(jpg)
+    assert img.shape == (geom["height"], geom["width"], 3)
+
+
+# -- serving e2e -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("decode_mode", ["ycbcr", "pixels"])
+def test_annotated_serving_e2e_device(native, detector, tmp_path,
+                                      decode_mode):
+    """A /face_stream viewer on a device-annotate server receives a
+    decodable JPEG containing green overlay pixels."""
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import ClientConfig, ServerConfig
+    from infercam_onnx_tpu.serving.app import start_server
+
+    frame = _grad_frame(240, 320)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(frame, 90, "420"))
+
+    async def run():
+        cfg = ServerConfig(http_address="127.0.0.1:18441",
+                           socket_address="127.0.0.1:18442")
+        server = await start_server(
+            server_config=cfg,
+            engine_config=EngineConfig(batch_buckets=(1,),
+                                       decode_mode=decode_mode,
+                                       annotate_mode="device"),
+            detector=detector, data_parallel="off")
+        assert server.worker._annotate_device
+        try:
+            viewer = asyncio.create_task(_read_stream(
+                18441, "/face_stream?name=a", parts=1))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18442", channel="a"),
+                max_frames=20)
+            data = await viewer
+        finally:
+            await server.close()
+        return data
+
+    data = asyncio.run(run())
+    jpg = _extract_jpeg(data)
+    assert jpg is not None, "no complete JPEG part arrived"
+    img = codec.decode_rgb(jpg)
+    assert img.shape == (240, 320, 3)
+    # the random-weight detector fires on this frame; expect overlay
+    # pixels that are distinctly green (g much larger than r and b)
+    g = img[..., 1].astype(int)
+    greens = ((g - img[..., 0] > 60) & (g - img[..., 2] > 60)).sum()
+    assert greens > 50, f"only {greens} green overlay pixels"
+
+
+async def _read_stream(port, path, *, parts=1, timeout=120.0):
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
+                 "Connection: close\r\n\r\n".encode())
+    await writer.drain()
+    data = b""
+    try:
+        while data.count(b"\r\n--frame\r\n") <= parts:
+            chunk = await asyncio.wait_for(reader.read(4096), timeout)
+            if not chunk:
+                break
+            data += chunk
+    finally:
+        writer.close()
+    return data
+
+
+def _extract_jpeg(stream: bytes):
+    start = stream.find(b"\xff\xd8")
+    end = stream.find(b"\xff\xd9", start)
+    if start < 0 or end < 0:
+        return None
+    return stream[start:end + 2]

@@ -141,6 +141,30 @@ def test_lockstep_coefficients_matches_plain_detector(lockstep_pair):
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
 
 
+def test_lockstep_annotated_units_match_plain(lockstep_pair):
+    """Annotated (device encode tail) dispatches ride lockstep rounds:
+    coefficients + detections equal the plain sharded-detector path."""
+    pytest.importorskip("infercam_onnx_tpu.native.jpeg").load()
+    det, lock = lockstep_pair
+    rng = np.random.default_rng(9)
+    datas = [codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8), 90,
+        "420") for _ in range(2)]
+    from infercam_onnx_tpu.native import jpeg as nj
+
+    packed, geom = nj.load().decode_ycbcr_batch(datas)
+    want_c, want_d = det.run_device_ycbcr_annotated(packed, geom)
+    got_c, got_d = lock.run_device_ycbcr_annotated(packed, geom)
+    np.testing.assert_array_equal(got_c, np.asarray(want_c))
+    np.testing.assert_allclose(got_d, np.asarray(want_d), atol=1e-5)
+
+    frames = rng.integers(0, 256, size=(2, 48, 64, 3), dtype=np.uint8)
+    want_c, want_d = det.run_device_annotated(frames)
+    got_c, got_d = lock.run_device_annotated(frames)
+    np.testing.assert_array_equal(got_c, np.asarray(want_c))
+    np.testing.assert_allclose(got_d, np.asarray(want_d), atol=1e-5)
+
+
 def test_lockstep_concurrent_same_geometry_units(lockstep_pair):
     # two same-geometry submissions racing into one session: both must
     # complete and match the plain detector (they may share one round —
