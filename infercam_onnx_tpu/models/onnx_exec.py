@@ -115,30 +115,56 @@ def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
     if len(node.outputs) > 1:
         raise ValueError(
             f"pool with indices output unsupported ({node.name})")
-    if node.attrs.get("ceil_mode", 0):
-        raise ValueError(f"pool ceil_mode unsupported ({node.name})")
     ks = node.attrs["kernel_shape"]
     strides = node.attrs.get("strides", [1] * len(ks))
     dilations = node.attrs.get("dilations", [1] * len(ks))
-    pads = _auto_pads(node, x.shape[2:], ks, strides, dilations)
+    pads = list(_auto_pads(node, x.shape[2:], ks, strides, dilations))
     n = len(ks)
+    extra = [0] * n
+    if node.attrs.get("ceil_mode", 0):
+        # ceil output dims = extra right padding with the reduction's
+        # identity (so padded cells never affect the result); windows
+        # that would start entirely in the right padding are dropped
+        # (torch/ONNX rule), hence the out_c decrement
+        for i in range(n):
+            span = (ks[i] - 1) * dilations[i] + 1
+            total = int(x.shape[2 + i]) + pads[i] + pads[i + n]
+            out_c = -((span - total) // strides[i]) + 1
+            if (out_c - 1) * strides[i] >= int(x.shape[2 + i]) + pads[i]:
+                out_c -= 1
+            extra[i] = max(
+                (out_c - 1) * strides[i] + span - total, 0)
     window = (1, 1) + tuple(ks)
     strd = (1, 1) + tuple(strides)
     padding = ((0, 0), (0, 0)) + tuple(
-        (pads[i], pads[i + n]) for i in range(n))
+        (pads[i], pads[i + n] + extra[i]) for i in range(n))
     out = jax.lax.reduce_window(
         jnp.asarray(x), init, reducer, window, strd, padding,
         window_dilation=(1, 1) + tuple(dilations))
     if is_avg:
-        if node.attrs.get("count_include_pad", 0) or not any(pads):
+        include_pad = node.attrs.get("count_include_pad", 0)
+        if include_pad and not any(extra):
+            out = out / float(np.prod(ks))
+        elif not include_pad and not any(pads) and not any(extra):
             out = out / float(np.prod(ks))
         else:
-            # divisor = how many REAL (unpadded) elements each window
-            # covers (ONNX AveragePool default count_include_pad=0)
-            ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
+            # divisor = elements each window actually covers: real
+            # cells only (count_include_pad=0), or real + EXPLICIT
+            # padding but never the ceil_mode extension
+            # (count_include_pad=1, torch semantics)
+            if include_pad:
+                ones = jnp.ones(
+                    (1, 1) + tuple(int(x.shape[2 + i]) + pads[i]
+                                   + pads[i + n] for i in range(n)),
+                    jnp.float32)
+                div_padding = ((0, 0), (0, 0)) + tuple(
+                    (0, extra[i]) for i in range(n))
+            else:
+                ones = jnp.ones((1, 1) + x.shape[2:], jnp.float32)
+                div_padding = padding
             div = jax.lax.reduce_window(ones, 0.0, jax.lax.add,
-                                        window, strd, padding)
-            out = out / div
+                                        window, strd, div_padding)
+            out = out / div.astype(out.dtype)
     return out
 
 
@@ -314,7 +340,8 @@ def _dropout(node: OnnxNode, x, *_ignored):
 
 
 def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
-                   nearest_mode: str) -> np.ndarray:
+                   nearest_mode: str, cubic_a: float = -0.75
+                   ) -> np.ndarray:
     """[n_out, n_in] interpolation matrix for one axis — resize becomes
     two MXU matmuls (same scheme as ops/preprocess.py). Supports the
     coordinate transforms torch exports emit."""
@@ -343,9 +370,10 @@ def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
         idx = np.clip(idx, 0, n_in - 1).astype(np.int64)
         m[np.arange(n_out), idx] = 1.0
     elif mode == "cubic":
-        # 4-tap Keys kernel; a = -0.75 matches ONNX's default
-        # cubic_coeff_a and torch bicubic
-        a = -0.75
+        # 4-tap Keys kernel; the ONNX default cubic_coeff_a = -0.75
+        # matches torch bicubic, but any coefficient works (e.g. -0.5,
+        # the Catmull-Rom spline some exporters emit)
+        a = cubic_a
         base = np.floor(src).astype(np.int64)
         frac = src - base
         for tap in range(-1, 3):
@@ -383,9 +411,7 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
             "nearest_mode", b"round_prefer_floor").decode()
     if mode not in ("nearest", "linear", "cubic"):
         raise ValueError(f"Resize mode {mode!r} unsupported ({node.name})")
-    if mode == "cubic" and node.attrs.get("cubic_coeff_a", -0.75) != -0.75:
-        raise ValueError(
-            f"Resize cubic_coeff_a != -0.75 unsupported ({node.name})")
+    cubic_a = float(node.attrs.get("cubic_coeff_a", -0.75))
     if node.attrs.get("exclude_outside", 0):
         raise ValueError(
             f"Resize exclude_outside unsupported ({node.name})")
@@ -418,7 +444,7 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
         if out_shape[ax] == x.shape[ax]:
             continue
         m = _resize_matrix(x.shape[ax], out_shape[ax], mode, coord,
-                           nearest)
+                           nearest, cubic_a)
         out = jnp.moveaxis(
             jnp.tensordot(out, m.astype(out.dtype), axes=((ax,), (1,))),
             -1, ax)
@@ -912,23 +938,27 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
                            b"half_pixel")
     aligned = coord == b"half_pixel"
     offset = 0.5 if aligned else 0.0
+    adaptive = False
     if ratio > 0:
         rh = rw = ratio
     else:
         rhw = node.attrs.get("_ratio_hw")
         if rhw is not None:
             rh, rw = rhw
-        else:
+        elif not _is_concrete(rois, batch_idx):
             # adaptive ratio = ceil(roi_size / output) PER AXIS is
-            # per-ROI dynamic, so it cannot trace — on the concrete-ROI
-            # path, group ROIs by their resolved (gh, gw) grid and run
-            # one batched call per distinct grid (one dispatch +
-            # readback per group, not per ROI)
-            if not _is_concrete(rois, batch_idx):
-                raise ValueError(
-                    f"RoiAlign adaptive sampling_ratio with traced "
-                    f"ROIs unsupported ({node.name}) — export with an "
-                    f"explicit sampling_ratio")
+            # per-ROI dynamic. Under trace, run a STATIC upper-bound
+            # sample grid (an ROI spans at most the whole feature map,
+            # so ceil(dim / output) bounds the per-bin grid) and mask
+            # each ROI's unused sample rows/cols — fixed shapes for
+            # XLA, exact reference averages via masked sums.
+            adaptive = True
+            rh = max(-(-int(x.shape[2]) // oh), 1)
+            rw = max(-(-int(x.shape[3]) // ow), 1)
+        else:
+            # concrete-ROI path: group ROIs by their resolved (gh, gw)
+            # grid and run one batched call per distinct grid (one
+            # dispatch + readback per group, not per ROI)
             rois_np = np.asarray(rois, np.float32)
             bi_np = np.asarray(batch_idx)
             n = rois_np.shape[0]
@@ -967,11 +997,23 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
             roi_w = jnp.maximum(roi_w, 1.0)
         bin_h = roi_h / oh
         bin_w = roi_w / ow
-        # sample grid: rh x rw points per bin, at bin-relative
-        # offsets (i + 0.5)/ratio (per axis)
-        iy = (y1 + (jnp.arange(oh * rh) + 0.5) / rh
-              * bin_h)  # [oh*rh]
-        ix = (x1 + (jnp.arange(ow * rw) + 0.5) / rw * bin_w)
+        # sample grid: rh x rw points per bin, at bin-relative offsets
+        # (i + 0.5)/ratio per axis. In adaptive mode the PER-ROI ratio
+        # (ceil(roi_extent / output), traced) replaces the static one
+        # and samples beyond it are masked out of the reduction.
+        sub_y = jnp.arange(oh * rh) % rh
+        sub_x = jnp.arange(ow * rw) % rw
+        if adaptive:
+            rh_d = jnp.clip(jnp.ceil(roi_h / oh), 1, rh)
+            rw_d = jnp.clip(jnp.ceil(roi_w / ow), 1, rw)
+        else:
+            rh_d = jnp.float32(rh)
+            rw_d = jnp.float32(rw)
+        bins_y = jnp.arange(oh * rh) // rh
+        bins_x = jnp.arange(ow * rw) // rw
+        iy = y1 + (bins_y + (sub_y + 0.5) / rh_d) * bin_h
+        ix = x1 + (bins_x + (sub_x + 0.5) / rw_d) * bin_w
+        grid_ok = ((sub_y < rh_d)[:, None] & (sub_x < rw_d)[None, :])
         # samples more than 1px outside the image contribute ZERO
         # (ONNX/torchvision reference kernel), inside ones clamp
         ok = (((iy >= -1.0) & (iy <= h))[:, None]
@@ -996,6 +1038,7 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
         w10 = wy_ * (1 - wx_)
         w11 = wy_ * wx_
         okc = ok[None, :, :]
+        gokc = grid_ok[None, :, :]
         c = img.shape[0]
         if mode == b"max":
             # Caffe2-lineage quirk the ONNX reference keeps: per
@@ -1003,10 +1046,12 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
             v = jnp.maximum(jnp.maximum(w00 * v00, w01 * v01),
                             jnp.maximum(w10 * v10, w11 * v11))
             v = jnp.where(okc, v, 0.0)
+            v = jnp.where(gokc, v, -jnp.inf)  # grid-masked: excluded
             return v.reshape(c, oh, rh, ow, rw).max(axis=(2, 4))
         v = w00 * v00 + w01 * v01 + w10 * v10 + w11 * v11
-        v = jnp.where(okc, v, 0.0)
-        return v.reshape(c, oh, rh, ow, rw).mean(axis=(2, 4))
+        v = jnp.where(okc & gokc, v, 0.0)
+        s = v.reshape(c, oh, rh, ow, rw).sum(axis=(2, 4))
+        return s / (rh_d * rw_d)
 
     return jax.vmap(one_roi)(jnp.asarray(rois, jnp.float32),
                              jnp.asarray(batch_idx, jnp.int32))

@@ -36,7 +36,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from infercam_onnx_tpu.ops.jpeg_device import _IDCT_A
 
@@ -133,24 +132,38 @@ def _stamp_labels(plane: jax.Array, xs: jax.Array, ys: jax.Array,
                   strips: jax.Array, value: float) -> jax.Array:
     """Alpha-blend label strips into [B, ph, pw] planes at per-detection
     (ys, xs) (already validity-gated via zeroed strips and clamped
-    in-bounds by the caller / dynamic_slice semantics)."""
-    d = strips.shape[1]
+    in-bounds by the caller).
+
+    Rendered as MXU matmuls, not scatters: translating a strip to
+    (y, x) is a pair of one-hot shift matrices, so the composited label
+    layer is one batched einsum chain over the detection axis —
+    replacing the earlier per-detection dynamic_update_slice loop
+    (B x D serial scatters), which dominated the fused annotated
+    program's device time (~17 ms of 21 ms per batch-16 on a v5e).
+    Overlapping labels compose by saturating-ADD of alpha rather than
+    PIL's draw-order overwrite (visible only when labels overlap)."""
     gh, sw = strips.shape[2], strips.shape[3]
     if gh > plane.shape[1] or sw > plane.shape[2]:
         # frame smaller than one label — skip text (PIL would render a
         # clipped fragment; documented divergence for tiny frames)
         return plane
-
-    def one(plane_b, xs_b, ys_b, strips_b):
-        def body(i, pl):
-            a = strips_b[i]
-            reg = lax.dynamic_slice(pl, (ys_b[i], xs_b[i]), (gh, sw))
-            new = reg * (1.0 - a) + value * a
-            return lax.dynamic_update_slice(pl, new, (ys_b[i], xs_b[i]))
-
-        return lax.fori_loop(0, d, body, plane_b)
-
-    return jax.vmap(one)(plane, xs, ys, strips)
+    h, w = plane.shape[1], plane.shape[2]
+    rows = jnp.arange(h, dtype=jnp.int32)
+    cols = jnp.arange(w, dtype=jnp.int32)
+    # one-hot shifts: sy[b,d,h,g] = (h == ys[b,d] + g), sx likewise
+    sy = (rows[None, None, :, None] - ys[:, :, None, None]
+          == jnp.arange(gh, dtype=jnp.int32)[None, None, None, :]
+          ).astype(jnp.float32)
+    sx = (cols[None, None, None, :] - xs[:, :, None, None]
+          == jnp.arange(sw, dtype=jnp.int32)[None, None, :, None]
+          ).astype(jnp.float32)
+    t = jnp.einsum("bdhg,bdgs->bdhs", sy,
+                   strips.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    layer = jnp.einsum("bdhs,bdsw->bhw", t, sx,
+                       preferred_element_type=jnp.float32)
+    layer = jnp.clip(layer, 0.0, 1.0)
+    return plane * (1.0 - layer) + value * layer
 
 
 def render_overlay_ycbcr(
@@ -231,7 +244,12 @@ def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     """[B, ph, pw] float samples (0..255) + [64] quant -> [B, bh, bw, 64]
     int16 quantized DCT blocks (natural order) — the forward mirror of
     ops/jpeg_device.py decode_plane, batched over all blocks on the MXU.
-    Plane dims must be multiples of 8 (iMCU-padded decode output is)."""
+    Plane dims must be multiples of 8 (iMCU-padded decode output is).
+
+    Value range: the orthonormal 2D DCT of level-shifted samples in
+    [-128, 127] is bounded by |c| <= 1024, and quant divisors are >= 1,
+    so every quantized coefficient fits in 12 signed bits — which is
+    what lets pack12 ship them at 1.5 B each."""
     b, ph, pw = plane.shape
     bh, bw = ph // 8, pw // 8
     p = (plane.reshape(b, bh, 8, bw, 8).transpose(0, 1, 3, 2, 4)
@@ -241,7 +259,35 @@ def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     c = jnp.einsum("xu,nhwxy,yv->nhwuv", a, p, a,
                    preferred_element_type=jnp.float32)
     c = c.reshape(b, bh, bw, 64) / qtable.astype(jnp.float32)
-    return jnp.clip(jnp.round(c), -32767.0, 32767.0).astype(jnp.int16)
+    return jnp.clip(jnp.round(c), -2047.0, 2047.0).astype(jnp.int16)
+
+
+def pack12(coefs: jax.Array) -> jax.Array:
+    """[B, N] int16 quantized coefficients (N even, |v| <= 2047) ->
+    [B, N*3//2] uint8: two 12-bit values per 3 bytes. Cuts the
+    device->host coefficient transfer from 2 B to 1.5 B per
+    coefficient — on transfer-bound links the annotated path's D2H is
+    the dominant extra cost over detection-only serving."""
+    v = (coefs.astype(jnp.int32) + 2048).astype(jnp.uint32)
+    a, bb = v[:, 0::2], v[:, 1::2]
+    b0 = a & 0xFF
+    b1 = ((a >> 8) & 0x0F) | ((bb & 0x0F) << 4)
+    b2 = (bb >> 4) & 0xFF
+    n = coefs.shape[0]
+    return (jnp.stack([b0, b1, b2], axis=-1)
+            .reshape(n, -1).astype(jnp.uint8))
+
+
+def unpack12(data: np.ndarray) -> np.ndarray:
+    """Host-side inverse of pack12 for ONE frame: [M] uint8 ->
+    [M*2//3] int16 (vectorized numpy; runs on the publish path)."""
+    t = np.asarray(data, np.uint8).reshape(-1, 3).astype(np.int32)
+    a = (t[:, 0] | ((t[:, 1] & 0x0F) << 8)) - 2048
+    b = (((t[:, 1] >> 4) & 0x0F) | (t[:, 2] << 4)) - 2048
+    out = np.empty(t.shape[0] * 2, np.int16)
+    out[0::2] = a
+    out[1::2] = b
+    return out
 
 
 def _pad8(plane: jax.Array) -> jax.Array:
@@ -256,18 +302,20 @@ def _pad8(plane: jax.Array) -> jax.Array:
 
 def encode_planes(y: jax.Array, cb: jax.Array, cr: jax.Array,
                   quant2: jax.Array) -> jax.Array:
-    """Quantize all three planes and pack them into ONE int16 array
-    [B, y_blocks*64 + 2*c_blocks*64] — a single device->host transfer
-    per batch; the host entropy encoder slices it back apart
-    (native jpeg.py encode_coefs / serving inferer). Non-8-aligned
-    plane dims are edge-padded first (split_coefs mirrors this)."""
+    """Quantize all three planes and pack them into ONE 12-bit-packed
+    uint8 array [B, (y_blocks + 2*c_blocks) * 64 * 3 // 2] — a single
+    1.5 B/coefficient device->host transfer per batch; the host
+    entropy encoder slices it back apart (split_coefs / native
+    jpeg.py encode_coefs / serving inferer). Non-8-aligned plane dims
+    are edge-padded first (split_coefs mirrors this)."""
     b = y.shape[0]
     yq = fdct_quant(_pad8(y), quant2[0])
     cbq = fdct_quant(_pad8(cb), quant2[1])
     crq = fdct_quant(_pad8(cr), quant2[1])
-    return jnp.concatenate(
+    coefs = jnp.concatenate(
         [yq.reshape(b, -1), cbq.reshape(b, -1), crq.reshape(b, -1)],
         axis=1)
+    return pack12(coefs)
 
 
 def rgb_to_ycbcr_planes(
@@ -325,12 +373,14 @@ def split_coefs(packed: np.ndarray, geom: dict) -> tuple[np.ndarray,
                                                          np.ndarray,
                                                          np.ndarray]:
     """Host-side inverse of encode_planes' packing for ONE frame:
-    [n] int16 -> ([y_bh, y_bw, 64], cb, cr) block arrays (ceil block
-    dims — encode_planes edge-pads non-aligned planes)."""
+    [n*3//2] packed uint8 -> ([y_bh, y_bw, 64], cb, cr) int16 block
+    arrays (ceil block dims — encode_planes edge-pads non-aligned
+    planes)."""
+    coefs = unpack12(packed)
     y_bw, y_bh = -(-geom["y_pw"] // 8), -(-geom["y_ph"] // 8)
     c_bw, c_bh = -(-geom["c_pw"] // 8), -(-geom["c_ph"] // 8)
     y_n, c_n = y_bw * y_bh * 64, c_bw * c_bh * 64
-    y = packed[:y_n].reshape(y_bh, y_bw, 64)
-    cb = packed[y_n:y_n + c_n].reshape(c_bh, c_bw, 64)
-    cr = packed[y_n + c_n:y_n + 2 * c_n].reshape(c_bh, c_bw, 64)
+    y = coefs[:y_n].reshape(y_bh, y_bw, 64)
+    cb = coefs[y_n:y_n + c_n].reshape(c_bh, c_bw, 64)
+    cr = coefs[y_n + c_n:y_n + 2 * c_n].reshape(c_bh, c_bw, 64)
     return y, cb, cr

@@ -260,6 +260,45 @@ class LockstepDetector(ShardedDetector):
         return self._submit(desc, int(images.shape[0]),
                             {"images": np.asarray(images)})
 
+    def run_device_tiled(self, images, frame_size: tuple, *,
+                         grid: tuple = (2, 2), overlap: float = 0.2):
+        """High-res tiled detection as a lockstep unit: the agreed
+        round runs the mesh-sharded tiled program (parallel/tiling.py)
+        with batch-sharded outputs, each host reading back its own
+        rows. Returns packed [n, D, 6]."""
+        w, h = frame_size
+        desc = {"kind": "tiled", "w": int(w), "h": int(h),
+                "grid": list(grid), "overlap": float(overlap)}
+        return self._submit(desc, int(images.shape[0]),
+                            {"images": np.asarray(images)})
+
+    def run_device_tiled_ycbcr(self, packed, geom: dict, *,
+                               grid: tuple = (2, 2),
+                               overlap: float = 0.2):
+        """Packed-plane tiled detection as a lockstep unit."""
+        jgeom = {k: (list(v) if isinstance(v, tuple) else v)
+                 for k, v in geom.items()}
+        desc = {"kind": "tiled_ycbcr", "geom": jgeom,
+                "grid": list(grid), "overlap": float(overlap)}
+        return self._submit(desc, int(packed.shape[0]),
+                            {"packed": np.asarray(packed)})
+
+    def _tiled_detector(self, frame_size: tuple, grid: tuple,
+                        overlap: float):
+        if not hasattr(self, "_tiled_cache"):
+            self._tiled_cache = {}
+        key = (tuple(frame_size), tuple(grid), overlap)
+        tiled = self._tiled_cache.get(key)
+        if tiled is None:
+            from infercam_onnx_tpu.parallel.tiling import TiledDetector
+
+            tiled = TiledDetector(self, frame_size, grid=tuple(grid),
+                                  overlap=overlap, mesh=self.mesh,
+                                  axis=self.axis,
+                                  batch_sharded_out=True)
+            self._tiled_cache[key] = tiled
+        return tiled
+
     def run_device_coefficients_arrays(self, y, cb, cr, quant, wh, *,
                                        sampling=(2, 2),
                                        pack_output: bool = False):
@@ -441,6 +480,27 @@ class LockstepDetector(ShardedDetector):
             return np.concatenate([d[field] for d in datas])
 
         self.dispatches += 1
+        if desc["kind"] == "tiled":
+            h, w = desc["h"], desc["w"]
+            local = local_concat("images", (h, w, 3), np.uint8)
+            garr = self._global(local, rows)
+            tiled = self._tiled_detector((w, h), desc["grid"],
+                                         desc["overlap"])
+            out = tiled.run_device(garr, pack_output=True)
+            return self._readback(out, counts, True)
+        if desc["kind"] == "tiled_ycbcr":
+            geom = {k: (tuple(v) if isinstance(v, list) else v)
+                    for k, v in desc["geom"].items()}
+            plane_len = (geom["y_pw"] * geom["y_ph"]
+                         + 2 * geom["c_pw"] * geom["c_ph"])
+            local = local_concat("packed", (plane_len,), np.uint8)
+            garr = self._global(local, rows)
+            tiled = self._tiled_detector(
+                (geom["width"], geom["height"]), desc["grid"],
+                desc["overlap"])
+            out = tiled.run_device_ycbcr_packed(garr, geom,
+                                                pack_output=True)
+            return self._readback(out, counts, True)
         if desc["kind"] == "ycbcr_annot":
             geom = {k: (tuple(v) if isinstance(v, list) else v)
                     for k, v in desc["geom"].items()}

@@ -4,7 +4,7 @@ Usage::
 
     python -m infercam_onnx_tpu.serve \
         [--server-address 127.0.0.1:3000] [--socket-address 127.0.0.1:3001] \
-        [--preset reference|throughput|lossless] \
+        [--preset reference|throughput|lossless|latency] \
         [--variant RFB-320|RFB-640|slim-320|slim-640] \
         [--min-confidence 0.5] [--max-iou 0.5] [--top-k 256] \
         [--max-detections 64] [--max-batch 16] [--batch-window-ms 4] \
@@ -46,6 +46,12 @@ PRESETS: dict[str, dict] = {
                      queue_capacity=96, max_batch=32,
                      batch_window_ms=15.0, no_coalesce=True,
                      warmup_async=True, warmup="640x480"),
+    # cut-through single-stream latency: no batch window (dispatch the
+    # moment a frame arrives), tiny bucket ladder (bucket-1 fast path),
+    # full-res decode, shallow queue so a burst can't build a backlog
+    "latency": dict(decode_mode="ycbcr", decode_scale=1,
+                    queue_capacity=4, max_batch=2,
+                    batch_window_ms=0.0, warmup="640x480"),
 }
 
 

@@ -321,7 +321,16 @@ class InferenceWorker:
                         groups.append((members, geom))
                 return groups
 
-            ycbcr_groups = group_ycbcr(ycbcr_jobs) if ycbcr_jobs else []
+            # high-res streams tile even on the packed-plane path: split
+            # the decoded groups by the tiling threshold
+            ycbcr_groups, ycbcr_tiled_groups = [], []
+            if ycbcr_jobs:
+                for members, geom in group_ycbcr(ycbcr_jobs):
+                    big = (self._cfg.tile_min_pixels
+                           and geom["width"] * geom["height"]
+                           >= self._cfg.tile_min_pixels)
+                    (ycbcr_tiled_groups if big
+                     else ycbcr_groups).append((members, geom))
 
             # annotated-viewer frames: same packed-plane decode, but the
             # device program also renders the overlay and produces the
@@ -394,6 +403,7 @@ class InferenceWorker:
                 })
 
             for kind, groups in (("ycbcr", ycbcr_groups),
+                                 ("ycbcr_tiled", ycbcr_tiled_groups),
                                  ("ycbcr_annot", annot_groups)):
                 for members, geom in groups:
                     bucket = self._bucket_size(len(members))
@@ -492,6 +502,21 @@ class InferenceWorker:
                             quality=self._server_cfg.jpeg_quality,
                             disp_dims=self._server_cfg.assume_frame_dims))
                 members = [(job, None) for job, _ in unit["members"]]
+            elif unit["kind"] == "ycbcr_tiled":
+                geom = unit["geom"]
+                w, h = geom["width"], geom["height"]
+                with STAGES.stage("device_tiled"):
+                    if hasattr(self._detector, "run_device_tiled_ycbcr"):
+                        packed = self._detector.run_device_tiled_ycbcr(
+                            unit["packed"], geom,
+                            grid=self._cfg.tile_grid,
+                            overlap=self._cfg.tile_overlap)
+                    else:
+                        packed = self._get_tiled(
+                            w, h).run_device_ycbcr_packed(
+                            unit["packed"], geom, pack_output=True)
+                members = [(job, None) for job, _ in unit["members"]]
+                geom = None  # detections only; no encode-tail coefs
             else:  # ycbcr
                 geom = unit["geom"]
                 w, h = geom["width"], geom["height"]
@@ -563,27 +588,31 @@ class InferenceWorker:
                 self._tick_e2e(job)
             self._meter.tick_inferred_unique(n)
 
+    def _get_tiled(self, w: int, h: int):
+        tiled = self._tiled.get((h, w))
+        if tiled is None:
+            from infercam_onnx_tpu.parallel.tiling import TiledDetector
+
+            tiled = TiledDetector(
+                self._detector, (w, h), grid=self._cfg.tile_grid,
+                overlap=self._cfg.tile_overlap, mesh=self._mesh)
+            self._tiled[(h, w)] = tiled
+        return tiled
+
     def _run_detection(self, batch: np.ndarray, h: int, w: int):
         """Dispatch the right device program; returns packed [B, D, 6]
-        (a device array on the plain path — the publish stage
-        materializes it after the async host copy)."""
+        as a DEVICE array (both plain and tiled paths) — the publish
+        stage materializes it after the async host copy."""
         if (self._cfg.tile_min_pixels
                 and h * w >= self._cfg.tile_min_pixels):
-            tiled = self._tiled.get((h, w))
-            if tiled is None:
-                from infercam_onnx_tpu.parallel.tiling import TiledDetector
-
-                tiled = TiledDetector(
-                    self._detector, (w, h), grid=self._cfg.tile_grid,
-                    overlap=self._cfg.tile_overlap, mesh=self._mesh)
-                self._tiled[(h, w)] = tiled
-            boxes, confs, counts = (
-                np.asarray(a) for a in tiled.run_device(batch))
-            d = boxes.shape[1]
-            valid = (np.arange(d)[None, :]
-                     < counts[:, None]).astype(np.float32)
-            return np.concatenate(
-                [boxes, confs[..., None], valid[..., None]], axis=-1)
+            if hasattr(self._detector, "run_device_tiled"):
+                # lockstep detectors dispatch tiled units inside the
+                # agreed cluster round instead of a local program
+                return self._detector.run_device_tiled(
+                    batch, (w, h), grid=self._cfg.tile_grid,
+                    overlap=self._cfg.tile_overlap)
+            return self._get_tiled(w, h).run_device(
+                batch, pack_output=True)
         return self._detector.run_device(batch, pack_output=True)
 
     def warmup(self, resolutions: list[tuple[int, int]] | None = None):

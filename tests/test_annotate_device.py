@@ -93,6 +93,23 @@ def test_device_encode_matches_host_encoder_no_detections(native):
     assert d.mean() < 1.5 and d.max() <= 40, (d.mean(), d.max())
 
 
+def test_pack12_roundtrip():
+    """The 12-bit coefficient packing (1.5 B/coef D2H) is lossless over
+    the full JPEG coefficient range."""
+    import jax.numpy as jnp
+
+    from infercam_onnx_tpu.ops.jpeg_encode_device import pack12, unpack12
+
+    rng = np.random.default_rng(6)
+    coefs = rng.integers(-2047, 2048, size=(3, 256)).astype(np.int16)
+    coefs[0, :4] = [-2047, 2047, 0, -1]  # extremes
+    packed = np.asarray(pack12(jnp.asarray(coefs)))
+    assert packed.dtype == np.uint8
+    assert packed.shape == (3, 256 * 3 // 2)
+    for i in range(3):
+        np.testing.assert_array_equal(unpack12(packed[i]), coefs[i])
+
+
 def test_label_indices_layouts():
     idx = np.asarray(_label_indices(jnp.asarray([1.0, 0.8765, 0.0512])))
     # "100.00%", "87.65%", "5.12%" — left-aligned, blank-padded

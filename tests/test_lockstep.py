@@ -165,6 +165,33 @@ def test_lockstep_annotated_units_match_plain(lockstep_pair):
     np.testing.assert_allclose(got_d, np.asarray(want_d), atol=1e-5)
 
 
+def test_lockstep_tiled_units_match_plain(lockstep_pair):
+    """Tiled (high-res) dispatches ride lockstep rounds and match a
+    worker-local tiled detector on the same mesh (closes the
+    'tiling is single-host' gap from round 2, docs/PARITY.md)."""
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+    from infercam_onnx_tpu.parallel.tiling import TiledDetector
+
+    det, lock = lockstep_pair
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, size=(2, 270, 480, 3), dtype=np.uint8)
+    plain = TiledDetector(det, (480, 270), grid=(2, 2),
+                          mesh=make_mesh(8))
+    want = np.asarray(plain.run_device(frames, pack_output=True))
+    got = lock.run_device_tiled(frames, (480, 270), grid=(2, 2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # packed-plane tiled unit
+    native = pytest.importorskip(
+        "infercam_onnx_tpu.native.jpeg").load()
+    datas = [codec.encode_rgb(frames[i], 92, "420") for i in range(2)]
+    packed, geom = native.decode_ycbcr_batch(datas)
+    want = np.asarray(plain.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
+    got = lock.run_device_tiled_ycbcr(packed, geom, grid=(2, 2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_lockstep_concurrent_same_geometry_units(lockstep_pair):
     # two same-geometry submissions racing into one session: both must
     # complete and match the plain detector (they may share one round —

@@ -349,6 +349,41 @@ def test_resize_matches_torch_interpolate_modes():
                                    atol=1e-5, err_msg=str(attrs))
 
 
+def test_resize_cubic_coeff_a():
+    """Non-default cubic_coeff_a (e.g. -0.5 Catmull-Rom) executes
+    (round-3 closure). Pins: (a) any Keys kernel reproduces a linear
+    ramp exactly away from the borders; (b) a = -0.75 equals torch
+    bicubic; (c) different coefficients genuinely differ."""
+    ramp = np.tile(np.arange(12, dtype=np.float32), (10, 1))[None, None]
+    node = _node("Resize", dict(
+        mode=b"cubic", cubic_coeff_a=-0.5,
+        coordinate_transformation_mode=b"align_corners"))
+    got = np.asarray(_OPS["Resize"](
+        node, ramp, None, None, np.array([1, 1, 19, 23], np.int64)))
+    want_cols = np.arange(23, dtype=np.float64) * (11 / 22)
+    np.testing.assert_allclose(got[0, 0, :, 2:-2],
+                               np.tile(want_cols[2:-2], (19, 1)),
+                               atol=1e-4)
+
+    x = np.random.default_rng(40).normal(
+        size=(1, 2, 10, 12)).astype(np.float32)
+    default = np.asarray(_OPS["Resize"](
+        _node("Resize", dict(mode=b"cubic", cubic_coeff_a=-0.75,
+                             coordinate_transformation_mode=
+                             b"half_pixel")),
+        x, None, None, np.array([1, 2, 25, 30], np.int64)))
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(25, 30), mode="bicubic",
+        align_corners=False).numpy()
+    np.testing.assert_allclose(default, want, atol=1e-5)
+    catmull = np.asarray(_OPS["Resize"](
+        _node("Resize", dict(mode=b"cubic", cubic_coeff_a=-0.5,
+                             coordinate_transformation_mode=
+                             b"half_pixel")),
+        x, None, None, np.array([1, 2, 25, 30], np.int64)))
+    assert np.abs(catmull - default).max() > 1e-4
+
+
 def test_resize_axes_attribute():
     # opset 18: sizes restricted to the named axes
     x = np.random.default_rng(36).normal(
@@ -477,6 +512,48 @@ def test_dilated_maxpool_matches_torch():
     want = torch.nn.functional.max_pool2d(
         torch.from_numpy(x), 3, stride=1, dilation=2).numpy()
     np.testing.assert_allclose(got, want)
+
+
+def test_ceil_mode_pools_match_torch():
+    """ceil_mode pooling (round-3 closure; SqueezeNet1.1 exports it):
+    max and avg, both count_include_pad settings, odd sizes so the last
+    window genuinely hangs over the edge."""
+    x = np.random.default_rng(42).normal(
+        size=(1, 2, 7, 9)).astype(np.float32)
+    tx = torch.from_numpy(x)
+    cases = [
+        (_node("MaxPool", dict(kernel_shape=[3, 3], strides=[2, 2],
+                               ceil_mode=1)),
+         "MaxPool",
+         torch.nn.functional.max_pool2d(tx, 3, 2, ceil_mode=True)),
+        (_node("MaxPool", dict(kernel_shape=[2, 2], strides=[2, 2],
+                               pads=[1, 1, 1, 1], ceil_mode=1)),
+         "MaxPool",
+         torch.nn.functional.max_pool2d(tx, 2, 2, padding=1,
+                                        ceil_mode=True)),
+        (_node("AveragePool", dict(kernel_shape=[3, 3], strides=[2, 2],
+                                   ceil_mode=1)),
+         "AveragePool",
+         torch.nn.functional.avg_pool2d(tx, 3, 2, ceil_mode=True,
+                                        count_include_pad=False)),
+        (_node("AveragePool", dict(kernel_shape=[3, 3], strides=[2, 2],
+                                   pads=[1, 1, 1, 1], ceil_mode=1,
+                                   count_include_pad=1)),
+         "AveragePool",
+         torch.nn.functional.avg_pool2d(tx, 3, 2, padding=1,
+                                        ceil_mode=True,
+                                        count_include_pad=True)),
+        (_node("AveragePool", dict(kernel_shape=[3, 3], strides=[2, 2],
+                                   pads=[1, 1, 1, 1], ceil_mode=1)),
+         "AveragePool",
+         torch.nn.functional.avg_pool2d(tx, 3, 2, padding=1,
+                                        ceil_mode=True,
+                                        count_include_pad=False)),
+    ]
+    for node, op, want in cases:
+        got = np.asarray(_OPS[op](node, x))
+        np.testing.assert_allclose(got, want.numpy(), atol=1e-6,
+                                   err_msg=f"{op} {node.attrs}")
 
 
 def test_logsumexp_is_overflow_stable():
@@ -1218,6 +1295,35 @@ def test_roi_align_adaptive_ratio_concrete():
                            np.zeros((0, 4), np.float32),
                            np.zeros((0,), np.int64))
     assert np.asarray(out).shape == (0, 1, 2, 3)
+
+
+def test_roi_align_adaptive_ratio_traced():
+    """sampling_ratio=0 with TRACED ROIs (inside jit): the static
+    upper-bound grid + per-ROI masking must equal the concrete
+    re-dispatch path exactly (round-3 closure of the last RoiAlign
+    corner)."""
+    import jax
+
+    h, w = 8, 10
+    rng = np.random.default_rng(41)
+    img = rng.normal(size=(1, 2, h, w)).astype(np.float32)
+    rois = np.array([[1.0, 1.0, 7.0, 5.0],
+                     [0.0, 0.0, 3.0, 2.0],
+                     [2.0, 0.5, 9.5, 7.5]], np.float32)
+    bi = np.array([0, 0, 0], np.int64)
+    for mode in (b"avg", b"max"):
+        adaptive = _node("RoiAlign", dict(output_height=2,
+                                          output_width=3,
+                                          sampling_ratio=0, mode=mode,
+                                          spatial_scale=1.0))
+        want = np.asarray(_OPS["RoiAlign"](adaptive, img, rois, bi))
+
+        @jax.jit
+        def run(x, r, b, adaptive=adaptive):
+            return _OPS["RoiAlign"](adaptive, x, r, b)
+
+        got = np.asarray(run(img, rois, bi))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_grid_sample_zeros_padding_ignores_border_inf():

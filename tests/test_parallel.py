@@ -101,6 +101,54 @@ def test_tiled_boxes_are_global_coords(detector, rng):
         assert centers.min() > -0.2 and centers.max() < 1.2
 
 
+def test_tiled_pack_output_matches_tuple(detector, rng):
+    frame = rng.integers(0, 256, size=(2, 270, 480, 3), dtype=np.uint8)
+    t = TiledDetector(detector, (480, 270), grid=(2, 2))
+    boxes, confs, counts = (np.asarray(x) for x in t.run_device(frame))
+    packed = np.asarray(t.run_device(frame, pack_output=True))
+    assert packed.shape == boxes.shape[:2] + (6,)
+    np.testing.assert_allclose(packed[..., :4], boxes, atol=1e-6)
+    np.testing.assert_allclose(packed[..., 4], confs, atol=1e-6)
+    np.testing.assert_array_equal(packed[..., 5].sum(-1), counts)
+
+
+def test_tiled_ycbcr_input_matches_rgb(detector):
+    """The packed-plane tiled path (transfer diet: ~1.5 B/px up) must
+    agree with the RGB path on the SAME decoded pixels."""
+    from infercam_onnx_tpu import codec
+
+    native = pytest.importorskip(
+        "infercam_onnx_tpu.native.jpeg").load()
+    rng2 = np.random.default_rng(11)
+    frame = rng2.integers(0, 256, size=(270, 480, 3), dtype=np.uint8)
+    data = codec.encode_rgb(frame, 92, "420")
+    packed_planes, geom = native.decode_ycbcr_batch([data])
+    host_rgb = codec.decode_rgb(data)
+
+    t = TiledDetector(detector, (480, 270), grid=(2, 2))
+    want = np.asarray(t.run_device(host_rgb[None], pack_output=True))
+    got = np.asarray(t.run_device_ycbcr_packed(packed_planes, geom,
+                                               pack_output=True))
+    # device IDCT-tail reconstruction differs from libjpeg by ~1 u8
+    # step, which can flip random-weight detections right AT the
+    # confidence threshold: require the counts to be close and the
+    # high-confidence 3/4 of the set to match (order-insensitive —
+    # near-tie confidences reorder rows)
+    n_got, n_want = int(got[0, :, 5].sum()), int(want[0, :, 5].sum())
+    assert abs(n_got - n_want) <= 2, (n_got, n_want)
+    top = min(n_got, n_want) * 3 // 4
+    remaining = [want[0, j, :4] for j in range(n_want)]
+    for i in range(top):
+        dists = [np.abs(got[0, i, :4] - w).max() for w in remaining]
+        j = int(np.argmin(dists))
+        assert dists[j] < 5e-3, (i, dists[j])
+        remaining.pop(j)
+
+    with pytest.raises(ValueError, match="!= tiled frame"):
+        t.run_device_ycbcr_packed(
+            packed_planes, dict(geom, width=100, height=50))
+
+
 def test_tiled_merge_suppresses_duplicates(detector, rng):
     # heavy overlap: every face region is seen by multiple tiles; merged
     # output must not contain near-duplicate boxes (IoU > max_iou)

@@ -86,6 +86,50 @@ async def _http_get(port, path, *, read_bytes=0, timeout=10.0):
     return data
 
 
+async def _until(cond, *, timeout=20.0, interval=0.02, desc=""):
+    """Poll ``cond()`` until truthy (returns its value) — replaces the
+    fixed pre-assert sleeps that made these tests load-sensitive."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    while True:
+        v = cond()
+        if v:
+            return v
+        if _time.monotonic() > deadline:
+            raise AssertionError(
+                f"condition never met within {timeout}s: {desc}")
+        await asyncio.sleep(interval)
+
+
+async def _until_async(get, pred, *, timeout=20.0, interval=0.1,
+                       desc=""):
+    """Re-fetch ``await get()`` until ``pred(value)``; returns value."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    while True:
+        v = await get()
+        if pred(v):
+            return v
+        if _time.monotonic() > deadline:
+            raise AssertionError(
+                f"condition never met within {timeout}s: {desc}")
+        await asyncio.sleep(interval)
+
+
+def _subscribed(server, name, kind="inferred", n=1):
+    """True once an HTTP viewer's subscription reached the router (the
+    observable the old 'sleep after opening the stream' waits for)."""
+    from infercam_onnx_tpu.serving.router import stream_key
+
+    table = {"raw": server.router._raw,
+             "inferred": server.router._inferred,
+             "detections": server.router._detections}[kind]
+    chan = table.get(stream_key(name))
+    return chan is not None and chan.receiver_count >= n
+
+
 def test_healthcheck(detector):
     async def run():
         server, _ = await _start(detector, 18300, 18301)
@@ -126,7 +170,8 @@ def test_raw_stream_end_to_end(detector, jpeg_dir):
             # subscribed streams)
             stream_task = asyncio.create_task(
                 _http_get(18304, "/stream?name=cam1", read_bytes=2000))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "cam1", "raw"),
+                         desc="cam1 raw viewer")
             sent = await send_stream(
                 ReplaySource(str(jpeg_dir), fps=50),
                 ClientConfig(address="127.0.0.1:18305", channel="cam1"),
@@ -152,12 +197,12 @@ def test_face_stream_end_to_end(detector, jpeg_dir):
             stream_task = asyncio.create_task(
                 _http_get(18306, "/face_stream?name=cam1",
                           read_bytes=1200, timeout=30.0))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "cam1"),
+                         desc="cam1 face viewer")
             await send_stream(
                 ReplaySource(str(jpeg_dir), fps=20),
                 ClientConfig(address="127.0.0.1:18307", channel="cam1"),
                 max_frames=12)
-            await asyncio.sleep(2.0)
             data = await stream_task
             assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
         finally:
@@ -178,7 +223,8 @@ def test_unwatched_stream_is_not_inferred(detector, jpeg_dir):
                 ReplaySource(str(jpeg_dir), fps=100),
                 ClientConfig(address="127.0.0.1:18309", channel="nobody"),
                 max_frames=8)
-            await asyncio.sleep(0.3)
+            await _until(lambda: "nobody" in server.router._seen,
+                         desc="router saw the unwatched stream")
             assert submitted == []  # no viewer -> no inference
         finally:
             await server.close()
@@ -193,7 +239,8 @@ def test_corrupt_frame_does_not_kill_worker(detector, jpeg_dir):
             stream_task = asyncio.create_task(
                 _http_get(18310, "/face_stream?name=c", read_bytes=1200,
                           timeout=30.0))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "c"),
+                         desc="face viewer c")
             reader, writer = await asyncio.open_connection(
                 "127.0.0.1", 18311)
             # corrupt JPEG payload on a watched stream
@@ -228,7 +275,9 @@ def test_multi_stream_fanout(detector, jpeg_dir):
                 _http_get(18312, "/stream?name=a", read_bytes=800))
             t2 = asyncio.create_task(
                 _http_get(18312, "/stream?name=b", read_bytes=800))
-            await asyncio.sleep(0.2)
+            await _until(lambda: (_subscribed(server, "a", "raw")
+                                  and _subscribed(server, "b", "raw")),
+                         desc="both raw viewers")
             await asyncio.gather(
                 send_stream(ReplaySource(str(jpeg_dir), fps=50),
                             ClientConfig(address="127.0.0.1:18313",
@@ -277,16 +326,23 @@ def test_stats_endpoint(detector, jpeg_dir):
             # drive some traffic, then stats must show totals
             t = asyncio.create_task(
                 _http_get(18314, "/stream?name=s", read_bytes=500))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "s", "raw"),
+                         desc="raw viewer s")
             await send_stream(
                 ReplaySource(str(jpeg_dir), fps=100),
                 ClientConfig(address="127.0.0.1:18315", channel="s"),
                 max_frames=5)
             await t
-            await asyncio.sleep(2.2)  # wait for a meter drain cycle
-            resp = await _http_get(18314, "/stats")
-            stats = json.loads(resp.split(b"\r\n\r\n", 1)[1])
-            assert stats["totals"].get("raw_unique", 0) >= 1
+
+            async def fetch_stats():
+                r = await _http_get(18314, "/stats")
+                return json.loads(r.split(b"\r\n\r\n", 1)[1])
+
+            # totals fill on the meter's drain cycle — poll, don't sleep
+            stats = await _until_async(
+                fetch_stats,
+                lambda st: st["totals"].get("raw_unique", 0) >= 1,
+                desc="meter drained raw totals")
         finally:
             await server.close()
 
@@ -308,12 +364,12 @@ def test_tiled_high_res_serving_path(detector, tmp_path):
             stream_task = asyncio.create_task(
                 _http_get(18316, "/face_stream?name=t", read_bytes=800,
                           timeout=60.0))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "t"),
+                         desc="face viewer t")
             await send_stream(
                 ReplaySource(str(tmp_path), fps=10),
                 ClientConfig(address="127.0.0.1:18317", channel="t"),
                 max_frames=6)
-            await asyncio.sleep(2.0)
             data = await stream_task
             assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
             # the tiled detector was actually instantiated for this shape
@@ -333,12 +389,13 @@ def test_detections_ndjson_endpoint(detector, jpeg_dir):
             stream_task = asyncio.create_task(
                 _http_get(18318, "/detections?name=d",
                           read_bytes=8000, timeout=30.0))
-            await asyncio.sleep(0.2)
+            await _until(
+                lambda: _subscribed(server, "d", "detections"),
+                desc="detections viewer d")
             await send_stream(
                 ReplaySource(str(jpeg_dir), fps=20),
                 ClientConfig(address="127.0.0.1:18319", channel="d"),
                 max_frames=8)
-            await asyncio.sleep(1.5)
             data = await stream_task
             head, body = data.split(b"\r\n\r\n", 1)
             assert b"application/x-ndjson" in head
@@ -376,12 +433,13 @@ def test_detections_with_coefficient_mode(detector, tmp_path):
             stream_task = asyncio.create_task(
                 _http_get(18320, "/detections?name=z",
                           read_bytes=8000, timeout=60.0))
-            await asyncio.sleep(0.2)
+            await _until(
+                lambda: _subscribed(server, "z", "detections"),
+                desc="detections viewer z")
             await send_stream(
                 ReplaySource(str(tmp_path), fps=10),
                 ClientConfig(address="127.0.0.1:18321", channel="z"),
                 max_frames=6)
-            await asyncio.sleep(2.0)
             data = await stream_task
             body = data.split(b"\r\n\r\n", 1)[1]
             lines = [l for l in body.split(b"\n")[:-1] if l.strip()]
@@ -444,7 +502,9 @@ def test_four_streams_form_real_batches(detector, jpeg_dir):
                 _http_get(18324, f"/face_stream?name=s{i}",
                           read_bytes=600, timeout=45.0))
                 for i in range(4)]
-            await asyncio.sleep(0.3)
+            await _until(lambda: all(_subscribed(server, f"s{i}")
+                                     for i in range(4)),
+                         desc="all four face viewers")
             senders = [asyncio.create_task(send_stream(
                 ReplaySource(str(jpeg_dir), fps=30),
                 ClientConfig(address="127.0.0.1:18325",
@@ -488,12 +548,14 @@ def test_core_task_supervision_restarts_crashed_worker(detector,
             stream_task = asyncio.create_task(
                 _http_get(18326, "/face_stream?name=v", read_bytes=600,
                           timeout=40.0))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "v"),
+                         desc="face viewer v")
             await send_stream(
                 ReplaySource(str(jpeg_dir), fps=20),
                 ClientConfig(address="127.0.0.1:18327", channel="v"),
                 max_frames=30)
-            await asyncio.sleep(2.5)
+            await _until(lambda: calls["n"] >= 2, timeout=30.0,
+                         desc="worker restarted after injected crash")
             data = await stream_task
             assert calls["n"] >= 2, "worker was not restarted"
             assert data.count(b"--frame\r\nContent-Type: image/jpeg") >= 1
@@ -551,7 +613,9 @@ def test_data_parallel_serving_on_mesh(detector, jpeg_dir):
                 _http_get(18340, f"/face_stream?name=m{i}",
                           read_bytes=600, timeout=60.0))
                 for i in range(8)]
-            await asyncio.sleep(0.3)
+            await _until(lambda: all(_subscribed(server, f"m{i}")
+                                     for i in range(8)),
+                         desc="all eight face viewers")
             senders = [asyncio.create_task(send_stream(
                 ReplaySource(str(jpeg_dir), fps=30),
                 ClientConfig(address="127.0.0.1:18341",
@@ -686,12 +750,13 @@ def test_detections_with_ycbcr_mode(detector, tmp_path):
             stream_task = asyncio.create_task(
                 _http_get(18360, "/detections?name=y",
                           read_bytes=8000, timeout=60.0))
-            await asyncio.sleep(0.2)
+            await _until(
+                lambda: _subscribed(server, "y", "detections"),
+                desc="detections viewer y")
             await send_stream(
                 ReplaySource(str(tmp_path), fps=10),
                 ClientConfig(address="127.0.0.1:18361", channel="y"),
                 max_frames=6)
-            await asyncio.sleep(2.0)
             data = await stream_task
             body = data.split(b"\r\n\r\n", 1)[1]
             lines = [ln for ln in body.split(b"\n")[:-1] if ln.strip()]
@@ -736,12 +801,13 @@ def test_ycbcr_mode_serves_nonstandard_chroma(detector, tmp_path, kind):
             stream_task = asyncio.create_task(
                 _http_get(18364, "/detections?name=q",
                           read_bytes=10000, timeout=30.0))
-            await asyncio.sleep(0.2)
+            await _until(
+                lambda: _subscribed(server, "q", "detections"),
+                desc="detections viewer q")
             await send_stream(
                 ReplaySource(str(tmp_path), fps=10),
                 ClientConfig(address="127.0.0.1:18365", channel="q"),
                 max_frames=6)
-            await asyncio.sleep(2.0)
             data = await stream_task
             body = data.split(b"\r\n\r\n", 1)[1]
             lines = [ln for ln in body.split(b"\n")[:-1] if ln.strip()]
@@ -767,7 +833,8 @@ def test_dashboard_lists_active_streams(detector, jpeg_dir):
                 ReplaySource(str(jpeg_dir), fps=50),
                 ClientConfig(address="127.0.0.1:18373", channel="cam-A"),
                 max_frames=5)
-            await asyncio.sleep(0.3)
+            await _until(lambda: "cam-A" in server.router._seen,
+                         desc="router registered cam-A")
             resp = await _http_get(18372, "/")
             assert b"cam-A" in resp
             assert b"/face_stream?name=cam-A" in resp
@@ -789,7 +856,8 @@ def test_snapshot_keepalive_two_requests_one_connection(detector,
                 ReplaySource(str(jpeg_dir), fps=30),
                 ClientConfig(address="127.0.0.1:18377", channel="k"),
                 max_frames=200))
-            await asyncio.sleep(0.3)
+            await _until(lambda: "k" in server.router._seen,
+                         desc="frames flowing on k")
             reader, writer = await asyncio.open_connection(
                 "127.0.0.1", 18376)
             bodies = []
@@ -844,7 +912,8 @@ def test_snapshot_endpoint(detector, jpeg_dir):
             snap_task = asyncio.create_task(
                 _http_get(18368, "/snapshot?name=s", read_bytes=10**6,
                           timeout=30.0))
-            await asyncio.sleep(0.3)
+            await _until(lambda: _subscribed(server, "s"),
+                         desc="annotated snapshot subscription")
             sender = asyncio.create_task(send_stream(
                 ReplaySource(str(jpeg_dir), fps=20),
                 ClientConfig(address="127.0.0.1:18369", channel="s"),
@@ -858,7 +927,8 @@ def test_snapshot_endpoint(detector, jpeg_dir):
             snap_task = asyncio.create_task(
                 _http_get(18368, "/snapshot?name=s&raw=1",
                           read_bytes=10**6, timeout=30.0))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "s", "raw"),
+                         desc="raw snapshot subscription")
             sender = asyncio.create_task(send_stream(
                 ReplaySource(str(jpeg_dir), fps=20),
                 ClientConfig(address="127.0.0.1:18369", channel="s"),
@@ -911,7 +981,9 @@ def test_no_coalesce_processes_every_frame(detector, jpeg_dir):
             writer.write(b"GET /detections?name=nc HTTP/1.1\r\n"
                          b"Host: x\r\n\r\n")
             await writer.drain()
-            await asyncio.sleep(0.3)
+            await _until(
+                lambda: _subscribed(server, "nc", "detections"),
+                desc="detections viewer nc")
             sent = await send_stream(
                 ReplaySource(str(jpeg_dir), fps=100),
                 ClientConfig(address="127.0.0.1:18371", channel="nc"),
@@ -965,7 +1037,9 @@ def test_mixed_resolution_streams_share_one_server(detector, tmp_path):
                 _http_get(18390, f"/face_stream?name={name}",
                           read_bytes=600, timeout=45.0))
                 for name in ("sm", "bg")]
-            await asyncio.sleep(0.3)
+            await _until(lambda: (_subscribed(server, "sm")
+                                  and _subscribed(server, "bg")),
+                         desc="both mixed-resolution viewers")
             senders = [asyncio.create_task(send_stream(
                 ReplaySource(str(d), fps=20),
                 ClientConfig(address="127.0.0.1:18391", channel=name),
@@ -995,7 +1069,8 @@ def test_slim_variant_serves(jpeg_dir):
             stream_task = asyncio.create_task(
                 _http_get(18395, "/face_stream?name=sl",
                           read_bytes=600, timeout=45.0))
-            await asyncio.sleep(0.3)
+            await _until(lambda: _subscribed(server, "sl"),
+                         desc="face viewer sl")
             await send_stream(
                 ReplaySource(str(jpeg_dir), fps=20),
                 ClientConfig(address="127.0.0.1:18396", channel="sl"),
@@ -1084,7 +1159,8 @@ def test_warmup_async_listeners_open_before_warm(detector, jpeg_dir):
                 stream_task = asyncio.create_task(
                     _http_get(18400, "/face_stream?name=w",
                               read_bytes=600, timeout=30.0))
-                await asyncio.sleep(0.3)
+                await _until(lambda: _subscribed(server, "w"),
+                             desc="face viewer w")
                 await send_stream(
                     ReplaySource(str(jpeg_dir), fps=20),
                     ClientConfig(address="127.0.0.1:18401",
@@ -1109,14 +1185,22 @@ def test_metrics_prometheus_endpoint(detector, jpeg_dir):
             stream_task = asyncio.create_task(
                 _http_get(18430, "/face_stream?name=p",
                           read_bytes=600, timeout=30.0))
-            await asyncio.sleep(0.2)
+            await _until(lambda: _subscribed(server, "p"),
+                         desc="face viewer p")
             await send_stream(
                 ReplaySource(str(jpeg_dir), fps=30),
                 ClientConfig(address="127.0.0.1:18431", channel="p"),
                 max_frames=6)
             await stream_task
-            await asyncio.sleep(2.2)  # a meter drain cycle
-            resp = await _http_get(18430, "/metrics")
+
+            async def fetch_metrics():
+                return await _http_get(18430, "/metrics")
+
+            # counters fill on the meter's drain cycle — poll
+            resp = await _until_async(
+                fetch_metrics,
+                lambda r: b"infercam_inferred_unique_total" in r,
+                desc="metrics drained")
             assert resp.startswith(b"HTTP/1.1 200 OK")
             body = resp.split(b"\r\n\r\n", 1)[1].decode()
             assert "infercam_uptime_seconds" in body
