@@ -137,6 +137,10 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
 
     mode "device": packed planes up, fused detect+overlay+FDCT/quant on
     the TPU, host does entropy coding only (round-3 encode tail).
+    mode "splice": coefficient transcode at FULL resolution — blocks
+    up (12-bit packed), only overlay-touched blocks down, host splices
+    into its original arrays + entropy-codes (bit-exact outside the
+    overlay; the best full-res annotated path).
     mode "host": reference-style — host RGB decode, device detection,
     host PIL draw + full host JPEG encode (reference inferer.rs:37-39).
     """
@@ -149,7 +153,11 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
     from infercam_onnx_tpu import codec
     from infercam_onnx_tpu.draw import draw_detections
     from infercam_onnx_tpu.native import jpeg as native_jpeg
-    from infercam_onnx_tpu.ops.jpeg_encode_device import split_coefs
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+    from infercam_onnx_tpu.ops.jpeg_encode_device import (
+        splice_blocks,
+        split_coefs,
+    )
 
     n = native_jpeg.load()
     quant = n.quant_tables(quality)
@@ -165,6 +173,9 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
                 packed, geom = n.decode_ycbcr_batch(
                     batch_frames, scale=decode_scale)
                 item = (jax.device_put(packed), geom, None)
+            elif mode == "splice":
+                planes = read_coefficient_batch(batch_frames)
+                item = (planes, None, None)
             else:
                 imgs = np.stack(
                     codec.decode_batch(batch_frames, scale=decode_scale))
@@ -179,11 +190,17 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
         if mode == "device":
             return detector.run_device_ycbcr_annotated(
                 arr, geom, quality=quality)
+        if mode == "splice":
+            y, cb, cr, qt, wh, samp = arr
+            blocks, meta, pdet = (
+                detector.run_device_coefficients_annotated(
+                    y, cb, cr, qt, wh, sampling=samp))
+            return (blocks, meta, arr), pdet
         return (None, detector.run_device(arr, pack_output=True))
 
     def finish(coefs, pdet, geom, host_imgs):
-        """Host tail: entropy encode (device mode) or draw+encode
-        (host mode); returns JPEG count."""
+        """Host tail: entropy/splice encode (device modes) or
+        draw+encode (host mode); returns JPEG count."""
         pdet = np.asarray(pdet)
         if mode == "device":
             coefs = np.asarray(coefs)
@@ -192,6 +209,14 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
                 n.encode_coefs(yq, cbq, crq,
                                (geom["width"], geom["height"]),
                                geom["sampling"], quant)
+        elif mode == "splice":
+            blocks, meta, planes = coefs
+            blocks, meta = np.asarray(blocks), np.asarray(meta)
+            y, cb, cr, qt, wh, samp = planes
+            for i in range(pdet.shape[0]):
+                ys, cbs, crs = splice_blocks(y[i], cb[i], cr[i],
+                                             meta[i], blocks[i])
+                n.encode_coefs(ys, cbs, crs, wh, samp, qt[i][:2])
         else:
             for i in range(pdet.shape[0]):
                 cnt = int(pdet[i, :, 5].sum())
@@ -226,7 +251,8 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
     while time.perf_counter() - t0 < seconds:
         arr, geom, host_imgs = q.get()
         coefs, pdet = dispatch(arr, geom)
-        for a in (coefs, pdet):
+        flat = (coefs if isinstance(coefs, tuple) else (coefs,))
+        for a in flat + (pdet,):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
         finishq.put((coefs, pdet, geom, host_imgs))
@@ -474,6 +500,14 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
     fps_annot_host = _annotated_fps(
         detector, frames, mode="host", batch=batch,
         seconds=seconds, decode_scale=decode_scale)
+    # the splice transcode serves FULL-resolution annotated output
+    # (coefficient mode has no IDCT scaling); its fair host comparison
+    # is full-res host annotate
+    fps_annot_splice = _annotated_fps(
+        detector, frames, mode="splice", batch=batch, seconds=seconds)
+    fps_annot_host_full = _annotated_fps(
+        detector, frames, mode="host", batch=batch, seconds=seconds,
+        decode_scale=1)
 
     return {
         "fps": max(fps_ycbcr, fps_pixels),
@@ -481,6 +515,8 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
         "fps_pixels": fps_pixels,
         "fps_annotated_device": fps_annot_dev,
         "fps_annotated_host": fps_annot_host,
+        "fps_annotated_splice_fullres": fps_annot_splice,
+        "fps_annotated_host_fullres": fps_annot_host_full,
         "latch_s": round(latch_s, 1),
         "slow_rig": slow_rig,
         "p50_batch_ms": lat[len(lat) // 2] * 1e3,
@@ -883,6 +919,10 @@ def main() -> int:
         "fps_pixels_path": round(tpu["fps_pixels"], 1),
         "fps_annotated_device": round(tpu["fps_annotated_device"], 1),
         "fps_annotated_host": round(tpu["fps_annotated_host"], 1),
+        "fps_annotated_splice_fullres": round(
+            tpu["fps_annotated_splice_fullres"], 1),
+        "fps_annotated_host_fullres": round(
+            tpu["fps_annotated_host_fullres"], 1),
         "device_only_fps": round(tpu["device_only_fps"], 1),
         **tiled,
         **mfu,

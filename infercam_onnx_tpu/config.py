@@ -79,6 +79,10 @@ class EngineConfig:
     # the worker falls back to host mode (with a log line) when the
     # shim or the stream geometry can't support it.
     annotate_mode: str = "device"
+    # Static per-frame budget of overlay-touched 8x8 blocks the splice
+    # annotate path (coefficients decode mode) ships back; frames whose
+    # overlay touches more blocks fall back to host annotation.
+    annotate_splice_blocks: int = 768
     # Tiled high-res detection (BASELINE config 5): frames with at least
     # this many pixels (post-decode) run through the overlapping tile grid
     # with cross-tile NMS merge instead of a single squashed resize.

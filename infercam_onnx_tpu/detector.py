@@ -241,6 +241,89 @@ detect_annotate_from_ycbcr = jax.jit(
 )
 
 
+def detect_annotate_splice_impl(
+    params,
+    priors: jax.Array,
+    packed_coefs: jax.Array,  # [B, N*3//2] uint8 (pack12_np upload)
+    quant: jax.Array,  # [B, 3, 64] the INPUT stream's quant tables
+    r_h: jax.Array,
+    r_w: jax.Array,
+    *,
+    width: int,
+    height: int,
+    y_bw: int,
+    y_bh: int,
+    c_bw: int,
+    c_bh: int,
+    sampling: tuple,
+    k: int,
+    disp_dims: tuple | None,
+    compute_dtype,
+    min_confidence: float,
+    max_iou: float,
+    top_k: int,
+    max_detections: int,
+):
+    """The SPLICE-transcode annotated pipeline (coefficient decode
+    mode): 12-bit-packed entropy-decoded DCT coefficients in; packed
+    detections plus ONLY the overlay-touched blocks out (re-quantized
+    with the input's own tables). The host splices those blocks into
+    its original coefficient arrays and entropy-codes — so the
+    annotated output JPEG is bit-exact to the input outside the drawn
+    regions (no generational recompression, unlike the reference's
+    full decode->draw->re-encode, reference inferer.rs:35-39), and the
+    device->host traffic is bounded by K blocks instead of the whole
+    frame."""
+    from infercam_onnx_tpu.ops.jpeg_device import (
+        combine_ycbcr,
+        decode_plane,
+    )
+    from infercam_onnx_tpu.ops.jpeg_encode_device import (
+        fdct_quant,
+        render_overlay_ycbcr,
+        select_changed_blocks,
+        unpack12_device,
+    )
+
+    b = packed_coefs.shape[0]
+    coefs = unpack12_device(packed_coefs)
+    y_n, c_n = y_bw * y_bh * 64, c_bw * c_bh * 64
+    yc = coefs[:, :y_n].reshape(b, y_bh, y_bw, 64)
+    cbc = coefs[:, y_n:y_n + c_n].reshape(b, c_bh, c_bw, 64)
+    crc = coefs[:, y_n + c_n:].reshape(b, c_bh, c_bw, 64)
+    # dequant + IDCT on-device, then snap to the u8 grid the host
+    # decoder would have produced (the overlay and the re-quantization
+    # must both see pixel-domain data)
+    y = jnp.clip(jnp.round(decode_plane(yc, quant[:, 0])), 0.0, 255.0)
+    cb = jnp.clip(jnp.round(decode_plane(cbc, quant[:, 1])), 0.0, 255.0)
+    cr = jnp.clip(jnp.round(decode_plane(crc, quant[:, 2])), 0.0, 255.0)
+    rgb = combine_ycbcr(y, cb, cr, width=width, height=height,
+                        sampling=sampling)
+    packed_det = detect_program_impl(
+        params, priors, rgb, r_h, r_w,
+        compute_dtype=compute_dtype, min_confidence=min_confidence,
+        max_iou=max_iou, top_k=top_k, max_detections=max_detections,
+        pack_output=True)
+    y, cb, cr, my, mc = render_overlay_ycbcr(
+        y, cb, cr, packed_det, width=width, height=height,
+        sampling=sampling, disp_dims=disp_dims, return_masks=True)
+    yq = fdct_quant(y, quant[:, 0])
+    cbq = fdct_quant(cb, quant[:, 1])
+    crq = fdct_quant(cr, quant[:, 2])
+    blocks, meta = select_changed_blocks(yq, cbq, crq, my, mc, k)
+    return blocks, meta, packed_det
+
+
+detect_annotate_splice = jax.jit(
+    detect_annotate_splice_impl,
+    static_argnames=(
+        "width", "height", "y_bw", "y_bh", "c_bw", "c_bh", "sampling",
+        "k", "disp_dims", "compute_dtype", "min_confidence", "max_iou",
+        "top_k", "max_detections",
+    ),
+)
+
+
 def detect_annotate_impl(
     params,
     priors: jax.Array,
@@ -446,6 +529,41 @@ class Detector:
             y_pw=geom["y_pw"], y_ph=geom["y_ph"],
             c_pw=geom["c_pw"], c_ph=geom["c_ph"],
             sampling=tuple(geom["sampling"]),
+            disp_dims=tuple(disp_dims) if disp_dims else None,
+            compute_dtype=self._compute_dtype,
+            min_confidence=c.min_confidence, max_iou=c.max_iou,
+            top_k=c.top_k, max_detections=c.max_detections)
+
+    def run_device_coefficients_annotated(
+            self, y, cb, cr, quant, wh: tuple[int, int], *,
+            sampling: tuple[int, int] = (2, 2), k: int = 768,
+            disp_dims: tuple | None = None):
+        """Splice-transcode annotated path (coefficient decode mode):
+        entropy-decoded blocks up (12-bit packed), detections + ONLY
+        the K overlay-touched re-quantized blocks down; the host
+        splices them into its original arrays (splice_blocks) and
+        entropy-codes. meta[i, 0] > k signals budget overflow — the
+        caller must fall back to a full-frame annotate path for that
+        frame. Returns (blocks_u8, meta_i32, packed_det)."""
+        from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
+
+        y = np.asarray(y, np.int16)
+        cb = np.asarray(cb, np.int16)
+        cr = np.asarray(cr, np.int16)
+        b, y_bh, y_bw, _ = y.shape
+        c_bh, c_bw = cb.shape[1], cb.shape[2]
+        flat = np.concatenate(
+            [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
+            axis=1)
+        packed = pack12_np(flat)
+        w, h = wh
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        c = self.config
+        return detect_annotate_splice(
+            self.model.params, self.model.priors,
+            jnp.asarray(packed), jnp.asarray(quant), r_h, r_w,
+            width=w, height=h, y_bw=y_bw, y_bh=y_bh, c_bw=c_bw,
+            c_bh=c_bh, sampling=tuple(sampling), k=k,
             disp_dims=tuple(disp_dims) if disp_dims else None,
             compute_dtype=self._compute_dtype,
             min_confidence=c.min_confidence, max_iou=c.max_iou,

@@ -146,7 +146,7 @@ def _stamp_labels(plane: jax.Array, xs: jax.Array, ys: jax.Array,
     if gh > plane.shape[1] or sw > plane.shape[2]:
         # frame smaller than one label — skip text (PIL would render a
         # clipped fragment; documented divergence for tiny frames)
-        return plane
+        return plane, jnp.zeros(plane.shape, jnp.float32)
     h, w = plane.shape[1], plane.shape[2]
     rows = jnp.arange(h, dtype=jnp.int32)
     cols = jnp.arange(w, dtype=jnp.int32)
@@ -163,7 +163,7 @@ def _stamp_labels(plane: jax.Array, xs: jax.Array, ys: jax.Array,
     layer = jnp.einsum("bdhs,bdsw->bhw", t, sx,
                        preferred_element_type=jnp.float32)
     layer = jnp.clip(layer, 0.0, 1.0)
-    return plane * (1.0 - layer) + value * layer
+    return plane * (1.0 - layer) + value * layer, layer
 
 
 def render_overlay_ycbcr(
@@ -176,13 +176,17 @@ def render_overlay_ycbcr(
     height: int,
     sampling: tuple[int, int],
     disp_dims: tuple[int, int] | None = None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    return_masks: bool = False,
+) -> tuple[jax.Array, ...]:
     """Draw the reference's annotation (hollow green rects + confidence
     labels, reference inferer.rs:57-101) into YCbCr planes on-device.
 
     ``disp_dims`` mirrors ServerConfig.assume_frame_dims: relative
     coords scale by these instead of the true frame dims when set
     (the reference hard-codes 1280x720, reference router.rs:66-67).
+    ``return_masks`` additionally returns boolean TOUCHED masks for the
+    luma and chroma planes — what the splice transcode path uses to
+    ship only overlay-modified blocks back to the host.
     """
     hs, vs = sampling
     dw, dh = disp_dims if disp_dims is not None else (width, height)
@@ -223,7 +227,7 @@ def render_overlay_ycbcr(
     # clips edge-overflowing labels instead)
     lx = jnp.clip(x0, 0.0, max(y.shape[2] - sw, 0)).astype(jnp.int32)
     ly = jnp.clip(y0, 0.0, max(y.shape[1] - gh, 0)).astype(jnp.int32)
-    y = _stamp_labels(y, lx, ly, strips, GREEN_Y)
+    y, ylab = _stamp_labels(y, lx, ly, strips, GREEN_Y)
     if hs == 2 or vs == 2:
         b, d = strips.shape[0], strips.shape[1]
         cstrips = strips.reshape(
@@ -232,12 +236,16 @@ def render_overlay_ycbcr(
                        max(cb.shape[2] - sw // hs, 0))
         cly = jnp.clip(ly // vs, 0,
                        max(cb.shape[1] - gh // vs, 0))
-        cb = _stamp_labels(cb, clx, cly, cstrips, GREEN_CB)
-        cr = _stamp_labels(cr, clx, cly, cstrips, GREEN_CR)
+        cb, clab = _stamp_labels(cb, clx, cly, cstrips, GREEN_CB)
+        cr, _ = _stamp_labels(cr, clx, cly, cstrips, GREEN_CR)
     else:
-        cb = _stamp_labels(cb, lx, ly, strips, GREEN_CB)
-        cr = _stamp_labels(cr, lx, ly, strips, GREEN_CR)
-    return y, cb, cr
+        cb, clab = _stamp_labels(cb, lx, ly, strips, GREEN_CB)
+        cr, _ = _stamp_labels(cr, lx, ly, strips, GREEN_CR)
+    if not return_masks:
+        return y, cb, cr
+    my = yb | (ylab > 0.0)
+    mc = cbb | (clab > 0.0)
+    return y, cb, cr, my, mc
 
 
 def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
@@ -258,7 +266,10 @@ def fdct_quant(plane: jax.Array, qtable: jax.Array) -> jax.Array:
     # C = A^T P A (A orthonormal; decode is P = A C A^T)
     c = jnp.einsum("xu,nhwxy,yv->nhwuv", a, p, a,
                    preferred_element_type=jnp.float32)
-    c = c.reshape(b, bh, bw, 64) / qtable.astype(jnp.float32)
+    q = qtable.astype(jnp.float32)
+    if q.ndim == 2:  # per-frame tables (splice path: input quant)
+        q = q[:, None, None, :]
+    c = c.reshape(b, bh, bw, 64) / q
     return jnp.clip(jnp.round(c), -2047.0, 2047.0).astype(jnp.int16)
 
 
@@ -288,6 +299,96 @@ def unpack12(data: np.ndarray) -> np.ndarray:
     out[0::2] = a
     out[1::2] = b
     return out
+
+
+def pack12_np(coefs: np.ndarray) -> np.ndarray:
+    """Host-side pack12 (numpy): [B, N] int16 -> [B, N*3//2] uint8 —
+    used to ship entropy-decoded coefficients UP the link at 1.5 B
+    each on the splice-annotate path (values clamp to the 12-bit JPEG
+    range; well-formed baseline streams never exceed it)."""
+    v = (np.clip(np.asarray(coefs, np.int32), -2047, 2047)
+         + 2048).astype(np.uint32)
+    a, b = v[:, 0::2], v[:, 1::2]
+    out = np.empty((v.shape[0], v.shape[1] // 2, 3), np.uint8)
+    out[..., 0] = a & 0xFF
+    out[..., 1] = ((a >> 8) & 0x0F) | ((b & 0x0F) << 4)
+    out[..., 2] = (b >> 4) & 0xFF
+    return out.reshape(v.shape[0], -1)
+
+
+def unpack12_device(packed: jax.Array) -> jax.Array:
+    """Device-side inverse of pack12_np: [B, M] uint8 -> [B, M*2//3]
+    int16 (bit ops on the VPU, fused with the decode tail)."""
+    b = packed.shape[0]
+    t = packed.reshape(b, -1, 3).astype(jnp.int32)
+    lo = (t[..., 0] | ((t[..., 1] & 0x0F) << 8)) - 2048
+    hi = (((t[..., 1] >> 4) & 0x0F) | (t[..., 2] << 4)) - 2048
+    return jnp.stack([lo, hi], axis=-1).reshape(b, -1).astype(jnp.int16)
+
+
+def block_touch_mask(mask_plane: jax.Array) -> jax.Array:
+    """[B, ph, pw] boolean pixel mask -> [B, bh*bw] boolean 8x8-block
+    mask (a block is 'touched' if ANY of its pixels is)."""
+    m = _pad8(mask_plane.astype(jnp.float32))
+    b, ph, pw = m.shape
+    return (m.reshape(b, ph // 8, 8, pw // 8, 8).max(axis=(2, 4))
+            > 0.0).reshape(b, -1)
+
+
+def select_changed_blocks(yq: jax.Array, cbq: jax.Array, crq: jax.Array,
+                          my: jax.Array, mc: jax.Array,
+                          k: int) -> tuple[jax.Array, jax.Array]:
+    """The splice-transcode selection: of the re-quantized blocks, ship
+    only those the overlay touched — everything else stays bit-exact in
+    the host's original entropy-decoded coefficients (no generational
+    loss outside the drawn regions, and a ~10-20x smaller D2H than the
+    full coefficient array).
+
+    Returns (pack12 blocks [B, K*64*3//2] uint8,
+    meta int32 [B, K+1] = [n_touched, idx_0..idx_{K-1}]) where idx is
+    the block's position in the concatenated (y ++ cb ++ cr) flat block
+    space, or -1 for unused slots. n_touched > K means the static
+    budget overflowed — the caller falls back to a full-frame path."""
+    b = yq.shape[0]
+    all_q = jnp.concatenate(
+        [yq.reshape(b, -1, 64), cbq.reshape(b, -1, 64),
+         crq.reshape(b, -1, 64)], axis=1)
+    bm = jnp.concatenate(
+        [block_touch_mask(my), block_touch_mask(mc),
+         block_touch_mask(mc)], axis=1)  # [B, NB]
+    nb = bm.shape[1]
+    k = min(k, nb)
+    # top_k over touched-first scores; the index penalty makes the
+    # selection deterministic and ordered
+    score = (bm.astype(jnp.float32) * 2.0
+             - jnp.arange(nb, dtype=jnp.float32) / nb)
+    _, idx = jax.lax.top_k(score, k)
+    sel = jnp.take_along_axis(all_q, idx[..., None], axis=1)
+    chosen = jnp.take_along_axis(bm, idx, axis=1)
+    idx = jnp.where(chosen, idx, -1)
+    count = bm.sum(axis=1).astype(jnp.int32)
+    meta = jnp.concatenate([count[:, None], idx], axis=1)
+    return pack12(sel.reshape(b, -1)), meta.astype(jnp.int32)
+
+
+def splice_blocks(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                  meta: np.ndarray, blocks_packed: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host half of the splice path for ONE frame: scatter the device's
+    touched blocks into copies of the ORIGINAL entropy-decoded block
+    arrays ([bh, bw, 64] int16 each). Returns the spliced (y, cb, cr).
+    The caller must have checked meta[0] <= K (no overflow)."""
+    idx = np.asarray(meta[1:], np.int64)
+    coefs = unpack12(blocks_packed).reshape(idx.shape[0], 64)
+    flat = np.concatenate(
+        [y.reshape(-1, 64), cb.reshape(-1, 64), cr.reshape(-1, 64)])
+    out = flat.copy()
+    valid = idx >= 0
+    out[idx[valid]] = coefs[valid]
+    y_n, c_n = y.shape[0] * y.shape[1], cb.shape[0] * cb.shape[1]
+    return (out[:y_n].reshape(y.shape),
+            out[y_n:y_n + c_n].reshape(cb.shape),
+            out[y_n + c_n:].reshape(cr.shape))
 
 
 def _pad8(plane: jax.Array) -> jax.Array:

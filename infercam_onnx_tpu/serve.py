@@ -113,8 +113,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="device: /face_stream overlays are rendered on "
                          "the TPU and the output JPEG's DCT+quantize "
                          "run there too (host does entropy coding "
-                         "only); host: reference-style host draw + "
-                         "full host encode")
+                         "only; in coefficients decode mode this is "
+                         "the splice transcode — only overlay-touched "
+                         "blocks cross back and the output is "
+                         "bit-exact to the input elsewhere); host: "
+                         "reference-style host draw + full host encode")
+    ap.add_argument("--annotate-splice-blocks", type=int, default=768,
+                    help="splice transcode: per-frame budget of "
+                         "overlay-touched 8x8 blocks shipped from the "
+                         "device; frames exceeding it fall back to "
+                         "host annotation")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -263,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
                     decode_scale=args.decode_scale,
                     decode_mode=args.decode_mode,
                     annotate_mode=args.annotate,
+                    annotate_splice_blocks=args.annotate_splice_blocks,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(
                         int(v) for v in args.tile_grid.split("x"))),

@@ -224,12 +224,23 @@ class InferenceWorker:
         coef_mode = self._cfg.decode_mode == "coefficients"
         ycbcr_mode = self._cfg.decode_mode == "ycbcr"
         # annotated viewers in a device-decode-tail mode ride the fused
-        # annotate+encode program (packed planes up, coefficients down)
-        # instead of forcing a host pixel decode
+        # annotate+encode program instead of forcing a host pixel
+        # decode. In coefficients mode the SPLICE transcode applies:
+        # blocks up, only overlay-touched blocks down, host splices
+        # them into its original arrays (bit-exact elsewhere).
+        splice_mode = (coef_mode and self._annotate_device
+                       and hasattr(self._detector,
+                                   "run_device_coefficients_annotated"))
         annot_ids = {id(j) for j in jobs
                      if j.reply is not None and self._annotate_device
                      and (coef_mode or ycbcr_mode)}
+        splice_ids = ({id(j) for j in jobs
+                       if id(j) in annot_ids} if splice_mode
+                      else set())
+        annot_ids -= splice_ids
+        splice_jobs = [j for j in jobs if id(j) in splice_ids]
         annot_jobs = [j for j in jobs if id(j) in annot_ids]
+        annot_ids |= splice_ids  # for the pixel-routing exclusion
         pixel_jobs = [j for j in jobs
                       if id(j) not in annot_ids
                       and (j.reply is not None
@@ -273,21 +284,25 @@ class InferenceWorker:
                     self._meter.tick_dropped()
 
             # entropy-only decode, grouped by JPEG geometry
-            coef_groups = []
-            by_geom: dict = {}
-            for job in coef_jobs:
-                try:
-                    from infercam_onnx_tpu.ops.jpeg_device import (
-                        read_coefficient_batch)
+            def group_coefs(jlist):
+                from infercam_onnx_tpu.ops.jpeg_device import (
+                    read_coefficient_batch)
 
-                    planes = read_coefficient_batch([job.data])
-                    geom = (planes[4], planes[5],
-                            planes[0].shape, planes[1].shape)
-                    by_geom.setdefault(geom, []).append((job, planes))
-                except ValueError as e:
-                    pixel_fallback(job, e)
-            for geom, members in by_geom.items():
-                coef_groups.append(members)
+                by_geom: dict = {}
+                for job in jlist:
+                    try:
+                        planes = read_coefficient_batch([job.data])
+                        geom = (planes[4], planes[5],
+                                planes[0].shape, planes[1].shape)
+                        by_geom.setdefault(geom, []).append(
+                            (job, planes))
+                    except ValueError as e:
+                        pixel_fallback(job, e)
+                return list(by_geom.values())
+
+            coef_groups = group_coefs(coef_jobs) if coef_jobs else []
+            splice_groups = (group_coefs(splice_jobs) if splice_jobs
+                             else [])
 
             # entropy+IDCT decode to packed planes, grouped by geometry.
             # Fast path: ONE batched C call when all frames share
@@ -402,6 +417,32 @@ class InferenceWorker:
                     "w": w, "h": h, "sampling": sampling,
                 })
 
+            for members in splice_groups:
+                bucket = self._bucket_size(len(members))
+                overflow(members, bucket)
+                _, _, _, _, (w, h), sampling = members[0][1]
+                pad = bucket - len(members)
+
+                def cat2(idx, fill, members=members, pad=pad,
+                         bucket=bucket):
+                    arrs = [m[1][idx] for m in members[:bucket]]
+                    if pad > 0:
+                        arrs.append(np.full(
+                            (pad,) + arrs[0].shape[1:], fill,
+                            arrs[0].dtype))
+                    return np.concatenate(arrs)
+
+                units.append({
+                    "kind": "coef_annot",
+                    "members": members[:bucket],
+                    "n": min(len(members), bucket),
+                    # quant pads with ONES so padded rows stay finite
+                    # through the dequant/requant round trip
+                    "stacked": (cat2(0, 0), cat2(1, 0), cat2(2, 0),
+                                cat2(3, 1)),
+                    "w": w, "h": h, "sampling": sampling,
+                })
+
             for kind, groups in (("ycbcr", ycbcr_groups),
                                  ("ycbcr_tiled", ycbcr_tiled_groups),
                                  ("ycbcr_annot", annot_groups)):
@@ -461,8 +502,23 @@ class InferenceWorker:
         results = []
         for unit in units:
             t0 = time.monotonic()
-            coefs = geom = None
-            if unit["kind"] == "pixels":
+            coefs = geom = splice = None
+            if unit["kind"] == "coef_annot":
+                w, h = unit["w"], unit["h"]
+                k = self._cfg.annotate_splice_blocks
+                with STAGES.stage("device_annot"):
+                    blocks, meta, packed = (
+                        self._detector.run_device_coefficients_annotated(
+                            *unit["stacked"], (w, h),
+                            sampling=unit["sampling"], k=k,
+                            disp_dims=self._server_cfg.assume_frame_dims))
+                for arr in (blocks, meta):
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
+                splice = {"blocks": blocks, "meta": meta, "k": k,
+                          "wh": (w, h), "sampling": unit["sampling"]}
+                members = unit["members"]  # (job, coef planes)
+            elif unit["kind"] == "pixels":
                 w, h = unit["w"], unit["h"]
                 tiled = (self._cfg.tile_min_pixels
                          and h * w >= self._cfg.tile_min_pixels)
@@ -533,7 +589,7 @@ class InferenceWorker:
             self._meter.tick_batch(unit["n"], time.monotonic() - t0)
             results.append({"members": members, "packed": packed,
                             "w": w, "h": h, "coefs": coefs,
-                            "geom": geom})
+                            "geom": geom, "splice": splice})
         return results
 
     # -- stage 3: draw + encode + publish (publish thread) ------------------
@@ -546,12 +602,26 @@ class InferenceWorker:
             coefs = entry["coefs"]
             if coefs is not None:
                 coefs = np.asarray(coefs)
+            splice = entry.get("splice")
+            if splice is not None:
+                splice_blocks_arr = np.asarray(splice["blocks"])
+                splice_meta = np.asarray(splice["meta"])
             n = len(members)
             for i, (job, frame) in enumerate(members):
                 if job.det_reply is not None:
                     self._publish(job.det_reply,
                                   self._detections_json(packed[i], w, h))
                 if job.reply is None:
+                    self._tick_e2e(job)
+                    continue
+                if splice is not None:
+                    jpeg = self._finish_splice(
+                        job, frame, packed[i], splice_meta[i],
+                        splice_blocks_arr[i], splice)
+                    if jpeg is None:
+                        self._tick_e2e(job)
+                        continue
+                    self._publish(job.reply, as_jpeg_stream_item(jpeg))
                     self._tick_e2e(job)
                     continue
                 if coefs is not None:
@@ -598,6 +668,45 @@ class InferenceWorker:
                 overlap=self._cfg.tile_overlap, mesh=self._mesh)
             self._tiled[(h, w)] = tiled
         return tiled
+
+    def _finish_splice(self, job, planes, packed_row, meta, blocks,
+                       splice) -> bytes | None:
+        """Host tail of the splice-annotate path for one frame: scatter
+        the device's overlay-touched blocks into the original
+        entropy-decoded arrays and entropy-code. Overflowed budgets and
+        mismatched chroma quant tables fall back to host annotation
+        from the original JPEG bytes; None = frame dropped."""
+        from infercam_onnx_tpu.native import jpeg as nj
+        from infercam_onnx_tpu.ops.jpeg_encode_device import (
+            splice_blocks)
+
+        y_o, cb_o, cr_o, quant, wh, samp = planes
+        n_touched = int(meta[0])
+        with STAGES.stage("encode"):
+            if (n_touched <= splice["k"]
+                    and np.array_equal(quant[0, 1], quant[0, 2])):
+                ys, cbs, crs = splice_blocks(
+                    y_o[0], cb_o[0], cr_o[0], meta, blocks)
+                return nj.load().encode_coefs(
+                    ys, cbs, crs, wh, samp, quant[0, :2])
+        # fallback: reference-style host annotate from the original
+        # bytes (rare: overlay touched more than the block budget)
+        log.debug("splice fallback on stream %x (%d blocks > %d)",
+                  job.key, n_touched, splice["k"])
+        try:
+            img = codec.decode_rgb(job.data)
+        except ValueError:
+            return None
+        count = int(packed_row[:, 5].sum())
+        dets = [(packed_row[d, :4], float(packed_row[d, 4]))
+                for d in range(count)]
+        with STAGES.stage("draw"):
+            annotated = draw_detections(
+                img, dets, self._server_cfg.assume_frame_dims)
+        with STAGES.stage("encode"):
+            return codec.encode_rgb(
+                annotated, self._server_cfg.jpeg_quality,
+                self._server_cfg.jpeg_subsampling)
 
     def _run_detection(self, batch: np.ndarray, h: int, w: int):
         """Dispatch the right device program; returns packed [B, D, 6]
@@ -654,6 +763,16 @@ class InferenceWorker:
                         self._detector.run_device_coefficients_arrays(
                             y, cb, cr, q, wh, sampling=samp,
                             pack_output=True))
+                    if self._annotate_device and hasattr(
+                            self._detector,
+                            "run_device_coefficients_annotated"):
+                        jax.block_until_ready(
+                            self._detector
+                            .run_device_coefficients_annotated(
+                                y, cb, cr, q, wh, sampling=samp,
+                                k=self._cfg.annotate_splice_blocks,
+                                disp_dims=(self._server_cfg
+                                           .assume_frame_dims))[0])
             if self._cfg.decode_mode == "ycbcr":
                 import jax
 

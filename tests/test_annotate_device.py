@@ -278,6 +278,132 @@ def test_annotated_path_handles_unaligned_scaled_planes(native,
     assert img.shape == (geom["height"], geom["width"], 3)
 
 
+# -- splice transcode path (coefficients mode) -------------------------------
+
+
+def test_splice_annotated_roundtrip(native, detector):
+    """Coefficient in, touched-blocks out: unchanged blocks stay
+    BIT-EXACT to the input (no generational loss), the annotated JPEG
+    matches the host-drawn reference, and detections equal the plain
+    coefficient path."""
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+    from infercam_onnx_tpu.ops.jpeg_encode_device import splice_blocks
+
+    frame = _grad_frame(240, 320)
+    datas = [codec.encode_rgb(frame, 90, "420")] * 2
+    y, cb, cr, quant, wh, samp = read_coefficient_batch(datas)
+    blocks, meta, pdet = detector.run_device_coefficients_annotated(
+        y, cb, cr, quant, wh, sampling=samp, k=768)
+    blocks = np.asarray(blocks)
+    meta = np.asarray(meta)
+    pdet = np.asarray(pdet)
+    nb = y.shape[1] * y.shape[2] + 2 * cb.shape[1] * cb.shape[2]
+    assert 0 < meta[0, 0] <= 768 < nb
+
+    ys, cbs, crs = splice_blocks(y[0], cb[0], cr[0], meta[0], blocks[0])
+    changed = set(int(v) for v in meta[0, 1:] if v >= 0)
+    flat_o = np.concatenate([y[0].reshape(-1, 64),
+                             cb[0].reshape(-1, 64),
+                             cr[0].reshape(-1, 64)])
+    flat_s = np.concatenate([ys.reshape(-1, 64), cbs.reshape(-1, 64),
+                             crs.reshape(-1, 64)])
+    untouched = [j for j in range(nb) if j not in changed]
+    np.testing.assert_array_equal(flat_o[untouched], flat_s[untouched])
+
+    jpg = native.encode_coefs(ys, cbs, crs, wh, samp, quant[0, :2])
+    dev = codec.decode_rgb(jpg)
+    from infercam_onnx_tpu.detector import unpack_detections
+
+    dets = unpack_detections(pdet[:1])[0]
+    # compare against the host draw WITHOUT re-encoding: outside the
+    # overlay the splice output is bit-exact to the input (the host
+    # baseline would add a second generation of JPEG loss everywhere,
+    # which the splice path deliberately avoids)
+    host = draw_detections(codec.decode_rgb(datas[0]), dets)
+    d = np.abs(dev.astype(int) - host.astype(int))
+    assert d.mean() < 5.0, d.mean()
+    assert (d > 64).mean() < 0.02, (d > 64).mean()
+
+    # detections match the plain coefficient-mode program closely (the
+    # splice path snaps planes to the u8 grid before detection, so
+    # random-weight threshold-straddlers may flip)
+    want = np.asarray(detector.run_device_coefficients_arrays(
+        y, cb, cr, quant, wh, sampling=samp, pack_output=True))
+    assert abs(int(pdet[0, :, 5].sum()) - int(want[0, :, 5].sum())) <= 5
+
+
+def test_splice_overflow_flagged(native, detector):
+    """A tiny K budget must flag overflow (meta[0] > k) instead of
+    silently dropping overlay blocks."""
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+
+    frame = _grad_frame(240, 320)
+    y, cb, cr, quant, wh, samp = read_coefficient_batch(
+        [codec.encode_rgb(frame, 90, "420")])
+    blocks, meta, _ = detector.run_device_coefficients_annotated(
+        y, cb, cr, quant, wh, sampling=samp, k=8)
+    meta = np.asarray(meta)
+    assert meta[0, 0] > 8  # the random-weight overlay touches plenty
+
+
+def test_annotated_serving_e2e_splice(native, detector, tmp_path):
+    """Serving e2e in coefficients mode: /face_stream frames come from
+    the splice path (device overlay + host splice + entropy code)."""
+    import json
+
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import ClientConfig, ServerConfig
+    from infercam_onnx_tpu.serving.app import start_server
+
+    frame = _grad_frame(240, 320)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(frame, 90, "420"))
+
+    calls = []
+    orig = detector.run_device_coefficients_annotated
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    detector.run_device_coefficients_annotated = spy
+
+    async def run():
+        cfg = ServerConfig(http_address="127.0.0.1:18451",
+                           socket_address="127.0.0.1:18452")
+        server = await start_server(
+            server_config=cfg,
+            engine_config=EngineConfig(batch_buckets=(1,),
+                                       decode_mode="coefficients",
+                                       annotate_mode="device"),
+            detector=detector, data_parallel="off")
+        try:
+            viewer = asyncio.create_task(_read_stream(
+                18451, "/face_stream?name=sp", parts=1))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18452", channel="sp"),
+                max_frames=20)
+            data = await viewer
+        finally:
+            await server.close()
+        return data
+
+    try:
+        data = asyncio.run(run())
+    finally:
+        detector.run_device_coefficients_annotated = orig
+    jpg = _extract_jpeg(data)
+    assert jpg is not None
+    img = codec.decode_rgb(jpg)
+    assert img.shape == (240, 320, 3)
+    g = img[..., 1].astype(int)
+    greens = ((g - img[..., 0] > 60) & (g - img[..., 2] > 60)).sum()
+    assert greens > 50, f"only {greens} green overlay pixels"
+    # the splice device program really ran (not a fallback path)
+    assert calls
+
+
 # -- serving e2e -------------------------------------------------------------
 
 
