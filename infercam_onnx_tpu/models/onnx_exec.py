@@ -1965,9 +1965,12 @@ class GraphDetector:
         return jnp.concatenate(
             [boxes, confs[..., None], valid[..., None]], axis=-1)
 
-    def _tail_program(self, key, impl):
+    def _tail_program(self, key, impl, *, outs: int = 3,
+                      extra_repl: int = 0):
         """jit (with mesh shardings when sharded) one device-decode-tail
-        variant; cached per static geometry."""
+        variant; cached per static geometry. ``outs`` batch-sharded
+        outputs; ``extra_repl`` replicated trailing args beyond the
+        standard (r_h, r_w) pair."""
         prog = self._tail_programs.get(key)
         if prog is None:
             if self._shardings is None:
@@ -1975,9 +1978,10 @@ class GraphDetector:
             else:
                 batch, repl = self._shardings
                 n_batch = key[1]  # how many leading args are batched
-                ins = (repl,) + (batch,) * n_batch + (repl, repl)
+                ins = ((repl,) + (batch,) * n_batch
+                       + (repl, repl) + (repl,) * extra_repl)
                 prog = jax.jit(impl, in_shardings=ins,
-                               out_shardings=(batch, batch, batch))
+                               out_shardings=tuple([batch] * outs))
             self._tail_programs[key] = prog
         return prog
 
@@ -2015,6 +2019,88 @@ class GraphDetector:
         if pack_output:
             return self._pack(boxes, confs, count)
         return boxes, confs, count
+
+    def run_device_ycbcr_annotated(self, packed, geom: dict, *,
+                                   quality: int = 95,
+                                   disp_dims: tuple | None = None):
+        """Fused annotated path for graph models: the interpreted
+        graph's detections are overlaid into the YCbCr planes and the
+        output JPEG's DCT blocks quantized on-device (identical encode
+        tail to detector.detect_annotate_from_ycbcr_impl); host does
+        entropy coding only."""
+        from infercam_onnx_tpu.detector import Detector
+        from infercam_onnx_tpu.ops.jpeg_device import (
+            combine_ycbcr,
+            unpack_ycbcr_planes,
+        )
+        from infercam_onnx_tpu.ops.jpeg_encode_device import (
+            encode_planes,
+            render_overlay_ycbcr,
+        )
+
+        w, h = geom["width"], geom["height"]
+        samp = tuple(geom["sampling"])
+        disp = tuple(disp_dims) if disp_dims else None
+        gkey = tuple(sorted(
+            (k, tuple(v) if isinstance(v, tuple) else v)
+            for k, v in geom.items()))
+
+        def impl(weights, packed_arr, r_h, r_w, quant2):
+            y, cb, cr = unpack_ycbcr_planes(
+                packed_arr, y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+                c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+            rgb = combine_ycbcr(y, cb, cr, width=w, height=h,
+                                sampling=samp)
+            boxes, confs, count = self._forward(weights, rgb, r_h, r_w)
+            pdet = self._pack(boxes, confs, count)
+            y, cb, cr = render_overlay_ycbcr(
+                y, cb, cr, pdet, width=w, height=h, sampling=samp,
+                disp_dims=disp)
+            return encode_planes(y, cb, cr, quant2), pdet
+
+        b = packed.shape[0]
+        prog = self._tail_program(("ycbcr_annot", 1, gkey, disp), impl,
+                                  outs=2, extra_repl=1)
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        coefs, pdet = prog(
+            self._weights, jnp.asarray(self._mesh_pad(packed)),
+            r_h, r_w, Detector._encode_quant(quality))
+        return coefs[:b], pdet[:b]
+
+    def run_device_annotated(self, images, *, quality: int = 95,
+                             subsampling: str = "420",
+                             disp_dims: tuple | None = None):
+        """RGB-input fused annotated path for graph models."""
+        from infercam_onnx_tpu.detector import Detector
+        from infercam_onnx_tpu.ops.jpeg_encode_device import (
+            encode_planes,
+            render_overlay_ycbcr,
+            rgb_to_ycbcr_planes,
+        )
+
+        sampling = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[
+            subsampling]
+        b, h, w, _ = images.shape
+        disp = tuple(disp_dims) if disp_dims else None
+
+        def impl(weights, imgs, r_h, r_w, quant2):
+            boxes, confs, count = self._forward(weights, imgs,
+                                                r_h, r_w)
+            pdet = self._pack(boxes, confs, count)
+            y, cb, cr = rgb_to_ycbcr_planes(imgs, sampling=sampling)
+            y, cb, cr = render_overlay_ycbcr(
+                y, cb, cr, pdet, width=w, height=h,
+                sampling=sampling, disp_dims=disp)
+            return encode_planes(y, cb, cr, quant2), pdet
+
+        prog = self._tail_program(
+            ("rgb_annot", 1, (h, w), sampling, disp), impl,
+            outs=2, extra_repl=1)
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        coefs, pdet = prog(
+            self._weights, jnp.asarray(self._mesh_pad(images)),
+            r_h, r_w, Detector._encode_quant(quality))
+        return coefs[:b], pdet[:b]
 
     def run_device_coefficients_arrays(self, y, cb, cr, quant, wh, *,
                                        sampling=(2, 2),

@@ -404,6 +404,48 @@ def test_graph_detector_device_decode_tails(exports, rng):
         np.testing.assert_allclose(got, want, atol=2e-2)
 
 
+def test_graph_detector_device_annotate(exports, rng):
+    """The device-annotate encode tail composes with the interpreted
+    graph runtime too: overlay + FDCT/quant fused behind the graph
+    forward, detections identical to the detection-only programs."""
+    from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.models.onnx_exec import GraphDetector
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+    from infercam_onnx_tpu.ops.jpeg_encode_device import split_coefs
+
+    det = GraphDetector(
+        exports[True],
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"))
+    native = native_jpeg.load()
+    datas = [codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8),
+        90, "420") for _ in range(2)]
+    packed, geom = native.decode_ycbcr_batch(datas)
+
+    coefs, pdet = det.run_device_ycbcr_annotated(packed, geom,
+                                                 quality=95)
+    coefs, pdet = np.asarray(coefs), np.asarray(pdet)
+    want = np.asarray(det.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
+    np.testing.assert_allclose(pdet, want, atol=1e-5)
+    yq, cbq, crq = split_coefs(coefs[0], geom)
+    jpg = native.encode_coefs(yq, cbq, crq, (64, 48), (2, 2),
+                              native.quant_tables(95))
+    img = codec.decode_rgb(jpg)
+    assert img.shape == (48, 64, 3)
+    if int(pdet[0, :, 5].sum()):
+        g = img[..., 1].astype(int)
+        assert (((g - img[..., 0]) > 60)
+                & ((g - img[..., 2]) > 60)).sum() > 0
+
+    # RGB-input variant (pixels decode mode)
+    pixels = np.stack([codec.decode_rgb(d) for d in datas])
+    coefs2, pdet2 = det.run_device_annotated(pixels, quality=95)
+    want2 = np.asarray(det.run_device(pixels, pack_output=True))
+    np.testing.assert_allclose(np.asarray(pdet2), want2, atol=1e-5)
+
+
 def test_graph_detector_serves_ycbcr_detections(exports, rng,
                                                 tmp_path):
     """The graph runtime serves through the transfer-optimal ycbcr
