@@ -32,6 +32,7 @@ from infercam_onnx_tpu.detector import (
     Detector,
     detect_annotate_from_ycbcr_impl,
     detect_annotate_impl,
+    detect_annotate_splice_impl,
     detect_from_coefficients_impl,
     detect_from_ycbcr_impl,
     detect_program_impl,
@@ -243,6 +244,64 @@ class ShardedDetector(Detector):
                           jnp.asarray(self._pad(images, b)), r_h, r_w,
                           self._encode_quant(quality))
         return coefs[:b], det[:b]
+
+    def _splice_program(self, w: int, h: int, y_bw: int, y_bh: int,
+                        c_bw: int, c_bh: int, sampling: tuple, k: int,
+                        disp: tuple | None):
+        key = ("annot_splice", (w, h, y_bw, y_bh, c_bw, c_bh),
+               sampling, k, disp)
+        prog = self._coef_programs.get(key)
+        if prog is None:
+            batch, repl = self._batch_sharding, self._repl_sharding
+            fn = functools.partial(
+                detect_annotate_splice_impl,
+                width=w, height=h, y_bw=y_bw, y_bh=y_bh, c_bw=c_bw,
+                c_bh=c_bh, sampling=sampling, k=k, disp_dims=disp,
+                **self._static)
+            prog = jax.jit(
+                fn,
+                in_shardings=(repl, repl, batch, batch, repl, repl),
+                out_shardings=(batch, batch, batch))
+            self._coef_programs[key] = prog
+        return prog
+
+    def run_device_coefficients_annotated(
+            self, y, cb, cr, quant, wh: tuple[int, int], *,
+            sampling: tuple[int, int] = (2, 2), k: int = 768,
+            disp_dims: tuple | None = None):
+        """Sharded splice-transcode annotated path (see
+        Detector.run_device_coefficients_annotated): the packed
+        coefficient batch and per-frame quant tables shard over the
+        mesh; touched blocks, meta and detections come back
+        batch-sharded."""
+        from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
+
+        y = np.asarray(y, np.int16)
+        cb = np.asarray(cb, np.int16)
+        cr = np.asarray(cr, np.int16)
+        b, y_bh, y_bw, _ = y.shape
+        c_bh, c_bw = cb.shape[1], cb.shape[2]
+        flat = np.concatenate(
+            [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
+            axis=1)
+        packed = self._pad(pack12_np(flat), b)
+        # quant pads with ONES so padded rows stay finite through the
+        # dequant/requant round trip
+        pad = (-b) % self.n
+        quant = np.concatenate(
+            [np.asarray(quant)]
+            + ([np.ones((pad,) + np.asarray(quant).shape[1:],
+                        np.asarray(quant).dtype)] if pad else []))
+        w, h = wh
+        r_h, r_w = self.preprocessor.matrices(w, h)
+        disp = tuple(disp_dims) if disp_dims else None
+        prog = self._splice_program(w, h, y_bw, y_bh, c_bw, c_bh,
+                                    tuple(sampling), k, disp)
+        self.dispatches += 1
+        blocks, meta, det = prog(self._params, self._priors,
+                                 jnp.asarray(packed),
+                                 jnp.asarray(quant), r_h, r_w)
+        return blocks[:b], meta[:b], det[:b]
 
     def _pad(self, arr, b: int):
         pad = (-b) % self.n

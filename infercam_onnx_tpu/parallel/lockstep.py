@@ -260,6 +260,31 @@ class LockstepDetector(ShardedDetector):
         return self._submit(desc, int(images.shape[0]),
                             {"images": np.asarray(images)})
 
+    def run_device_coefficients_annotated(
+            self, y, cb, cr, quant, wh: tuple, *,
+            sampling: tuple = (2, 2), k: int = 768,
+            disp_dims: tuple | None = None):
+        """Splice-transcode annotated path as a lockstep unit."""
+        from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
+
+        y = np.asarray(y, np.int16)
+        cb = np.asarray(cb, np.int16)
+        cr = np.asarray(cr, np.int16)
+        b = y.shape[0]
+        flat = np.concatenate(
+            [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
+            axis=1)
+        desc = {"kind": "coef_splice", "w": int(wh[0]),
+                "h": int(wh[1]), "sampling": list(sampling),
+                "y_shape": [int(v) for v in y.shape[1:3]],
+                "c_shape": [int(v) for v in cb.shape[1:3]],
+                "quant_dtype": str(np.asarray(quant).dtype),
+                "k": int(k),
+                "disp": list(disp_dims) if disp_dims else None}
+        out = self._submit(desc, b, {"packed": pack12_np(flat),
+                                     "quant": np.asarray(quant)})
+        return out
+
     def run_device_tiled(self, images, frame_size: tuple, *,
                          grid: tuple = (2, 2), overlap: float = 0.2):
         """High-res tiled detection as a lockstep unit: the agreed
@@ -480,6 +505,30 @@ class LockstepDetector(ShardedDetector):
             return np.concatenate([d[field] for d in datas])
 
         self.dispatches += 1
+        if desc["kind"] == "coef_splice":
+            w, h = desc["w"], desc["h"]
+            y_bh, y_bw = desc["y_shape"]
+            c_bh, c_bw = desc["c_shape"]
+            n_coef = (y_bh * y_bw + 2 * c_bh * c_bw) * 64
+            local = local_concat("packed", (n_coef * 3 // 2,), np.uint8)
+            quant_dt = np.dtype(desc["quant_dtype"])
+            localq = local_concat("quant", (3, 64), quant_dt)
+            # padding hosts contribute unit quant tables (finite
+            # dequant/requant for their zero rows)
+            if localq.shape[0] < rows:
+                localq = np.concatenate(
+                    [localq, np.ones((rows - localq.shape[0], 3, 64),
+                                     quant_dt)])
+            garr = self._global(local, rows)
+            gquant = self._global(localq, rows)
+            r_h, r_w = self.preprocessor.matrices(w, h)
+            disp = tuple(desc["disp"]) if desc["disp"] else None
+            prog = self._splice_program(
+                w, h, y_bw, y_bh, c_bw, c_bh,
+                tuple(desc["sampling"]), desc["k"], disp)
+            out = prog(self._params, self._priors, garr, gquant,
+                       r_h, r_w)
+            return self._readback(out, counts, "multi")
         if desc["kind"] == "tiled":
             h, w = desc["h"], desc["w"]
             local = local_concat("images", (h, w, 3), np.uint8)

@@ -192,6 +192,35 @@ def test_lockstep_tiled_units_match_plain(lockstep_pair):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_lockstep_splice_units_match_plain(lockstep_pair):
+    """Splice-transcode annotated dispatches ride lockstep rounds and
+    equal the sharded-detector path bit-for-bit."""
+    pytest.importorskip("infercam_onnx_tpu.native.jpeg").load()
+    from infercam_onnx_tpu.ops.jpeg_device import read_coefficient_batch
+    from infercam_onnx_tpu.parallel.data_parallel import ShardedDetector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    det, lock = lockstep_pair
+    rng = np.random.default_rng(14)
+    datas = [codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8), 90,
+        "420") for _ in range(2)]
+    y, cb, cr, quant, wh, samp = read_coefficient_batch(datas)
+    sharded = ShardedDetector(det, make_mesh(8))
+    want_b, want_m, want_d = sharded.run_device_coefficients_annotated(
+        y, cb, cr, quant, wh, sampling=samp, k=256)
+    got_b, got_m, got_d = lock.run_device_coefficients_annotated(
+        y, cb, cr, quant, wh, sampling=samp, k=256)
+    np.testing.assert_array_equal(got_b, np.asarray(want_b))
+    np.testing.assert_array_equal(got_m, np.asarray(want_m))
+    np.testing.assert_allclose(got_d, np.asarray(want_d), atol=1e-5)
+    # and the sharded path equals the single-device path
+    pb, pm, pd = det.run_device_coefficients_annotated(
+        y, cb, cr, quant, wh, sampling=samp, k=256)
+    np.testing.assert_array_equal(np.asarray(want_b), np.asarray(pb))
+    np.testing.assert_array_equal(np.asarray(want_m), np.asarray(pm))
+
+
 def test_lockstep_concurrent_same_geometry_units(lockstep_pair):
     # two same-geometry submissions racing into one session: both must
     # complete and match the plain detector (they may share one round —
