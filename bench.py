@@ -237,13 +237,18 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
     # the serving worker's publish executor provides
     finishq: pyqueue.Queue = pyqueue.Queue(maxsize=2)
     done = [0]
+    finish_err: list = []
 
     def finisher():
         while True:
             item = finishq.get()
             if item is None:
                 return
-            done[0] += finish(*item)
+            try:
+                done[0] += finish(*item)
+            except Exception as e:  # surface, don't deadlock the bench
+                finish_err.append(e)
+                return
 
     ft = threading.Thread(target=finisher, daemon=True)
     ft.start()
@@ -255,10 +260,26 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
         for a in flat + (pdet,):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
-        finishq.put((coefs, pdet, geom, host_imgs))
-    finishq.put(None)
-    ft.join()
+        while ft.is_alive():
+            try:
+                finishq.put((coefs, pdet, geom, host_imgs),
+                            timeout=1.0)
+                break
+            except pyqueue.Full:
+                continue
+        if finish_err:
+            stop.set()
+            raise finish_err[0]
+    while ft.is_alive():
+        try:
+            finishq.put(None, timeout=1.0)
+            break
+        except pyqueue.Full:
+            continue
+    ft.join(timeout=120.0)
     stop.set()
+    if finish_err:
+        raise finish_err[0]
     return done[0] / (time.perf_counter() - t0)
 
 

@@ -372,6 +372,23 @@ detect_annotate = jax.jit(
 )
 
 
+def pack_coefficient_batch(y, cb, cr, quant):
+    """Host-side upload prep for the splice path: concatenate + 12-bit
+    pack the entropy-decoded block arrays. Returns
+    (packed12 uint8 [B, N*3//2], quant, ((y_bh, y_bw), (c_bh, c_bw)))."""
+    from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
+
+    y = np.asarray(y, np.int16)
+    cb = np.asarray(cb, np.int16)
+    cr = np.asarray(cr, np.int16)
+    b = y.shape[0]
+    flat = np.concatenate(
+        [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
+        axis=1)
+    return (pack12_np(flat), np.asarray(quant),
+            (tuple(y.shape[1:3]), tuple(cb.shape[1:3])))
+
+
 def unpack_detections(packed: np.ndarray) -> list[list[Detection]]:
     """Host-side inverse of ``pack_output=True``."""
     out: list[list[Detection]] = []
@@ -508,7 +525,7 @@ class Detector:
         for this quality (native shim; cached per quality)."""
         from infercam_onnx_tpu.native import jpeg as native_jpeg
 
-        tables = native_jpeg.load().quant_tables(quality)
+        tables = native_jpeg.quant_tables_cached(quality)
         return jnp.asarray(tables.astype(np.float32))
 
     def run_device_ycbcr_annotated(self, packed, geom: dict, *,
@@ -545,23 +562,27 @@ class Detector:
         entropy-codes. meta[i, 0] > k signals budget overflow — the
         caller must fall back to a full-frame annotate path for that
         frame. Returns (blocks_u8, meta_i32, packed_det)."""
-        from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
+        packed, quant, shapes = pack_coefficient_batch(y, cb, cr,
+                                                       quant)
+        return self.run_device_coefficients_annotated_packed(
+            packed, quant, wh=wh, shapes=shapes,
+            sampling=sampling, k=k, disp_dims=disp_dims)
 
-        y = np.asarray(y, np.int16)
-        cb = np.asarray(cb, np.int16)
-        cr = np.asarray(cr, np.int16)
-        b, y_bh, y_bw, _ = y.shape
-        c_bh, c_bw = cb.shape[1], cb.shape[2]
-        flat = np.concatenate(
-            [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
-            axis=1)
-        packed = pack12_np(flat)
+    def run_device_coefficients_annotated_packed(
+            self, packed12, quant, *, wh: tuple[int, int],
+            shapes: tuple, sampling: tuple[int, int] = (2, 2),
+            k: int = 768, disp_dims: tuple | None = None):
+        """Device half of the splice path with the 12-bit packing
+        already done (pack_coefficient_batch) — the serving decode
+        thread packs and uploads so the device thread stays
+        dispatch-only. ``shapes`` = ((y_bh, y_bw), (c_bh, c_bw))."""
+        (y_bh, y_bw), (c_bh, c_bw) = shapes
         w, h = wh
         r_h, r_w = self.preprocessor.matrices(w, h)
         c = self.config
         return detect_annotate_splice(
             self.model.params, self.model.priors,
-            jnp.asarray(packed), jnp.asarray(quant), r_h, r_w,
+            jnp.asarray(packed12), jnp.asarray(quant), r_h, r_w,
             width=w, height=h, y_bw=y_bw, y_bh=y_bh, c_bw=c_bw,
             c_bh=c_bh, sampling=tuple(sampling), k=k,
             disp_dims=tuple(disp_dims) if disp_dims else None,

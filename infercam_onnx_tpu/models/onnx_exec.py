@@ -948,10 +948,14 @@ def _roi_align(node: OnnxNode, x, rois, batch_idx):
         elif not _is_concrete(rois, batch_idx):
             # adaptive ratio = ceil(roi_size / output) PER AXIS is
             # per-ROI dynamic. Under trace, run a STATIC upper-bound
-            # sample grid (an ROI spans at most the whole feature map,
-            # so ceil(dim / output) bounds the per-bin grid) and mask
-            # each ROI's unused sample rows/cols — fixed shapes for
-            # XLA, exact reference averages via masked sums.
+            # sample grid sized for an ROI spanning the whole feature
+            # map, and mask each ROI's unused sample rows/cols — fixed
+            # shapes for XLA, exact reference averages via masked sums.
+            # DOCUMENTED DIVERGENCE: an ROI whose scaled extent exceeds
+            # the ENTIRE feature map (degenerate — detector proposals
+            # are image-clipped) clamps to this grid, sampling coarser
+            # than the reference; the concrete-ROI path below is exact
+            # for any extent.
             adaptive = True
             rh = max(-(-int(x.shape[2]) // oh), 1)
             rw = max(-(-int(x.shape[3]) // ow), 1)

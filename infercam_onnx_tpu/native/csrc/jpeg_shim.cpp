@@ -525,10 +525,13 @@ int64_t ic_jpeg_write_coefs(const int16_t* y, const int16_t* cb,
   cinfo.comp_info[2].h_samp_factor = 1;
   cinfo.comp_info[2].v_samp_factor = 1;
   {
+    // force_baseline=FALSE: splice-path inputs may carry 16-bit quant
+    // tables (libjpeg decodes them); clamping to 255 here would make
+    // every decoder dequantize with wrong divisors
     unsigned int tbl[64];
     for (int t = 0; t < 2; ++t) {
       for (int k = 0; k < 64; ++k) tbl[k] = quant[t * 64 + k];
-      jpeg_add_quant_table(&cinfo, t, tbl, 100, TRUE);
+      jpeg_add_quant_table(&cinfo, t, tbl, 100, FALSE);
     }
   }
   cinfo.comp_info[0].quant_tbl_no = 0;

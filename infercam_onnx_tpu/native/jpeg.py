@@ -9,6 +9,7 @@ shim exposes a C ABI and numpy arrays cross via raw pointers.
 from __future__ import annotations
 
 import ctypes
+import functools as _functools
 import hashlib
 import os
 import subprocess
@@ -313,3 +314,11 @@ def load() -> NativeJpeg:
             path = _build()
             _instance = NativeJpeg(ctypes.CDLL(path))
         return _instance
+
+
+@_functools.lru_cache(maxsize=16)
+def quant_tables_cached(quality: int) -> np.ndarray:
+    """Process-wide cached [2, 64] encode quant tables (see
+    NativeJpeg.quant_tables) — the single host-side cache the serving
+    publish path and the device-program wrappers both use."""
+    return load().quant_tables(quality)

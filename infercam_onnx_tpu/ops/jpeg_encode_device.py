@@ -109,18 +109,29 @@ def _label_strips(conf: jax.Array) -> jax.Array:
     return strips.transpose(0, 1, 3, 2, 4).reshape(b, d, gh, 7 * gw)
 
 
-def _border_mask(x0, y0, x1, y1, valid, ph: int, pw: int) -> jax.Array:
+def _border_mask(x0, y0, x1, y1, valid, ph: int, pw: int,
+                 exists=None) -> jax.Array:
     """Hollow-rectangle mask [B, ph, pw] from per-detection corner
-    coords [B, D] (inclusive), as two matmuls over the detection axis."""
+    coords [B, D] (inclusive), as two matmuls over the detection axis.
+
+    ``exists``: optional (top, bottom, left, right) [B, D] flags — an
+    edge whose true coordinate fell outside the frame is suppressed
+    (PIL draws only the in-frame parts of a clipped rectangle)."""
     rows = jnp.arange(ph, dtype=jnp.float32)[None, :, None]  # [1,H,1]
     cols = jnp.arange(pw, dtype=jnp.float32)[None, :, None]
     y0e, y1e = y0[:, None, :], y1[:, None, :]
     x0e, x1e = x0[:, None, :], x1[:, None, :]
     v = valid[:, None, :]
+    if exists is None:
+        top = bot = left = right = jnp.ones_like(valid)
+    else:
+        top, bot, left, right = exists
     in_r = ((rows >= y0e) & (rows <= y1e)).astype(jnp.float32) * v
-    edge_r = (((rows == y0e) | (rows == y1e)).astype(jnp.float32)) * v
+    edge_r = ((rows == y0e).astype(jnp.float32) * top[:, None, :]
+              + (rows == y1e).astype(jnp.float32) * bot[:, None, :]) * v
     in_c = ((cols >= x0e) & (cols <= x1e)).astype(jnp.float32)
-    edge_c = (((cols == x0e) | (cols == x1e)).astype(jnp.float32))
+    edge_c = ((cols == x0e).astype(jnp.float32) * left[:, None, :]
+              + (cols == x1e).astype(jnp.float32) * right[:, None, :])
     border = (jnp.einsum("bhd,bwd->bhw", edge_r, in_c,
                          preferred_element_type=jnp.float32)
               + jnp.einsum("bhd,bwd->bhw", in_r, edge_c,
@@ -200,6 +211,17 @@ def render_overlay_ycbcr(
     y0 = jnp.floor(boxes[..., 1] * dh)
     x1 = jnp.floor(boxes[..., 2] * dw) - 1.0
     y1 = jnp.floor(boxes[..., 3] * dh) - 1.0
+    # boxes entirely outside the visible frame draw NOTHING (PIL culls
+    # off-canvas coords; without this, clipping would collapse them
+    # into phantom 1-px edge lines) — can happen when assume_frame_dims
+    # rescales coords beyond the decoded frame
+    offscreen = ((x0 > width - 1.0) | (x1 < 0.0)
+                 | (y0 > height - 1.0) | (y1 < 0.0))
+    valid = valid * (1.0 - offscreen.astype(valid.dtype))
+    # partially-clipped rectangles keep only their in-frame edges
+    exists = tuple(f.astype(jnp.float32) for f in (
+        y0 >= 0.0, y1 <= height - 1.0,  # top, bottom
+        x0 >= 0.0, x1 <= width - 1.0))  # left, right
     # clip to the true image (the padded plane region must stay
     # untouched; PIL clips the same way)
     x0 = jnp.clip(x0, 0.0, width - 1.0)
@@ -207,11 +229,12 @@ def render_overlay_ycbcr(
     y0 = jnp.clip(y0, 0.0, height - 1.0)
     y1 = jnp.clip(y1, 0.0, height - 1.0)
 
-    yb = _border_mask(x0, y0, x1, y1, valid, y.shape[1], y.shape[2])
+    yb = _border_mask(x0, y0, x1, y1, valid, y.shape[1], y.shape[2],
+                      exists)
     y = jnp.where(yb, GREEN_Y, y)
     cbb = _border_mask(jnp.floor(x0 / hs), jnp.floor(y0 / vs),
                        jnp.floor(x1 / hs), jnp.floor(y1 / vs),
-                       valid, cb.shape[1], cb.shape[2])
+                       valid, cb.shape[1], cb.shape[2], exists)
     # subsampled chroma of a 1-px line averages ~50% line / 50%
     # background in the host encoder's box downsampling — blend the
     # same way so the border's color saturation matches

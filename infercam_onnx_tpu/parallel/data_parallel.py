@@ -265,33 +265,26 @@ class ShardedDetector(Detector):
             self._coef_programs[key] = prog
         return prog
 
-    def run_device_coefficients_annotated(
-            self, y, cb, cr, quant, wh: tuple[int, int], *,
-            sampling: tuple[int, int] = (2, 2), k: int = 768,
-            disp_dims: tuple | None = None):
+    def run_device_coefficients_annotated_packed(
+            self, packed12, quant, *, wh: tuple[int, int],
+            shapes: tuple, sampling: tuple[int, int] = (2, 2),
+            k: int = 768, disp_dims: tuple | None = None):
         """Sharded splice-transcode annotated path (see
-        Detector.run_device_coefficients_annotated): the packed
+        Detector.run_device_coefficients_annotated_packed): the packed
         coefficient batch and per-frame quant tables shard over the
         mesh; touched blocks, meta and detections come back
         batch-sharded."""
-        from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
-
-        y = np.asarray(y, np.int16)
-        cb = np.asarray(cb, np.int16)
-        cr = np.asarray(cr, np.int16)
-        b, y_bh, y_bw, _ = y.shape
-        c_bh, c_bw = cb.shape[1], cb.shape[2]
-        flat = np.concatenate(
-            [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
-            axis=1)
-        packed = self._pad(pack12_np(flat), b)
+        (y_bh, y_bw), (c_bh, c_bw) = shapes
+        b = packed12.shape[0]
+        packed = self._pad(packed12, b)
         # quant pads with ONES so padded rows stay finite through the
         # dequant/requant round trip
         pad = (-b) % self.n
-        quant = np.concatenate(
-            [np.asarray(quant)]
-            + ([np.ones((pad,) + np.asarray(quant).shape[1:],
-                        np.asarray(quant).dtype)] if pad else []))
+        quant = np.asarray(quant)
+        if pad:
+            quant = np.concatenate(
+                [quant, np.ones((pad,) + quant.shape[1:],
+                                quant.dtype)])
         w, h = wh
         r_h, r_w = self.preprocessor.matrices(w, h)
         disp = tuple(disp_dims) if disp_dims else None

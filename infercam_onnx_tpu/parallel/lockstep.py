@@ -260,30 +260,22 @@ class LockstepDetector(ShardedDetector):
         return self._submit(desc, int(images.shape[0]),
                             {"images": np.asarray(images)})
 
-    def run_device_coefficients_annotated(
-            self, y, cb, cr, quant, wh: tuple, *,
+    def run_device_coefficients_annotated_packed(
+            self, packed12, quant, *, wh: tuple, shapes: tuple,
             sampling: tuple = (2, 2), k: int = 768,
             disp_dims: tuple | None = None):
         """Splice-transcode annotated path as a lockstep unit."""
-        from infercam_onnx_tpu.ops.jpeg_encode_device import pack12_np
-
-        y = np.asarray(y, np.int16)
-        cb = np.asarray(cb, np.int16)
-        cr = np.asarray(cr, np.int16)
-        b = y.shape[0]
-        flat = np.concatenate(
-            [y.reshape(b, -1), cb.reshape(b, -1), cr.reshape(b, -1)],
-            axis=1)
+        quant = np.asarray(quant)
         desc = {"kind": "coef_splice", "w": int(wh[0]),
                 "h": int(wh[1]), "sampling": list(sampling),
-                "y_shape": [int(v) for v in y.shape[1:3]],
-                "c_shape": [int(v) for v in cb.shape[1:3]],
-                "quant_dtype": str(np.asarray(quant).dtype),
+                "y_shape": [int(v) for v in shapes[0]],
+                "c_shape": [int(v) for v in shapes[1]],
+                "quant_dtype": str(quant.dtype),
                 "k": int(k),
                 "disp": list(disp_dims) if disp_dims else None}
-        out = self._submit(desc, b, {"packed": pack12_np(flat),
-                                     "quant": np.asarray(quant)})
-        return out
+        return self._submit(desc, int(packed12.shape[0]),
+                            {"packed": np.asarray(packed12),
+                             "quant": quant})
 
     def run_device_tiled(self, images, frame_size: tuple, *,
                          grid: tuple = (2, 2), overlap: float = 0.2):

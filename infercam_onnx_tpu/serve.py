@@ -282,7 +282,12 @@ def main(argv: list[str] | None = None) -> int:
             ))
     except KeyboardInterrupt:
         pass
-    except BaseException:
+    except SystemExit as e:
+        # deliberate exits keep their status (BaseException would
+        # swallow them into a fake crash)
+        exit_code = (e.code if isinstance(e.code, int)
+                     else 0 if e.code is None else 1)
+    except Exception:
         # Crashes (bind failure, lockstep device-count mismatch, detector
         # errors) must surface a traceback and a non-zero status so
         # supervisors / cluster_launch see a failure, not a clean stop —

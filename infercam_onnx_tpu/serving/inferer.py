@@ -103,14 +103,10 @@ class InferenceWorker:
 
     def _host_quant(self, quality: int):
         """[2, 64] uint16 encode quant tables for the host entropy
-        encoder (cached per quality)."""
-        if not hasattr(self, "_quant_cache"):
-            self._quant_cache = {}
-        if quality not in self._quant_cache:
-            from infercam_onnx_tpu.native import jpeg as nj
+        encoder (shared process-wide cache)."""
+        from infercam_onnx_tpu.native import jpeg as nj
 
-            self._quant_cache[quality] = nj.load().quant_tables(quality)
-        return self._quant_cache[quality]
+        return nj.quant_tables_cached(quality)
 
     # -- submission (called from the router on the event loop) -------------
 
@@ -301,8 +297,19 @@ class InferenceWorker:
                 return list(by_geom.values())
 
             coef_groups = group_coefs(coef_jobs) if coef_jobs else []
-            splice_groups = (group_coefs(splice_jobs) if splice_jobs
-                             else [])
+            splice_groups = []
+            for members in (group_coefs(splice_jobs) if splice_jobs
+                            else []):
+                w0, h0 = members[0][1][4]
+                if (self._cfg.tile_min_pixels
+                        and w0 * h0 >= self._cfg.tile_min_pixels):
+                    # high-res: detections must come from the tiled
+                    # program — host annotate via the pixel path
+                    for job, _ in members:
+                        pixel_fallback(job, "tiled stream: host "
+                                            "annotate")
+                else:
+                    splice_groups.append(members)
 
             # entropy+IDCT decode to packed planes, grouped by geometry.
             # Fast path: ONE batched C call when all frames share
@@ -350,8 +357,25 @@ class InferenceWorker:
             # annotated-viewer frames: same packed-plane decode, but the
             # device program also renders the overlay and produces the
             # output JPEG's quantized coefficients (non-8-aligned
-            # scaled planes are edge-padded on device)
-            annot_groups = group_ycbcr(annot_jobs) if annot_jobs else []
+            # scaled planes are edge-padded on device). High-res frames
+            # above the tiling threshold fall back to the pixel path so
+            # their detections keep coming from the TILED program (same
+            # as the pixels-mode annotate guard in _device_stage).
+            def untiled_only(groups):
+                out = []
+                for members, geom in groups:
+                    if (self._cfg.tile_min_pixels
+                            and geom["width"] * geom["height"]
+                            >= self._cfg.tile_min_pixels):
+                        for job, _ in members:
+                            pixel_fallback(
+                                job, "tiled stream: host annotate")
+                    else:
+                        out.append((members, geom))
+                return out
+
+            annot_groups = (untiled_only(group_ycbcr(annot_jobs))
+                            if annot_jobs else [])
 
         # assemble padded batches + start async uploads (still on the
         # decode thread: overlaps the device thread's current dispatch).
@@ -364,9 +388,16 @@ class InferenceWorker:
 
         units: list[dict] = []
         with STAGES.stage("upload"):
-            by_shape: dict[tuple[int, int], list] = {}
+            # group by shape AND by whether the frame needs the
+            # annotated program: detection-only members must not pay
+            # the annotate path's coefficient readback just because
+            # another stream in the batch has a viewer
+            by_shape: dict[tuple, list] = {}
             for job, frame in frames:
-                by_shape.setdefault(frame.shape[:2], []).append(
+                needs_annot = bool(self._annotate_device
+                                   and job.reply is not None)
+                by_shape.setdefault(
+                    (frame.shape[:2], needs_annot), []).append(
                     (job, frame))
             def overflow(members, bucket):
                 # the gather window caps at the largest bucket so groups
@@ -379,7 +410,7 @@ class InferenceWorker:
                     for _ in range(extra):
                         self._meter.tick_dropped()
 
-            for (h, w), members in by_shape.items():
+            for ((h, w), needs_annot), members in by_shape.items():
                 bucket = self._bucket_size(len(members))
                 overflow(members, bucket)
                 batch = np.zeros((bucket, h, w, 3), np.uint8)
@@ -389,11 +420,9 @@ class InferenceWorker:
                     "kind": "pixels", "members": members[:bucket],
                     "n": min(len(members), bucket),
                     "batch": put(batch), "w": w, "h": h,
-                    # pixels-mode annotated viewers also get the device
-                    # encode tail (RGB-input fused program) when enabled
-                    "annotate": (self._annotate_device
-                                 and any(m[0].reply is not None
-                                         for m in members[:bucket])),
+                    # pixels-mode annotated viewers get the device
+                    # encode tail (RGB-input fused program)
+                    "annotate": needs_annot,
                 })
 
             for members in coef_groups:
@@ -432,14 +461,21 @@ class InferenceWorker:
                             arrs[0].dtype))
                     return np.concatenate(arrs)
 
+                # pack + start the upload HERE (decode thread), like
+                # every other unit kind — the device thread stays
+                # dispatch-only. quant pads with ONES so padded rows
+                # stay finite through the dequant/requant round trip.
+                from infercam_onnx_tpu.detector import (
+                    pack_coefficient_batch)
+
+                packed12, quant, shapes = pack_coefficient_batch(
+                    cat2(0, 0), cat2(1, 0), cat2(2, 0), cat2(3, 1))
                 units.append({
                     "kind": "coef_annot",
                     "members": members[:bucket],
                     "n": min(len(members), bucket),
-                    # quant pads with ONES so padded rows stay finite
-                    # through the dequant/requant round trip
-                    "stacked": (cat2(0, 0), cat2(1, 0), cat2(2, 0),
-                                cat2(3, 1)),
+                    "packed12": put(packed12), "quant": quant,
+                    "shapes": shapes,
                     "w": w, "h": h, "sampling": sampling,
                 })
 
@@ -508,8 +544,10 @@ class InferenceWorker:
                 k = self._cfg.annotate_splice_blocks
                 with STAGES.stage("device_annot"):
                     blocks, meta, packed = (
-                        self._detector.run_device_coefficients_annotated(
-                            *unit["stacked"], (w, h),
+                        self._detector
+                        .run_device_coefficients_annotated_packed(
+                            unit["packed12"], unit["quant"],
+                            wh=(w, h), shapes=unit["shapes"],
                             sampling=unit["sampling"], k=k,
                             disp_dims=self._server_cfg.assume_frame_dims))
                 for arr in (blocks, meta):
