@@ -385,8 +385,6 @@ def test_splice_overflow_flagged(native, detector):
 def test_annotated_serving_e2e_splice(native, detector, tmp_path):
     """Serving e2e in coefficients mode: /face_stream frames come from
     the splice path (device overlay + host splice + entropy code)."""
-    import json
-
     from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
     from infercam_onnx_tpu.config import ClientConfig, ServerConfig
     from infercam_onnx_tpu.serving.app import start_server

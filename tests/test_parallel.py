@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from infercam_onnx_tpu.config import DetectorConfig
 from infercam_onnx_tpu.detector import Detector

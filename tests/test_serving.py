@@ -491,8 +491,6 @@ def test_sender_reconnects_after_server_restart(detector, jpeg_dir):
 def test_four_streams_form_real_batches(detector, jpeg_dir):
     """BASELINE config 3: concurrent streams coalesce into one batched
     device program (mean batch > 1)."""
-    from infercam_onnx_tpu.serving.meter import Meter
-
     async def run():
         server, _ = await _start(detector, 18324, 18325,
                                  batch_window_ms=60.0)
