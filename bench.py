@@ -618,10 +618,10 @@ def bench_serving_latency(*, frames_count: int = 40,
             engine_config=engine,
             detector=detector,
             data_parallel="off")
-        if cut_through:
-            # compile the bucket-1 ycbcr + annotate programs BEFORE
-            # measuring (the preset serves at full decode resolution)
-            server.worker.warmup([(480, 640)])
+        # compile every program the stream will hit (detect + the
+        # default device-annotate path) BEFORE measuring — a cold XLA
+        # cache would otherwise put one 20-40 s compile into the p50
+        server.worker.warmup([(480, 640)])
         try:
             reader, writer = await asyncio.open_connection(
                 "127.0.0.1", port)
