@@ -55,6 +55,38 @@ def _http_get(port, path, read_bytes=0, timeout=20.0):
     return data
 
 
+def test_preset_flag_bundles(monkeypatch):
+    """Preset bundles reach the engine config; explicitly passed flags
+    win over their preset values (serve.py PRESETS contract)."""
+    from infercam_onnx_tpu import serve
+    from infercam_onnx_tpu.serving import app as app_mod
+
+    captured = {}
+
+    async def fake_serve_forever(**kw):
+        captured.update(kw)
+
+    monkeypatch.setattr(app_mod, "serve_forever", fake_serve_forever)
+
+    assert serve.main(["--preset", "latency"]) == 0
+    ec = captured["engine_config"]
+    assert ec.batch_window_ms == 0.0
+    assert ec.decode_scale == 1 and ec.decode_mode == "ycbcr"
+    assert ec.queue_capacity == 4 and max(ec.batch_buckets) == 2
+
+    captured.clear()
+    assert serve.main(["--preset", "latency",
+                       "--decode-scale", "2"]) == 0
+    assert captured["engine_config"].decode_scale == 2  # explicit wins
+    assert captured["engine_config"].batch_window_ms == 0.0
+
+    captured.clear()
+    assert serve.main(["--preset", "throughput",
+                       "--annotate", "host"]) == 0
+    ec = captured["engine_config"]
+    assert ec.decode_mode == "ycbcr" and ec.annotate_mode == "host"
+
+
 @pytest.mark.slow
 def test_two_process_deployment(tmp_path):
     rng = np.random.default_rng(3)
