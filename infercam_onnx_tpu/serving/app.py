@@ -134,12 +134,15 @@ async def start_server(
         import jax
         import numpy as _np
 
-        _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
-        if warmup_resolutions:
-            log.info("warming up device programs for %s",
-                     warmup_resolutions)
-            worker.warmup(warmup_resolutions)
-            log.info("device warm-up complete")
+        try:
+            _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+            if warmup_resolutions:
+                log.info("warming up device programs for %s",
+                         warmup_resolutions)
+                worker.warmup(warmup_resolutions)
+                log.info("device warm-up complete")
+        finally:
+            worker.warming = False
 
     worker = InferenceWorker(detector, engine_config, server_config,
                              mesh=mesh)
@@ -147,6 +150,11 @@ async def start_server(
     queue: asyncio.Queue = asyncio.Queue(
         maxsize=server_config.ingest_capacity)
 
+    # /stats reports "warming": true until the device programs exist —
+    # on slow links warm-up can take minutes, and a server that drops
+    # every frame while warming is otherwise indistinguishable from a
+    # broken one
+    worker.warming = True
     if warmup_async:
         # the worker's device executor is single-threaded, so the warm-up
         # strictly precedes any live batch's dispatch
@@ -166,7 +174,8 @@ async def start_server(
         "lockstep": bool(lockstep_address),
         "detector": type(worker._detector).__name__,
     }
-    http = HttpServer(router, topology=topology)
+    http = HttpServer(router, topology=topology,
+                      warming=lambda: getattr(worker, "warming", False))
     hhost, hport = _split_addr(server_config.http_address)
     await http.start(hhost, hport)
 

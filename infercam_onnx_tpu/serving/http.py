@@ -66,12 +66,17 @@ def _simple_response(status: str, body: bytes,
 
 class HttpServer:
     def __init__(self, router: FrameRouter, meter: Meter = METER,
-                 topology: dict | None = None):
+                 topology: dict | None = None,
+                 warming=None):
         self._router = router
         self._meter = meter
         # serving topology (devices/processes/lockstep/runtime) shown
         # in /stats so operators can see what a deployment actually is
         self._topology = topology
+        # callable -> bool: device warm-up still running (--warmup-async
+        # on a slow link can take minutes; operators need to tell "not
+        # ready yet" apart from "broken")
+        self._warming = warming
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self, host: str, port: int) -> None:
@@ -146,6 +151,8 @@ class HttpServer:
                     payload = self._meter.stats()
                     if self._topology is not None:
                         payload["topology"] = self._topology
+                    if self._warming is not None:
+                        payload["warming"] = bool(self._warming())
                     body = json.dumps(payload).encode()
                     writer.write(_simple_response(
                         "200 OK", body, "application/json",

@@ -77,6 +77,8 @@ class InferenceWorker:
         self._publish_exec = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="publish")
         self._loop: asyncio.AbstractEventLoop | None = None
+        # device warm-up in progress (surfaced as /stats "warming")
+        self.warming = False
         # lazily-built tiled detectors per decoded frame size
         # (BASELINE config 5: high-res frames tile across the detector)
         self._tiled: dict[tuple[int, int], object] = {}

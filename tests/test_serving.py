@@ -1147,12 +1147,23 @@ def test_warmup_async_listeners_open_before_warm(detector, jpeg_dir):
                 resp = await _http_get(18400, "/healthcheck",
                                        timeout=5.0)
                 assert resp.endswith(b"healthy")
+                # /stats reports the warm-up in progress
+                import json as _json
+
+                st = _json.loads((await _http_get(
+                    18400, "/stats")).split(b"\r\n\r\n", 1)[1])
+                assert st["warming"] is True
                 for _ in range(40):  # warm task scheduling is async
                     if calls:
                         break
                     await asyncio.sleep(0.05)
                 assert calls, "warm-up never started"
                 release.set()
+                await _until_async(
+                    lambda: _http_get(18400, "/stats"),
+                    lambda r: _json.loads(
+                        r.split(b"\r\n\r\n", 1)[1])["warming"] is False,
+                    desc="warming flag cleared")
                 # inference works after warm-up completes
                 stream_task = asyncio.create_task(
                     _http_get(18400, "/face_stream?name=w",
