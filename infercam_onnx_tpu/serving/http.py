@@ -258,6 +258,10 @@ class HttpServer:
         body = ("".join(rows)
                 or "<p>No active streams. Point a sender at the "
                    "ingest socket.</p>")
+        if self._warming is not None and self._warming():
+            body = ("<p><b>Device warm-up in progress</b> — inference "
+                    "starts when the programs finish compiling "
+                    "(minutes on slow links).</p>") + body
         topo = ""
         if self._topology:
             topo = " · ".join(f"{k}: {v}" for k, v in
