@@ -72,6 +72,58 @@ def main(argv: list[str] | None = None) -> int:
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return run
 
+    def annotated(batch):
+        """The fused detect+overlay+FDCT/quant program (round 3's
+        annotated encode tail) on resident packed planes."""
+        from infercam_onnx_tpu import codec
+        from infercam_onnx_tpu.detector import (
+            detect_annotate_from_ycbcr_impl)
+        from infercam_onnx_tpu.native import jpeg as native_jpeg
+
+        n = native_jpeg.load()
+        probe = codec.encode_rgb(np.zeros((h, w, 3), np.uint8), 90,
+                                 "420")
+        packed, geom = n.decode_ycbcr_batch([probe] * batch)
+        packed = jnp.asarray(packed)
+        quant = jnp.asarray(n.quant_tables(95).astype(np.float32))
+        static = dict(
+            width=geom["width"], height=geom["height"],
+            y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+            c_pw=geom["c_pw"], c_ph=geom["c_ph"],
+            sampling=tuple(geom["sampling"]), disp_dims=None,
+            compute_dtype=jnp.bfloat16, min_confidence=0.5,
+            max_iou=0.5, top_k=256, max_detections=64)
+        ra_h, ra_w = det.preprocessor.matrices(geom["width"],
+                                               geom["height"])
+
+        def run(p):
+            def body(i, acc):
+                coefs, pd = detect_annotate_from_ycbcr_impl(
+                    params, priors, p + i.astype(jnp.uint8),
+                    ra_h, ra_w, quant, **static)
+                return acc + coefs.astype(jnp.float32).sum() + pd.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run, packed
+
+    def tiled(batch):
+        """2x2 tiled 1080p detection (resident input)."""
+        from infercam_onnx_tpu.parallel.tiling import TiledDetector
+
+        t = TiledDetector(det, (1920, 1080), grid=(2, 2))
+        frames = jnp.asarray(
+            np.zeros((batch, 1080, 1920, 3), np.uint8))
+        prog = t._program("pixels", True)
+
+        def run(f):
+            def body(i, acc):
+                out = prog(t._params, t._priors,
+                           f + i.astype(jnp.uint8), t._r_h, t._r_w)
+                return acc + out.sum()
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run, frames
+
     for batch in (int(b) for b in args.batches.split(",")):
         images = jnp.asarray(np.zeros((batch, h, w, 3), np.uint8))
         row = {"batch": batch, "iters": k,
@@ -83,6 +135,17 @@ def main(argv: list[str] | None = None) -> int:
             jax.block_until_ready(fn(images))
             ms = (time.perf_counter() - t0) / k * 1e3
             row[f"{stage}_ms"] = round(ms, 4)
+        for name, builder in (("annotated", annotated),
+                              ("tiled_1080p", tiled)):
+            if name == "tiled_1080p" and batch > 4:
+                continue  # 1080p batches past 4 don't fit/matter
+            run, arg = builder(batch)
+            fn = jax.jit(run)
+            jax.block_until_ready(fn(arg))
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(arg))
+            row[f"{name}_ms"] = round(
+                (time.perf_counter() - t0) / k * 1e3, 4)
         row["fps_on_chip"] = round(batch / row["full_ms"] * 1e3, 1)
         print(json.dumps(row))
     return 0
