@@ -438,6 +438,50 @@ def test_annotated_serving_e2e_splice(native, detector, tmp_path):
     assert calls
 
 
+def test_annotated_serving_splice_overflow_falls_back(native, detector,
+                                                      tmp_path):
+    """A tiny splice budget forces per-frame overflow; the server must
+    keep serving annotated frames via the host fallback."""
+    from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+    from infercam_onnx_tpu.config import ClientConfig, ServerConfig
+    from infercam_onnx_tpu.serving.app import start_server
+
+    frame = _grad_frame(240, 320)
+    (tmp_path / "f.jpg").write_bytes(codec.encode_rgb(frame, 90, "420"))
+
+    async def run():
+        cfg = ServerConfig(http_address="127.0.0.1:18461",
+                           socket_address="127.0.0.1:18462")
+        server = await start_server(
+            server_config=cfg,
+            engine_config=EngineConfig(batch_buckets=(1,),
+                                       decode_mode="coefficients",
+                                       annotate_mode="device",
+                                       annotate_splice_blocks=8),
+            detector=detector, data_parallel="off")
+        try:
+            viewer = asyncio.create_task(_read_stream(
+                18461, "/face_stream?name=ov", parts=1))
+            await asyncio.sleep(0.2)
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18462", channel="ov"),
+                max_frames=20)
+            data = await viewer
+        finally:
+            await server.close()
+        return data
+
+    data = asyncio.run(run())
+    jpg = _extract_jpeg(data)
+    assert jpg is not None, "overflow fallback produced no frames"
+    img = codec.decode_rgb(jpg)
+    assert img.shape == (240, 320, 3)
+    g = img[..., 1].astype(int)
+    greens = ((g - img[..., 0] > 60) & (g - img[..., 2] > 60)).sum()
+    assert greens > 50, f"only {greens} green overlay pixels"
+
+
 # -- serving e2e -------------------------------------------------------------
 
 
