@@ -106,6 +106,47 @@ def main(argv: list[str] | None = None) -> int:
 
         return run, packed
 
+    def splice(batch):
+        """The coefficient splice-transcode program (detect + overlay +
+        requant + touched-block top-K) on resident packed uploads."""
+        from infercam_onnx_tpu import codec
+        from infercam_onnx_tpu.detector import (
+            detect_annotate_splice_impl,
+            pack_coefficient_batch,
+        )
+        from infercam_onnx_tpu.native import jpeg as native_jpeg
+        from infercam_onnx_tpu.ops.jpeg_device import (
+            read_coefficient_batch)
+
+        native_jpeg.load()
+        probe = codec.encode_rgb(np.zeros((h, w, 3), np.uint8), 90,
+                                 "420")
+        y, cb, cr, quant, wh, samp = read_coefficient_batch(
+            [probe] * batch)
+        packed, quant, shapes = pack_coefficient_batch(y, cb, cr,
+                                                       quant)
+        packed = jnp.asarray(packed)
+        quant = jnp.asarray(quant)
+        (y_bh, y_bw), (c_bh, c_bw) = shapes
+        static = dict(
+            width=wh[0], height=wh[1], y_bw=y_bw, y_bh=y_bh,
+            c_bw=c_bw, c_bh=c_bh, sampling=tuple(samp), k=768,
+            disp_dims=None, compute_dtype=jnp.bfloat16,
+            min_confidence=0.5, max_iou=0.5, top_k=256,
+            max_detections=64)
+        rs_h, rs_w = det.preprocessor.matrices(wh[0], wh[1])
+
+        def run(p):
+            def body(i, acc):
+                blocks, meta, pd = detect_annotate_splice_impl(
+                    params, priors, p + i.astype(jnp.uint8), quant,
+                    rs_h, rs_w, **static)
+                return (acc + blocks.astype(jnp.float32).sum()
+                        + pd.sum())
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run, packed
+
     def tiled(batch):
         """2x2 tiled 1080p detection (resident input)."""
         from infercam_onnx_tpu.parallel.tiling import TiledDetector
@@ -136,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             ms = (time.perf_counter() - t0) / k * 1e3
             row[f"{stage}_ms"] = round(ms, 4)
         for name, builder in (("annotated", annotated),
+                              ("splice", splice),
                               ("tiled_1080p", tiled)):
             if name == "tiled_1080p" and batch > 4:
                 continue  # 1080p batches past 4 don't fit/matter
