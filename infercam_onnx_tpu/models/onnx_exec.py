@@ -318,9 +318,11 @@ def _split(node: OnnxNode, x, split=None):
         split = node.attrs.get("split")
     if split is None:
         k = node.attrs.get("num_outputs", len(node.outputs))
-        if x.shape[axis] % k:
-            raise ValueError(f"uneven Split unsupported ({node.name})")
-        split = [x.shape[axis] // k] * k
+        # opset-18 semantics: chunk = ceil(dim/k), last chunk smaller
+        # (possibly zero) when the axis does not divide evenly
+        dim = x.shape[axis]
+        chunk = -(-dim // k) if dim else 0
+        split = [min(chunk, max(0, dim - i * chunk)) for i in range(k)]
     else:
         split = np.asarray(split).reshape(-1).tolist()
     offsets = np.cumsum([0] + [int(s) for s in split])
@@ -1068,15 +1070,21 @@ def _grid_sample(node: OnnxNode, x, grid):
     mode = node.attrs.get("mode", b"bilinear")
     if mode == b"linear":
         mode = b"bilinear"  # opset-20 rename
+    if mode == b"cubic":
+        mode = b"bicubic"  # opset-20 rename
     pad = node.attrs.get("padding_mode", b"zeros")
     align = bool(node.attrs.get("align_corners", 0))
-    if mode not in (b"bilinear", b"nearest"):
+    if mode not in (b"bilinear", b"nearest", b"bicubic"):
         raise ValueError(
             f"GridSample mode {mode!r} unsupported ({node.name})")
     if pad not in (b"zeros", b"border", b"reflection"):
         raise ValueError(
             f"GridSample padding_mode {pad!r} unsupported "
             f"({node.name})")
+    if len(x.shape) != 4:
+        raise ValueError(
+            f"GridSample expects 4-D [B,C,H,W] input, got rank "
+            f"{len(x.shape)} ({node.name})")
     x = jnp.asarray(x)
     grid = jnp.asarray(grid)
     h, w = x.shape[2], x.shape[3]
@@ -1098,7 +1106,10 @@ def _grid_sample(node: OnnxNode, x, grid):
             c = (coord + 1) * (size - 1) / 2
         else:
             c = ((coord + 1) * size - 1) / 2
-        if pad == b"reflection":
+        # bilinear/nearest reflect the CENTER coordinate (torch's
+        # compute_source_index); bicubic leaves the center untouched
+        # and folds each tap instead (torch's get_value_bounded)
+        if pad == b"reflection" and mode != b"bicubic":
             c = reflect(c, size)
         return c
 
@@ -1126,10 +1137,45 @@ def _grid_sample(node: OnnxNode, x, grid):
         return sample(iy, ix)
     y0 = jnp.floor(gy)
     x0 = jnp.floor(gx)
-    wy = (gy - y0)[:, None, :, :]
-    wx = (gx - x0)[:, None, :, :]
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
+    if mode == b"bicubic":
+        # 4x4 Keys cubic (a = -0.75, torch's grid_sampler kernel).
+        # Padding is applied PER TAP: taps reach 2 past the floor cell,
+        # so border/reflection must fold each integer tap coordinate
+        # (reflecting only the pre-floor coordinate under-reflects the
+        # outer taps); zeros keeps sample()'s inside-mask per tap.
+        a = -0.75
+
+        def cubic_weights(t):
+            # tap offsets -1..2 -> distances 1+t, t, 1-t, 2-t
+            d0, d1, d2, d3 = 1.0 + t, t, 1.0 - t, 2.0 - t
+            w0 = a * d0 ** 3 - 5 * a * d0 ** 2 + 8 * a * d0 - 4 * a
+            w1 = (a + 2) * d1 ** 3 - (a + 3) * d1 ** 2 + 1
+            w2 = (a + 2) * d2 ** 3 - (a + 3) * d2 ** 2 + 1
+            w3 = a * d3 ** 3 - 5 * a * d3 ** 2 + 8 * a * d3 - 4 * a
+            return (w0, w1, w2, w3)
+
+        wys = cubic_weights((gy - y0)[:, None, :, :])
+        wxs = cubic_weights((gx - x0)[:, None, :, :])
+
+        def tap(iy, ix):
+            if pad == b"reflection":
+                iy = jnp.round(reflect(iy.astype(gy.dtype), h)
+                               ).astype(jnp.int32)
+                ix = jnp.round(reflect(ix.astype(gx.dtype), w)
+                               ).astype(jnp.int32)
+            return sample(iy, ix)
+
+        out = 0.0
+        for jy in range(4):
+            row = 0.0
+            for jx in range(4):
+                row = row + wxs[jx] * tap(y0i + jy - 1, x0i + jx - 1)
+            out = out + wys[jy] * row
+        return out
+    wy = (gy - y0)[:, None, :, :]
+    wx = (gx - x0)[:, None, :, :]
     return ((1 - wy) * (1 - wx) * sample(y0i, x0i)
             + (1 - wy) * wx * sample(y0i, x0i + 1)
             + wy * (1 - wx) * sample(y0i + 1, x0i)
@@ -1343,16 +1389,42 @@ def _gather_nd(node: OnnxNode, x, idx):
     return fn(jnp.asarray(x), jnp.asarray(idx))
 
 
-def _scatter_elements(node: OnnxNode, x, idx, upd):
-    if node.attrs.get("reduction", b"none") != b"none":
+# ONNX scatter `reduction` attr -> (np.ufunc for the concrete path,
+# jax .at[...] method name for the traced path)
+_SCATTER_REDUCTIONS = {
+    b"add": (np.add, "add"),
+    b"mul": (np.multiply, "multiply"),
+    b"min": (np.minimum, "min"),
+    b"max": (np.maximum, "max"),
+}
+
+
+def _scatter_reduction(node: OnnxNode):
+    red = node.attrs.get("reduction", b"none")
+    if red == b"none":
+        return None
+    if red not in _SCATTER_REDUCTIONS:
         raise ValueError(
-            f"ScatterElements reduction unsupported ({node.name})")
+            f"{node.op_type} reduction {red!r} unsupported "
+            f"({node.name})")
+    return _SCATTER_REDUCTIONS[red]
+
+
+def _scatter_elements(node: OnnxNode, x, idx, upd):
+    red = _scatter_reduction(node)
     axis = node.attrs.get("axis", 0)
     idx = _norm_indices(idx, x, node)
     if _is_concrete(x, idx, upd):
         out = np.asarray(x).copy()
-        np.put_along_axis(out, np.asarray(idx), np.asarray(upd),
-                          axis=axis)
+        if red is None:
+            np.put_along_axis(out, np.asarray(idx), np.asarray(upd),
+                              axis=axis)
+            return out
+        # unbuffered accumulate: duplicate indices each apply
+        grids = list(np.meshgrid(*(np.arange(s) for s in idx.shape),
+                                 indexing="ij"))
+        grids[axis] = np.asarray(idx)
+        red[0].at(out, tuple(grids), np.asarray(upd))
         return out
     # jax: scatter via .at with explicit index grids along `axis`
     x = jnp.asarray(x)
@@ -1360,23 +1432,28 @@ def _scatter_elements(node: OnnxNode, x, idx, upd):
     grids = jnp.meshgrid(*(jnp.arange(s) for s in idx.shape),
                          indexing="ij")
     grids[axis] = idx
-    return x.at[tuple(grids)].set(jnp.asarray(upd))
+    at = x.at[tuple(grids)]
+    method = "set" if red is None else red[1]
+    return getattr(at, method)(jnp.asarray(upd))
 
 
 def _scatter_nd(node: OnnxNode, x, idx, upd):
-    if node.attrs.get("reduction", b"none") != b"none":
-        raise ValueError(
-            f"ScatterND reduction unsupported ({node.name})")
+    red = _scatter_reduction(node)
     r = idx.shape[-1]
     if _is_concrete(x, idx, upd):
         out = np.asarray(x).copy()
         parts = tuple(np.asarray(idx)[..., k] for k in range(r))
-        out[parts] = upd
+        if red is None:
+            out[parts] = upd
+        else:
+            red[0].at(out, parts, np.asarray(upd))
         return out
     x = jnp.asarray(x)
     idx = jnp.asarray(idx)
     parts = tuple(idx[..., k] for k in range(r))
-    return x.at[parts].set(jnp.asarray(upd))
+    at = x.at[parts]
+    method = "set" if red is None else red[1]
+    return getattr(at, method)(jnp.asarray(upd))
 
 
 def _cumsum(node: OnnxNode, x, axis):
@@ -1452,8 +1529,16 @@ def _argminmax(node: OnnxNode, x, kind: str):
     axis = node.attrs.get("axis", 0)
     keep = bool(node.attrs.get("keepdims", 1))
     if node.attrs.get("select_last_index", 0):
-        raise ValueError(
-            f"ArgMax select_last_index unsupported ({node.name})")
+        # argmin/argmax return the FIRST winner; flipping the axis and
+        # re-indexing yields the last occurrence instead
+        xp = _xp(x)
+        flipped = getattr(xp, kind)(xp.flip(x, axis), axis=axis)
+        out = x.shape[axis] - 1 - flipped
+        out = xp.asarray(out, dtype=np.int64 if xp is np
+                         else jnp.int64)
+        if keep:
+            out = xp.expand_dims(out, axis)
+        return out
     out = getattr(_xp(x), kind)(x, axis=axis)
     out = _xp(x).asarray(out, dtype=np.int64 if _xp(x) is np
                          else jnp.int64)

@@ -1595,3 +1595,124 @@ def test_unsupported_op_fails_loudly_at_build(tmp_path):
         pytest.skip("exporter cannot emit the op at all")
     with pytest.raises(ValueError, match="unsupported ONNX op"):
         GraphExecutor(read_onnx_graph(str(path)))
+
+
+@pytest.mark.parametrize("red,tred", [("add", "sum"), ("mul", "prod"),
+                                      ("min", "amin"), ("max", "amax")])
+def test_scatter_elements_reductions(red, tred):
+    """ScatterElements reduction= (torch scatter_add / scatter_reduce
+    exports) — duplicate indices accumulate, concrete and under jit."""
+    rng = np.random.default_rng(41)
+    x = rng.normal(size=(3, 4)).astype(np.float32)
+    idx = np.array([[0, 1, 1, 0], [2, 2, 0, 2]], np.int64)  # dups
+    upd = rng.normal(size=(2, 4)).astype(np.float32)
+    node = _node("ScatterElements", dict(axis=0, reduction=red.encode()))
+    want = torch.from_numpy(x).scatter_reduce(
+        0, torch.from_numpy(idx), torch.from_numpy(upd), tred,
+        include_self=True).numpy()
+    got = _OPS["ScatterElements"](node, x, idx, upd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    got_t = jax.jit(lambda a, u: _OPS["ScatterElements"](
+        node, a, idx, u))(x, upd)
+    np.testing.assert_allclose(np.asarray(got_t), want, rtol=1e-6)
+
+
+def test_scatter_nd_reductions():
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(4, 3)).astype(np.float32)
+    idx = np.array([[1], [2], [1]], np.int64)  # duplicate row 1
+    upd = rng.normal(size=(3, 3)).astype(np.float32)
+    node = _node("ScatterND", dict(reduction=b"add"))
+    want = x.copy()
+    np.add.at(want, (idx[:, 0],), upd)
+    got = _OPS["ScatterND"](node, x, idx, upd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    got_t = jax.jit(lambda a, u: _OPS["ScatterND"](node, a, idx, u))(
+        x, upd)
+    np.testing.assert_allclose(np.asarray(got_t), want, rtol=1e-6)
+    # max against the torch oracle on full-depth indices
+    nodem = _node("ScatterND", dict(reduction=b"max"))
+    got = _OPS["ScatterND"](nodem, x, idx, upd)
+    want = x.copy()
+    np.maximum.at(want, (idx[:, 0],), upd)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_scatter_unknown_reduction_rejected():
+    with pytest.raises(ValueError, match="reduction"):
+        _OPS["ScatterND"](_node("ScatterND", dict(reduction=b"xor")),
+                          np.zeros((2,), np.float32),
+                          np.array([[0]], np.int64),
+                          np.ones((1,), np.float32))
+
+
+def test_scatter_add_export(tmp_path):
+    """torch.scatter_add exports as ScatterElements reduction=add at
+    opset 16+; run the real exported graph under jit."""
+
+    class Mod(torch.nn.Module):
+        def forward(self, x, idx, upd):
+            return x.scatter_add(1, idx, upd)
+
+    x = np.random.default_rng(43).normal(size=(2, 5)).astype(np.float32)
+    idx = np.array([[0, 4, 4, 1, 0], [2, 2, 2, 3, 0]], np.int64)
+    upd = np.random.default_rng(44).normal(size=(2, 5)).astype(
+        np.float32)
+    ex = _check_export(Mod(), [x, idx, upd], tmp_path, opset=16,
+                       jit=True)
+    assert any(n.op_type == "ScatterElements" for n in ex.graph.nodes)
+
+
+def test_argmax_select_last_index():
+    x = np.array([[3.0, 1.0, 3.0, 2.0], [0.0, 5.0, 5.0, 5.0]],
+                 np.float32)
+    node = _node("ArgMax", dict(axis=1, select_last_index=1,
+                                keepdims=0))
+    got = _OPS["ArgMax"](node, x)
+    np.testing.assert_array_equal(np.asarray(got), [2, 3])
+    got_t = jax.jit(lambda a: _OPS["ArgMax"](node, a))(x)
+    np.testing.assert_array_equal(np.asarray(got_t), [2, 3])
+    nmin = _node("ArgMin", dict(axis=0, select_last_index=1))
+    got = _OPS["ArgMin"](nmin, x)
+    np.testing.assert_array_equal(np.asarray(got), [[1, 0, 0, 0]])
+
+
+def test_split_uneven_num_outputs():
+    """Opset-18 Split with num_outputs over a non-dividing axis: chunk
+    = ceil(dim/k), last chunk smaller (torch.chunk semantics)."""
+    x = np.arange(10, dtype=np.float32)
+    parts = _OPS["Split"](
+        _node("Split", dict(axis=0, num_outputs=3), n_out=3), x)
+    sizes = [p.shape[0] for p in parts]
+    assert sizes == [4, 4, 2]
+    np.testing.assert_array_equal(np.concatenate(
+        [np.asarray(p) for p in parts]), x)
+    # degenerate: more outputs than ceil-chunks -> trailing zero-size
+    parts = _OPS["Split"](
+        _node("Split", dict(axis=0, num_outputs=4), n_out=4),
+        np.arange(5, dtype=np.float32))
+    assert [p.shape[0] for p in parts] == [2, 2, 1, 0]
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+@pytest.mark.parametrize("align", [False, True])
+def test_grid_sample_bicubic_matches_torch(padding, align):
+    rng = np.random.default_rng(45)
+    x = rng.normal(size=(2, 3, 6, 7)).astype(np.float32)
+    grid = rng.uniform(-1.4, 1.4, size=(2, 4, 5, 2)).astype(np.float32)
+    got = _OPS["GridSample"](
+        _node("GridSample", dict(mode=b"bicubic",
+                                 padding_mode=padding.encode(),
+                                 align_corners=int(align))),
+        x, grid)
+    want = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode="bicubic",
+        padding_mode=padding, align_corners=align).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_grid_sample_volumetric_rejected():
+    with pytest.raises(ValueError, match="4-D"):
+        _OPS["GridSample"](
+            _node("GridSample"), np.zeros((1, 1, 2, 2, 2), np.float32),
+            np.zeros((1, 1, 1, 1, 3), np.float32))
