@@ -175,7 +175,9 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
                 item = (jax.device_put(packed), geom, None)
             elif mode == "splice":
                 planes = read_coefficient_batch(batch_frames)
-                item = (planes, None, None)
+                # keep the original bytes: overflowed splice budgets
+                # host-annotate from them, like the serving worker
+                item = (planes, None, list(batch_frames))
             else:
                 imgs = np.stack(
                     codec.decode_batch(batch_frames, scale=decode_scale))
@@ -214,9 +216,22 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
             blocks, meta = np.asarray(blocks), np.asarray(meta)
             y, cb, cr, qt, wh, samp = planes
             for i in range(pdet.shape[0]):
-                ys, cbs, crs = splice_blocks(y[i], cb[i], cr[i],
-                                             meta[i], blocks[i])
-                n.encode_coefs(ys, cbs, crs, wh, samp, qt[i][:2])
+                # mirror the serving worker's _finish_splice contract:
+                # budget overflow / mismatched chroma tables pay the
+                # full host decode+draw+encode fallback, so the bench
+                # measures the same work the server would do
+                if (int(meta[i][0]) <= 768
+                        and np.array_equal(qt[i][1], qt[i][2])):
+                    ys, cbs, crs = splice_blocks(y[i], cb[i], cr[i],
+                                                 meta[i], blocks[i])
+                    n.encode_coefs(ys, cbs, crs, wh, samp, qt[i][:2])
+                    continue
+                img = codec.decode_rgb(host_imgs[i])
+                cnt = int(pdet[i, :, 5].sum())
+                dets = [(pdet[i, d, :4], float(pdet[i, d, 4]))
+                        for d in range(cnt)]
+                codec.encode_rgb(draw_detections(img, dets),
+                                 quality, "420")
         else:
             for i in range(pdet.shape[0]):
                 cnt = int(pdet[i, :, 5].sum())
@@ -458,7 +473,8 @@ def bench_mfu(detector, *, batch: int = 64, iters: int = 30) -> dict:
 
 
 def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
-              batch: int = 16, decode_scale: int = 2) -> dict:
+              batch: int = 16, decode_scale: int = 2,
+              remaining=None) -> dict:
     import jax
     import numpy as np
 
@@ -523,12 +539,19 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
         seconds=seconds, decode_scale=decode_scale)
     # the splice transcode serves FULL-resolution annotated output
     # (coefficient mode has no IDCT scaling); its fair host comparison
-    # is full-res host annotate
-    fps_annot_splice = _annotated_fps(
-        detector, frames, mode="splice", batch=batch, seconds=seconds)
-    fps_annot_host_full = _annotated_fps(
-        detector, frames, mode="host", batch=batch, seconds=seconds,
-        decode_scale=1)
+    # is full-res host annotate. These are the SECONDARY annotated
+    # numbers: on a starved budget they yield to the serving samples
+    # main() still has to take (the device-vs-host pair above is the
+    # round-3 evidence and always runs).
+    if remaining is None or remaining() > 150:
+        fps_annot_splice = _annotated_fps(
+            detector, frames, mode="splice", batch=batch,
+            seconds=seconds)
+        fps_annot_host_full = _annotated_fps(
+            detector, frames, mode="host", batch=batch,
+            seconds=seconds, decode_scale=1)
+    else:
+        fps_annot_splice = fps_annot_host_full = 0.0
 
     return {
         "fps": max(fps_ycbcr, fps_pixels),
@@ -586,8 +609,6 @@ def bench_serving_latency(*, frames_count: int = 40,
     detector = Detector(DetectorConfig(variant="RFB-320"), rng=0)
     detector.warmup(1, 480, 640, pack_output=True)
     detector.warmup(2, 480, 640, pack_output=True)
-    if cut_through:
-        detector.warmup(1, 240, 320, pack_output=True)
 
     # the meter task drains STAGES every 2 s, so collect the e2e samples
     # (router enqueue -> MJPEG publish per frame) directly as they are
@@ -850,7 +871,7 @@ def main() -> int:
             detector = Detector(DetectorConfig(variant="RFB-320"),
                                 rng=0)
             tpu = bench_tpu(detector, frames, seconds=seconds,
-                            batch=batch)
+                            batch=batch, remaining=remaining)
             note(f"tpu pipeline done ({tpu['fps']:.1f} fps, annotated "
                  f"dev {tpu['fps_annotated_device']:.1f} vs host "
                  f"{tpu['fps_annotated_host']:.1f}), "

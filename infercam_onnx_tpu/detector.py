@@ -594,8 +594,10 @@ class Detector:
                              subsampling: str = "420",
                              disp_dims: tuple | None = None):
         """RGB-input fused annotated path (pixels decode mode)."""
-        sampling = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[
-            subsampling]
+        from infercam_onnx_tpu.ops.jpeg_encode_device import (
+            SUBSAMPLING_FACTORS)
+
+        sampling = SUBSAMPLING_FACTORS[subsampling]
         _, h, w, _ = images.shape
         r_h, r_w = self.preprocessor.matrices(w, h)
         c = self.config

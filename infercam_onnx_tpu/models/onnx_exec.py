@@ -2167,8 +2167,7 @@ class GraphDetector:
             rgb_to_ycbcr_planes,
         )
 
-        sampling = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[
-            subsampling]
+        sampling = SUBSAMPLING_FACTORS[subsampling]
         b, h, w, _ = images.shape
         disp = tuple(disp_dims) if disp_dims else None
 

@@ -269,18 +269,26 @@ class NativeJpeg:
         cb = np.ascontiguousarray(cb, np.int16)
         cr = np.ascontiguousarray(cr, np.int16)
         quant = np.ascontiguousarray(quant, np.uint16)
-        cap = w * h * 3 + (1 << 16)
-        out = np.empty(cap, np.uint8)
-
         def p16(a):
             return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
-        n = self._lib.ic_jpeg_write_coefs(
-            p16(y), p16(cb), p16(cr),
-            y.shape[1], y.shape[0], cb.shape[1], cb.shape[0],
-            w, h, hs, vs,
-            quant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        # worst-case baseline Huffman output can exceed 3 B/px (dense
+        # high-frequency coefficients + byte stuffing, bounded by ~5
+        # B/px at 4:2:0); grow on -2 instead of failing the frame
+        cap = w * h * 3 + (1 << 16)
+        for _ in range(3):
+            out = np.empty(cap, np.uint8)
+            n = self._lib.ic_jpeg_write_coefs(
+                p16(y), p16(cb), p16(cr),
+                y.shape[1], y.shape[0], cb.shape[1], cb.shape[0],
+                w, h, hs, vs,
+                quant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap)
+            if n == -2:
+                cap *= 4
+                continue
+            break
         if n < 0:
             raise ValueError(f"coefficient JPEG encode failed (rc={n})")
         return out[:n].tobytes()
@@ -290,13 +298,19 @@ class NativeJpeg:
         frame = np.ascontiguousarray(frame, np.uint8)
         h, w, c = frame.shape
         assert c == 3
-        cap = w * h * 3 + (1 << 16)
-        out = np.empty(cap, np.uint8)
         sub = {"444": 0, "422": 1, "420": 2}[subsampling]
-        n = self._lib.ic_jpeg_encode_rgb(
-            frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
-            quality, sub,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+        cap = w * h * 3 + (1 << 16)
+        for _ in range(3):
+            out = np.empty(cap, np.uint8)
+            n = self._lib.ic_jpeg_encode_rgb(
+                frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                w, h, quality, sub,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap)
+            if n == -2:  # worst-case Huffman output outgrew the buffer
+                cap *= 4
+                continue
+            break
         if n < 0:
             raise ValueError(f"JPEG encode failed (rc={n})")
         return out[:n].tobytes()

@@ -39,6 +39,11 @@ import numpy as np
 
 from infercam_onnx_tpu.ops.jpeg_device import _IDCT_A
 
+# JPEG subsampling name -> (h_samp, v_samp) chroma factors; the ONE
+# place this mapping lives (detector, sharded/lockstep/graph annotate
+# paths, and the serving worker all import it).
+SUBSAMPLING_FACTORS = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
 # BT.601 full-range YCbCr for pure green Rgb(0,255,0) (libjpeg jccolor
 # constants; reference inferer.rs:62 draws Rgb([0, 255, 0])).
 GREEN_Y = 0.587 * 255.0

@@ -232,8 +232,10 @@ class ShardedDetector(Detector):
                              subsampling: str = "420",
                              disp_dims: tuple | None = None):
         """Sharded RGB-input fused annotated pipeline."""
-        sampling = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[
-            subsampling]
+        from infercam_onnx_tpu.ops.jpeg_encode_device import (
+            SUBSAMPLING_FACTORS)
+
+        sampling = SUBSAMPLING_FACTORS[subsampling]
         _, h, w, _ = images.shape
         disp = tuple(disp_dims) if disp_dims else None
         prog = self._annot_rgb_program(h, w, sampling, disp)

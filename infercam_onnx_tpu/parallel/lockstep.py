@@ -344,6 +344,16 @@ class LockstepDetector(ShardedDetector):
     def _submit(self, desc: dict, n: int, data: dict):
         if self._stopped.is_set():
             raise RuntimeError("lockstep session has ended")
+        top = self._ladder[-1]
+        if n > top:
+            # merge_proposals clamps decisions to the ladder top, so a
+            # single unit larger than it could never dispatch whole —
+            # and the pump's first-match slot would hand an oversized
+            # local share to the collective, killing the session. Fail
+            # the one caller loudly instead.
+            raise ValueError(
+                f"batch of {n} rows exceeds the lockstep ladder top "
+                f"{top}; split the submission or raise the ladder")
         slot: queue.Queue = queue.Queue(1)
         self._requests.put((desc, n, data, slot))
         deadline = _IO_TIMEOUT_S
@@ -562,8 +572,10 @@ class LockstepDetector(ShardedDetector):
             garr = self._global(local, rows)
             r_h, r_w = self.preprocessor.matrices(w, h)
             disp = tuple(desc["disp"]) if desc["disp"] else None
-            sampling = {"444": (1, 1), "422": (2, 1),
-                        "420": (2, 2)}[desc["sub"]]
+            from infercam_onnx_tpu.ops.jpeg_encode_device import (
+                SUBSAMPLING_FACTORS)
+
+            sampling = SUBSAMPLING_FACTORS[desc["sub"]]
             prog = self._annot_rgb_program(h, w, sampling, disp)
             out = prog(self._params, self._priors, garr, r_h, r_w,
                        self._encode_quant(desc["quality"]))

@@ -303,8 +303,7 @@ class InferenceWorker:
             for members in (group_coefs(splice_jobs) if splice_jobs
                             else []):
                 w0, h0 = members[0][1][4]
-                if (self._cfg.tile_min_pixels
-                        and w0 * h0 >= self._cfg.tile_min_pixels):
+                if self._is_tiled(w0, h0):
                     # high-res: detections must come from the tiled
                     # program — host annotate via the pixel path
                     for job, _ in members:
@@ -350,9 +349,7 @@ class InferenceWorker:
             ycbcr_groups, ycbcr_tiled_groups = [], []
             if ycbcr_jobs:
                 for members, geom in group_ycbcr(ycbcr_jobs):
-                    big = (self._cfg.tile_min_pixels
-                           and geom["width"] * geom["height"]
-                           >= self._cfg.tile_min_pixels)
+                    big = self._is_tiled(geom["width"], geom["height"])
                     (ycbcr_tiled_groups if big
                      else ycbcr_groups).append((members, geom))
 
@@ -366,9 +363,7 @@ class InferenceWorker:
             def untiled_only(groups):
                 out = []
                 for members, geom in groups:
-                    if (self._cfg.tile_min_pixels
-                            and geom["width"] * geom["height"]
-                            >= self._cfg.tile_min_pixels):
+                    if self._is_tiled(geom["width"], geom["height"]):
                         for job, _ in members:
                             pixel_fallback(
                                 job, "tiled stream: host annotate")
@@ -560,11 +555,12 @@ class InferenceWorker:
                 members = unit["members"]  # (job, coef planes)
             elif unit["kind"] == "pixels":
                 w, h = unit["w"], unit["h"]
-                tiled = (self._cfg.tile_min_pixels
-                         and h * w >= self._cfg.tile_min_pixels)
+                tiled = self._is_tiled(w, h)
                 if unit.get("annotate") and not tiled:
                     from infercam_onnx_tpu.ops.jpeg_encode_device import (
-                        plane_geometry)
+                        SUBSAMPLING_FACTORS,
+                        plane_geometry,
+                    )
 
                     sub = self._server_cfg.jpeg_subsampling
                     with STAGES.stage("device"):
@@ -574,8 +570,7 @@ class InferenceWorker:
                             subsampling=sub,
                             disp_dims=self._server_cfg.assume_frame_dims)
                     geom = plane_geometry(
-                        w, h, {"444": (1, 1), "422": (2, 1),
-                               "420": (2, 2)}[sub])
+                        w, h, SUBSAMPLING_FACTORS[sub])
                 else:
                     with STAGES.stage("device"):
                         packed = self._run_detection(unit["batch"], h, w)
@@ -698,6 +693,14 @@ class InferenceWorker:
                 self._tick_e2e(job)
             self._meter.tick_inferred_unique(n)
 
+    def _is_tiled(self, w: int, h: int) -> bool:
+        """One definition of the high-res tiling threshold: frames at
+        or above it get detections from the TILED program, so annotate
+        paths must host-fallback for them (all call sites share this
+        predicate)."""
+        return bool(self._cfg.tile_min_pixels
+                    and w * h >= self._cfg.tile_min_pixels)
+
     def _get_tiled(self, w: int, h: int):
         tiled = self._tiled.get((h, w))
         if tiled is None:
@@ -752,8 +755,7 @@ class InferenceWorker:
         """Dispatch the right device program; returns packed [B, D, 6]
         as a DEVICE array (both plain and tiled paths) — the publish
         stage materializes it after the async host copy."""
-        if (self._cfg.tile_min_pixels
-                and h * w >= self._cfg.tile_min_pixels):
+        if self._is_tiled(w, h):
             if hasattr(self._detector, "run_device_tiled"):
                 # lockstep detectors dispatch tiled units inside the
                 # agreed cluster round instead of a local program

@@ -438,3 +438,19 @@ def test_two_host_lockstep_deployment(tmp_path):
                 p.kill()
         for f in logs:
             f.close()
+
+
+def test_lockstep_oversized_batch_rejected(lockstep_pair):
+    """A single unit larger than the ladder top can never dispatch
+    whole (merge_proposals clamps decisions to the top); it must fail
+    the one caller loudly and leave the session alive."""
+    det, lock = lockstep_pair
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, 256, size=(17, 48, 64, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="ladder top"):
+        lock.run_device(big, pack_output=True)
+    # the session survives and keeps serving normal-sized units
+    ok = rng.integers(0, 256, size=(2, 48, 64, 3), dtype=np.uint8)
+    want = np.asarray(det.run_device(ok, pack_output=True))
+    np.testing.assert_allclose(lock.run_device(ok, pack_output=True),
+                               want, atol=1e-5)
