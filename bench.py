@@ -335,8 +335,10 @@ def bench_tiled(detector, *, seconds: float = 6.0,
     n = native_jpeg.load()
     frames = _hd_frames()
     tiled = TiledDetector(detector, (1920, 1080), grid=(2, 2))
+    tiled_s2 = TiledDetector(detector, (960, 540), grid=(2, 2))
 
-    def pipeline(mode: str) -> float:
+    def pipeline(mode: str, scale: int = 1) -> float:
+        t_det = tiled_s2 if scale == 2 else tiled
         stop = threading.Event()
         q: pyqueue.Queue = pyqueue.Queue(maxsize=2)
 
@@ -346,10 +348,12 @@ def bench_tiled(detector, *, seconds: float = 6.0,
                 datas = [frames[(i + j) % len(frames)]
                          for j in range(batch)]
                 if mode == "ycbcr":
-                    packed, geom = n.decode_ycbcr_batch(datas)
+                    packed, geom = n.decode_ycbcr_batch(datas,
+                                                        scale=scale)
                     item = (jax.device_put(packed), geom)
                 else:
-                    imgs = np.stack(codec.decode_batch(datas))
+                    imgs = np.stack(codec.decode_batch(datas,
+                                                       scale=scale))
                     item = (jax.device_put(imgs), None)
                 try:
                     q.put(item, timeout=1.0)
@@ -359,9 +363,9 @@ def bench_tiled(detector, *, seconds: float = 6.0,
 
         def dispatch(arr, geom):
             if mode == "ycbcr":
-                return tiled.run_device_ycbcr_packed(
+                return t_det.run_device_ycbcr_packed(
                     arr, geom, pack_output=True)
-            return tiled.run_device(arr, pack_output=True)
+            return t_det.run_device(arr, pack_output=True)
 
         t = threading.Thread(target=decoder, daemon=True)
         t.start()
@@ -386,6 +390,11 @@ def bench_tiled(detector, *, seconds: float = 6.0,
 
     fps_rgb = pipeline("rgb")
     fps_ycbcr = pipeline("ycbcr")
+    # scaled-IDCT decode: the same trade the plain 640x480 path makes
+    # by default (detections are relative coords; tiles still downscale
+    # to the 320x240 model input) at 1/4 the transfer bytes — the
+    # serving worker applies --decode-scale to tiled streams already
+    fps_ycbcr_s2 = pipeline("ycbcr", scale=2)
 
     # device-resident compute ceiling (same batch as the pipelines so
     # the executable is shared)
@@ -400,7 +409,9 @@ def bench_tiled(detector, *, seconds: float = 6.0,
     return {
         "tiled_1080p_rgb_fps": round(fps_rgb, 1),
         "tiled_1080p_ycbcr_fps": round(fps_ycbcr, 1),
-        "tiled_1080p_fps": round(max(fps_rgb, fps_ycbcr), 1),
+        "tiled_1080p_ycbcr_scaled_fps": round(fps_ycbcr_s2, 1),
+        "tiled_1080p_fps": round(max(fps_rgb, fps_ycbcr,
+                                     fps_ycbcr_s2), 1),
         "tiled_1080p_batch": batch,
         "tiled_1080p_device_fps": round(batch * 1e3 / device_ms, 1),
     }
