@@ -342,8 +342,8 @@ def _dropout(node: OnnxNode, x, *_ignored):
 
 
 def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
-                   nearest_mode: str, cubic_a: float = -0.75
-                   ) -> np.ndarray:
+                   nearest_mode: str, cubic_a: float = -0.75,
+                   antialias: bool = False) -> np.ndarray:
     """[n_out, n_in] interpolation matrix for one axis — resize becomes
     two MXU matmuls (same scheme as ops/preprocess.py). Supports the
     coordinate transforms torch exports emit."""
@@ -359,6 +359,27 @@ def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
         src = (i + 0.5) * scale - 0.5 if n_out > 1 else np.zeros_like(i)
     else:
         raise ValueError(f"Resize coordinate mode {coord!r} unsupported")
+    if antialias and mode in ("linear", "cubic") and n_in > n_out:
+        # antialias=1 downscale (torch interpolate(antialias=True) /
+        # PIL): stretch the filter support by the scale factor, drop
+        # out-of-range taps, renormalize each row. torch emits
+        # cubic_coeff_a=-0.5 for AA bicubic — honored via the attr.
+        # torch's truncated [xmin, xmax) tap window equals this dense
+        # form: every tap it excludes has exactly zero filter weight.
+        radius = 1.0 if mode == "linear" else 2.0
+        d = np.abs(np.arange(n_in)[None, :] - src[:, None]) / scale
+        if mode == "linear":
+            w = np.maximum(0.0, 1.0 - d)
+        else:
+            a = cubic_a
+            w = np.where(
+                d <= 1, (a + 2) * d**3 - (a + 3) * d**2 + 1,
+                np.where(d < 2,
+                         a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a,
+                         0.0))
+        w[d >= radius] = 0.0
+        w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        return w.astype(np.float32)
     m = np.zeros((n_out, n_in), np.float32)
     if mode == "nearest":
         if nearest_mode == "floor":
@@ -417,8 +438,9 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
     if node.attrs.get("exclude_outside", 0):
         raise ValueError(
             f"Resize exclude_outside unsupported ({node.name})")
-    if node.attrs.get("antialias", 0):
-        raise ValueError(f"Resize antialias unsupported ({node.name})")
+    # antialias=1 affects only linear/cubic downscale axes (the spec
+    # defines it as a no-op otherwise) — handled in _resize_matrix
+    antialias = bool(node.attrs.get("antialias", 0))
     if scales is not None and np.asarray(scales).size == 0:
         scales = None
     if not _is_concrete(scales if sizes is None else sizes):
@@ -446,7 +468,7 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
         if out_shape[ax] == x.shape[ax]:
             continue
         m = _resize_matrix(x.shape[ax], out_shape[ax], mode, coord,
-                           nearest, cubic_a)
+                           nearest, cubic_a, antialias)
         out = jnp.moveaxis(
             jnp.tensordot(out, m.astype(out.dtype), axes=((ax,), (1,))),
             -1, ax)

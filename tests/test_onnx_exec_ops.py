@@ -1716,3 +1716,52 @@ def test_grid_sample_volumetric_rejected():
         _OPS["GridSample"](
             _node("GridSample"), np.zeros((1, 1, 2, 2, 2), np.float32),
             np.zeros((1, 1, 1, 1, 3), np.float32))
+
+
+@pytest.mark.parametrize("mode,tmode,a", [("linear", "bilinear", -0.75),
+                                          ("cubic", "bicubic", -0.5)])
+def test_resize_antialias_matches_torch(mode, tmode, a):
+    """antialias=1 downscale against torch interpolate(antialias=True)
+    — the PIL-convention stretched filter (AA bicubic uses a=-0.5,
+    which the exporter emits via cubic_coeff_a)."""
+    rng = np.random.default_rng(46)
+    x = rng.normal(size=(2, 3, 17, 23)).astype(np.float32)
+    node = _node("Resize", dict(
+        mode=mode.encode(), antialias=1, cubic_coeff_a=a,
+        coordinate_transformation_mode=b"pytorch_half_pixel"))
+    got = _OPS["Resize"](node, x, None, None,
+                         np.array([2, 3, 7, 9], np.int64))
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(7, 9), mode=tmode,
+        antialias=True).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_resize_antialias_upscale_is_noop():
+    """The spec scopes antialias to downscale; an upscale axis must
+    equal the plain filter."""
+    x = np.random.default_rng(47).normal(size=(1, 1, 5, 6)).astype(
+        np.float32)
+    sizes = np.array([1, 1, 10, 12], np.int64)
+    base = dict(mode=b"linear",
+                coordinate_transformation_mode=b"half_pixel")
+    plain = _OPS["Resize"](_node("Resize", base), x, None, None, sizes)
+    aa = _OPS["Resize"](_node("Resize", dict(base, antialias=1)),
+                        x, None, None, sizes)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(plain))
+
+
+def test_resize_antialias_export(tmp_path):
+    class Mod(torch.nn.Module):
+        def forward(self, x):
+            return torch.nn.functional.interpolate(
+                x, size=(6, 7), mode="bilinear", antialias=True)
+
+    x = np.random.default_rng(48).normal(size=(1, 2, 15, 19)).astype(
+        np.float32)
+    try:
+        ex = _check_export(Mod(), [x], tmp_path, opset=18, jit=True)
+    except Exception as e:
+        pytest.skip(f"exporter cannot emit antialias Resize: {e}")
+    node = next(n for n in ex.graph.nodes if n.op_type == "Resize")
+    assert node.attrs.get("antialias", 0) == 1
