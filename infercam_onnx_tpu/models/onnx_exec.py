@@ -343,7 +343,8 @@ def _dropout(node: OnnxNode, x, *_ignored):
 
 def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
                    nearest_mode: str, cubic_a: float = -0.75,
-                   antialias: bool = False) -> np.ndarray:
+                   antialias: bool = False,
+                   exclude_outside: bool = False) -> np.ndarray:
     """[n_out, n_in] interpolation matrix for one axis — resize becomes
     two MXU matmuls (same scheme as ops/preprocess.py). Supports the
     coordinate transforms torch exports emit."""
@@ -406,14 +407,28 @@ def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
                 np.where(d < 2,
                          a * d**3 - 5 * a * d**2 + 8 * a * d - 4 * a,
                          0.0))
-            idx = np.clip(base + tap, 0, n_in - 1)
+            raw = base + tap
+            if exclude_outside:
+                # spec: out-of-range taps get weight 0 and each row
+                # renormalizes (tf2onnx-style exports), instead of the
+                # default clamp-to-edge accumulation
+                w = np.where((raw < 0) | (raw >= n_in), 0.0, w)
+            idx = np.clip(raw, 0, n_in - 1)
             np.add.at(m, (np.arange(n_out), idx), w.astype(np.float32))
+        if exclude_outside:
+            m /= np.maximum(m.sum(axis=1, keepdims=True), 1e-12)
     else:  # linear
-        lo = np.clip(np.floor(src), 0, n_in - 1).astype(np.int64)
-        hi = np.clip(lo + 1, 0, n_in - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = lo + 1
         frac = np.clip(src - lo, 0.0, 1.0).astype(np.float32)
-        m[np.arange(n_out), lo] += 1.0 - frac
-        m[np.arange(n_out), hi] += frac
+        w_lo, w_hi = 1.0 - frac, frac
+        if exclude_outside:
+            w_lo = np.where((lo < 0) | (lo >= n_in), 0.0, w_lo)
+            w_hi = np.where((hi < 0) | (hi >= n_in), 0.0, w_hi)
+        m[np.arange(n_out), np.clip(lo, 0, n_in - 1)] += w_lo
+        m[np.arange(n_out), np.clip(hi, 0, n_in - 1)] += w_hi
+        if exclude_outside:
+            m /= np.maximum(m.sum(axis=1, keepdims=True), 1e-12)
     return m
 
 
@@ -435,12 +450,12 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
     if mode not in ("nearest", "linear", "cubic"):
         raise ValueError(f"Resize mode {mode!r} unsupported ({node.name})")
     cubic_a = float(node.attrs.get("cubic_coeff_a", -0.75))
-    if node.attrs.get("exclude_outside", 0):
-        raise ValueError(
-            f"Resize exclude_outside unsupported ({node.name})")
     # antialias=1 affects only linear/cubic downscale axes (the spec
-    # defines it as a no-op otherwise) — handled in _resize_matrix
+    # defines it as a no-op otherwise); exclude_outside=1 zeroes
+    # out-of-range taps and renormalizes (tf2onnx-style exports) —
+    # both handled in _resize_matrix
     antialias = bool(node.attrs.get("antialias", 0))
+    exclude = bool(node.attrs.get("exclude_outside", 0))
     if scales is not None and np.asarray(scales).size == 0:
         scales = None
     if not _is_concrete(scales if sizes is None else sizes):
@@ -468,7 +483,7 @@ def _resize(node: OnnxNode, x, roi=None, scales=None, sizes=None):
         if out_shape[ax] == x.shape[ax]:
             continue
         m = _resize_matrix(x.shape[ax], out_shape[ax], mode, coord,
-                           nearest, cubic_a, antialias)
+                           nearest, cubic_a, antialias, exclude)
         out = jnp.moveaxis(
             jnp.tensordot(out, m.astype(out.dtype), axes=((ax,), (1,))),
             -1, ax)

@@ -1765,3 +1765,44 @@ def test_resize_antialias_export(tmp_path):
         pytest.skip(f"exporter cannot emit antialias Resize: {e}")
     node = next(n for n in ex.graph.nodes if n.op_type == "Resize")
     assert node.attrs.get("antialias", 0) == 1
+
+
+def test_resize_exclude_outside_cubic():
+    """exclude_outside=1 (tf2onnx-style exports): out-of-range taps get
+    weight 0 and rows renormalize — border rows differ from the default
+    clamp-to-edge accumulation, interior rows are identical, and every
+    row still sums to 1 (checked on a constant input)."""
+    x = np.random.default_rng(49).normal(size=(1, 1, 6, 6)).astype(
+        np.float32)
+    sizes = np.array([1, 1, 12, 12], np.int64)
+    base = dict(mode=b"cubic",
+                coordinate_transformation_mode=b"half_pixel")
+    plain = np.asarray(_OPS["Resize"](
+        _node("Resize", base), x, None, None, sizes))
+    excl = np.asarray(_OPS["Resize"](
+        _node("Resize", dict(base, exclude_outside=1)), x, None, None,
+        sizes))
+    assert not np.allclose(excl[..., 0, :], plain[..., 0, :])
+    np.testing.assert_allclose(excl[..., 4:8, 4:8],
+                               plain[..., 4:8, 4:8], rtol=1e-5)
+    ones = np.ones((1, 1, 6, 6), np.float32)
+    out = np.asarray(_OPS["Resize"](
+        _node("Resize", dict(base, exclude_outside=1)), ones, None,
+        None, sizes))
+    np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+
+def test_resize_exclude_outside_linear_interior_identity():
+    """With every tap in range (asymmetric downscale by 2),
+    exclude_outside must not change the linear result."""
+    x = np.random.default_rng(50).normal(size=(1, 1, 8, 8)).astype(
+        np.float32)
+    sizes = np.array([1, 1, 4, 4], np.int64)
+    base = dict(mode=b"linear",
+                coordinate_transformation_mode=b"asymmetric")
+    plain = np.asarray(_OPS["Resize"](
+        _node("Resize", base), x, None, None, sizes))
+    excl = np.asarray(_OPS["Resize"](
+        _node("Resize", dict(base, exclude_outside=1)), x, None, None,
+        sizes))
+    np.testing.assert_allclose(excl, plain, rtol=1e-6)
