@@ -1230,11 +1230,41 @@ def _rnn_directions(node: OnnxNode):
     raise ValueError(f"direction {d!r} unsupported ({node.name})")
 
 
+def _rnn_seq_prep(x, seq_lens, reverse: bool):
+    """Per-batch variable-length handling for the RNN family: returns
+    (xs, mask[S,B], gidx) where ``xs`` is the per-batch-reversed input
+    for reverse directions (ONNX reverses only the valid prefix of each
+    sequence, not the padded tail), ``mask[t, b]`` = step t is within
+    batch b's length (the scan carries state through and zeroes Y at
+    masked steps), and ``gidx`` scatters reverse outputs back."""
+    s = x.shape[0]
+    if seq_lens is None:
+        xs = x[::-1] if reverse else x
+        return xs, jnp.ones((s, x.shape[1]), bool), None
+    lens = jnp.asarray(seq_lens, jnp.int32)
+    t_idx = jnp.arange(s, dtype=jnp.int32)[:, None]
+    mask = t_idx < lens[None, :]
+    if reverse:
+        gidx = jnp.clip(lens[None, :] - 1 - t_idx, 0, s - 1)
+        xs = jnp.take_along_axis(x, gidx[:, :, None], axis=0)
+    else:
+        gidx = None
+        xs = x
+    return xs, mask, gidx
+
+
+def _rnn_seq_finish(y, reverse: bool, seq_lens, mask, gidx):
+    """Undo the per-batch reversal on the stacked outputs."""
+    if seq_lens is None:
+        return y[::-1] if reverse else y
+    if reverse:
+        y = jnp.take_along_axis(y, gidx[:, :, None], axis=0)
+        y = jnp.where(mask[:, :, None], y, 0)
+    return y
+
+
 def _rnn_common_checks(node: OnnxNode, seq_lens,
                        default_acts: tuple[bytes, ...]):
-    if seq_lens is not None:
-        raise ValueError(
-            f"{node.op_type} sequence_lens unsupported ({node.name})")
     if node.attrs.get("clip", 0.0):
         raise ValueError(f"{node.op_type} clip unsupported "
                          f"({node.name})")
@@ -1266,7 +1296,7 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
             f"LSTM input_forget (CIFG) unsupported ({node.name})")
     hs = int(node.attrs["hidden_size"])
     x = jnp.asarray(x)
-    s, bsz = x.shape[0], x.shape[1]
+    bsz = x.shape[1]
     dirs = _rnn_directions(node)
     ys, hs_out, cs_out = [], [], []
     for d, reverse in enumerate(dirs):
@@ -1278,22 +1308,26 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
              else jnp.zeros((bsz, hs), x.dtype))
         c = (jnp.asarray(c0)[d] if c0 is not None
              else jnp.zeros((bsz, hs), x.dtype))
-        xs = x[::-1] if reverse else x
+        xs, mask, gidx = _rnn_seq_prep(x, seq_lens, reverse)
         gx = jnp.einsum("sbi,gi->sbg", xs, wd) + bias
 
-        def step(carry, g, rd=rd, hs=hs):
+        def step(carry, inp, rd=rd, hs=hs):
             h, c = carry
+            g, m = inp
             g = g + h @ rd.T
             i = jax.nn.sigmoid(g[:, 0 * hs:1 * hs])
             o = jax.nn.sigmoid(g[:, 1 * hs:2 * hs])
             f = jax.nn.sigmoid(g[:, 2 * hs:3 * hs])
             ct = jnp.tanh(g[:, 3 * hs:4 * hs])
-            c = f * c + i * ct
-            h = o * jnp.tanh(c)
-            return (h, c), h
+            cn = f * c + i * ct
+            hn = o * jnp.tanh(cn)
+            m = m[:, None]
+            # past a batch row's length the state freezes and Y is 0
+            return ((jnp.where(m, hn, h), jnp.where(m, cn, c)),
+                    jnp.where(m, hn, 0))
 
-        (h, c), y = jax.lax.scan(step, (h, c), gx)
-        ys.append(y[::-1] if reverse else y)
+        (h, c), y = jax.lax.scan(step, (h, c), (gx, mask))
+        ys.append(_rnn_seq_finish(y, reverse, seq_lens, mask, gidx))
         hs_out.append(h)
         cs_out.append(c)
     y = jnp.stack(ys, axis=1)  # [seq, dirs, batch, hidden]
@@ -1316,15 +1350,17 @@ def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
                 if b is not None else jnp.zeros(hs, x.dtype))
         h = (jnp.asarray(h0)[d] if h0 is not None
              else jnp.zeros((bsz, hs), x.dtype))
-        xs = x[::-1] if reverse else x
+        xs, mask, gidx = _rnn_seq_prep(x, seq_lens, reverse)
         gx = jnp.einsum("sbi,gi->sbg", xs, wd) + bias
 
-        def step(h, g, rd=rd):
-            h = jnp.tanh(g + h @ rd.T)
-            return h, h
+        def step(h, inp, rd=rd):
+            g, m = inp
+            hn = jnp.tanh(g + h @ rd.T)
+            m = m[:, None]
+            return jnp.where(m, hn, h), jnp.where(m, hn, 0)
 
-        h, y = jax.lax.scan(step, h, gx)
-        ys.append(y[::-1] if reverse else y)
+        h, y = jax.lax.scan(step, h, (gx, mask))
+        ys.append(_rnn_seq_finish(y, reverse, seq_lens, mask, gidx))
         hs_out.append(h)
     outs = (jnp.stack(ys, axis=1), jnp.stack(hs_out))
     return outs[:len(node.outputs)] if len(node.outputs) > 1 \
@@ -1349,10 +1385,11 @@ def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
               else jnp.zeros(3 * hs, x.dtype))
         h = (jnp.asarray(h0)[d] if h0 is not None
              else jnp.zeros((bsz, hs), x.dtype))
-        xs = x[::-1] if reverse else x
+        xs, mask, gidx = _rnn_seq_prep(x, seq_lens, reverse)
         gx = jnp.einsum("sbi,gi->sbg", xs, wd) + wb
 
-        def step(h, g, rd=rd, rb=rb, hs=hs, lbr=lbr):
+        def step(h, inp, rd=rd, rb=rb, hs=hs, lbr=lbr):
+            g, m = inp
             gh = h @ rd.T + rb
             z = jax.nn.sigmoid(g[:, :hs] + gh[:, :hs])
             rt = jax.nn.sigmoid(g[:, hs:2 * hs] + gh[:, hs:2 * hs])
@@ -1362,11 +1399,12 @@ def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
                 ht = jnp.tanh(g[:, 2 * hs:]
                               + (rt * h) @ rd[2 * hs:].T
                               + rb[2 * hs:])
-            h = (1 - z) * ht + z * h
-            return h, h
+            hn = (1 - z) * ht + z * h
+            m = m[:, None]
+            return jnp.where(m, hn, h), jnp.where(m, hn, 0)
 
-        h, y = jax.lax.scan(step, h, gx)
-        ys.append(y[::-1] if reverse else y)
+        h, y = jax.lax.scan(step, h, (gx, mask))
+        ys.append(_rnn_seq_finish(y, reverse, seq_lens, mask, gidx))
         hs_out.append(h)
     y = jnp.stack(ys, axis=1)
     outs = (y, jnp.stack(hs_out))
@@ -2199,6 +2237,7 @@ class GraphDetector:
         """RGB-input fused annotated path for graph models."""
         from infercam_onnx_tpu.detector import Detector
         from infercam_onnx_tpu.ops.jpeg_encode_device import (
+            SUBSAMPLING_FACTORS,
             encode_planes,
             render_overlay_ycbcr,
             rgb_to_ycbcr_planes,

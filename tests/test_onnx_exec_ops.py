@@ -1806,3 +1806,70 @@ def test_resize_exclude_outside_linear_interior_identity():
         _node("Resize", dict(base, exclude_outside=1)), x, None, None,
         sizes))
     np.testing.assert_allclose(excl, plain, rtol=1e-6)
+
+
+def test_rnn_family_sequence_lens(tmp_path):
+    """sequence_lens (variable-length batches): Y is zero past each
+    row's length, the final hidden state is the one AT the length, and
+    reverse directions process only the valid prefix — torch
+    pack_padded_sequence is the oracle, weights come from a real
+    export (so the iofc/zrh gate mapping is the exporter's own)."""
+    torch.manual_seed(11)
+    mod = _Recurrent(bidirectional=True).eval()
+    s, bsz = 6, 3
+    x = np.random.default_rng(33).normal(
+        size=(s, bsz, 5)).astype(np.float32)
+    path = tmp_path / "rec.onnx"
+    _export(mod, path, torch.from_numpy(x), opset=13)
+    ex = GraphExecutor(read_onnx_graph(str(path)))
+    lens = np.array([6, 3, 1], np.int32)
+
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(x), torch.from_numpy(lens).long(),
+        enforce_sorted=False)
+
+    def node_weights(op):
+        node = next(n for n in ex.graph.nodes if n.op_type == op)
+        init = ex.graph.initializers
+        w, r = init[node.inputs[1]], init[node.inputs[2]]
+        b = (init[node.inputs[3]]
+             if len(node.inputs) > 3 and node.inputs[3] else None)
+        return node, w, r, b
+
+    def check(onnx_y, onnx_h, t_out, t_h, hidden):
+        t_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            t_out, total_length=s)
+        t_out = t_out.detach().numpy()  # [S, B, dirs*H]
+        got_y = np.asarray(onnx_y)  # [S, dirs, B, H]
+        np.testing.assert_allclose(got_y[:, 0], t_out[..., :hidden],
+                                   atol=1e-5)
+        np.testing.assert_allclose(got_y[:, 1], t_out[..., hidden:],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(onnx_h),
+                                   t_h.detach().numpy(), atol=1e-5)
+
+    node, w, r, b = node_weights("LSTM")
+    y_l, h_l, c = _OPS["LSTM"](node, x, w, r, b, lens)
+    t_out, (t_h, t_c) = mod.lstm(packed)
+    check(y_l, h_l, t_out, t_h, 7)
+    np.testing.assert_allclose(np.asarray(c), t_c.detach().numpy(),
+                               atol=1e-5)
+
+    node, w, r, b = node_weights("GRU")
+    y, h = _OPS["GRU"](node, x, w, r, b, lens)
+    t_out, t_h = mod.gru(packed)
+    check(y, h, t_out, t_h, 6)
+
+    node, w, r, b = node_weights("RNN")
+    y, h = _OPS["RNN"](node, x, w, r, b, lens)
+    t_out, t_h = mod.rnn(packed)
+    check(y, h, t_out, t_h, 4)
+
+    # traced seq_lens under jit agree
+    node, w, r, b = node_weights("LSTM")
+    y_t, h_t, c_t = jax.jit(
+        lambda xx, ll: _OPS["LSTM"](node, xx, w, r, b, ll))(x, lens)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_l),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_l),
+                               atol=1e-5)
