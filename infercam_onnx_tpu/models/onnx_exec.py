@@ -111,8 +111,112 @@ def _batch_norm(node: OnnxNode, x, scale, bias, mean, var):
         + bias.reshape(shape)
 
 
-def _pool(node: OnnxNode, x, reducer, init, is_avg=False):
-    if len(node.outputs) > 1:
+def _max_pool_indices(node: OnnxNode, x):
+    """MaxPool's second output (torch return_indices=True exports):
+    ONNX-convention GLOBAL flat indices (row-major over [N, C, *D],
+    storage_order=0) of each window's max. Built from statically
+    shifted slices over the kernel offsets (prod(ks) slices — tiny for
+    real kernels), so the argmax is one reduction under jit."""
+    if node.attrs.get("storage_order", 0):
+        raise ValueError(
+            f"MaxPool storage_order=1 unsupported ({node.name})")
+    import itertools
+
+    ks = node.attrs["kernel_shape"]
+    strides = node.attrs.get("strides", [1] * len(ks))
+    dilations = node.attrs.get("dilations", [1] * len(ks))
+    pads = list(_auto_pads(node, x.shape[2:], ks, strides, dilations))
+    n = len(ks)
+    spatial = [int(s) for s in x.shape[2:]]
+    out_dims = []
+    for i in range(n):
+        span = (ks[i] - 1) * dilations[i] + 1
+        total = spatial[i] + pads[i] + pads[i + n]
+        if node.attrs.get("ceil_mode", 0):
+            o = -((span - total) // strides[i]) + 1
+            if (o - 1) * strides[i] >= spatial[i] + pads[i]:
+                o -= 1
+        else:
+            o = (total - span) // strides[i] + 1
+        out_dims.append(o)
+    # pad with -inf so padding never wins the argmax
+    xp = jnp.pad(
+        jnp.asarray(x, jnp.float32),
+        ((0, 0), (0, 0)) + tuple(
+            (pads[i],
+             pads[i + n] + max((out_dims[i] - 1) * strides[i]
+                               + (ks[i] - 1) * dilations[i] + 1
+                               - (spatial[i] + pads[i] + pads[i + n]),
+                               0))
+            for i in range(n)),
+        constant_values=-jnp.inf)
+    slabs, flat_pos = [], []
+    for offs in itertools.product(*(range(k) for k in ks)):
+        sl = [slice(None), slice(None)]
+        for i in range(n):
+            start = offs[i] * dilations[i]
+            sl.append(slice(start,
+                            start + (out_dims[i] - 1) * strides[i] + 1,
+                            strides[i]))
+        slabs.append(xp[tuple(sl)])
+        # input coordinate of this tap for every output cell, as the
+        # per-axis contribution to the global flat index
+        pos = jnp.zeros((1, 1) + tuple(out_dims), jnp.int32)
+        mult = 1
+        for i in reversed(range(n)):
+            coord = (jnp.arange(out_dims[i], dtype=jnp.int32)
+                     * strides[i] - pads[i] + offs[i] * dilations[i])
+            shape = [1] * (n + 2)
+            shape[2 + i] = out_dims[i]
+            pos = pos + coord.reshape(shape) * mult
+            mult *= spatial[i]
+        flat_pos.append(pos)
+    stack = jnp.stack(slabs)  # [K, N, C, *out]
+    best = jnp.argmax(stack, axis=0)  # first max wins (torch tie rule)
+    pos = jnp.take_along_axis(jnp.stack(flat_pos), best[None],
+                              axis=0)[0]
+    plane = int(np.prod(spatial))
+    nb, c = x.shape[0], x.shape[1]
+    base = (jnp.arange(nb, dtype=jnp.int64)[:, None] * c
+            + jnp.arange(c, dtype=jnp.int64)[None, :]) * plane
+    return (pos.astype(jnp.int64)
+            + base.reshape((nb, c) + (1,) * n))
+
+
+def _max_pool(node: OnnxNode, x):
+    out = _pool(node, x, jax.lax.max, -jnp.inf, indices_ok=True)
+    if len(node.outputs) < 2:
+        return out
+    return out, _max_pool_indices(node, x)
+
+
+def _max_unpool(node: OnnxNode, x, idx, output_shape=None):
+    """MaxUnpool: scatter pooled values back to the indices' positions
+    (indices are ONNX global flat, which makes this one .at[].set)."""
+    ks = node.attrs["kernel_shape"]
+    n = len(ks)
+    strides = node.attrs.get("strides", [1] * n)
+    pads = node.attrs.get("pads", [0] * (2 * n))
+    if output_shape is not None:
+        if not _is_concrete(output_shape):
+            raise ValueError(
+                f"MaxUnpool with traced output_shape ({node.name})")
+        shape = tuple(int(v) for v in np.asarray(output_shape)
+                      .reshape(-1))
+    else:
+        shape = tuple(x.shape[:2]) + tuple(
+            (int(x.shape[2 + i]) - 1) * strides[i] - pads[i]
+            - pads[i + n] + ks[i] for i in range(n))
+    x = jnp.asarray(x)
+    idx = jnp.asarray(idx)
+    flat = jnp.zeros((int(np.prod(shape)),), x.dtype)
+    flat = flat.at[idx.reshape(-1)].set(x.reshape(-1))
+    return flat.reshape(shape)
+
+
+def _pool(node: OnnxNode, x, reducer, init, is_avg=False,
+          indices_ok=False):
+    if len(node.outputs) > 1 and not indices_ok:
         raise ValueError(
             f"pool with indices output unsupported ({node.name})")
     ks = node.attrs["kernel_shape"]
@@ -689,7 +793,8 @@ _OPS: dict[str, Callable] = {
         else np.dtype(jnp.dtype(_ONNX_DTYPES[n.attrs["to"]]).name)),
     "Softmax": _softmax,
     "Slice": _slice,
-    "MaxPool": lambda n, x: _pool(n, x, jax.lax.max, -jnp.inf),
+    "MaxPool": _max_pool,
+    "MaxUnpool": _max_unpool,
     "AveragePool": lambda n, x: _pool(n, x, jax.lax.add, 0.0,
                                       is_avg=True),
     "Clip": _clip,

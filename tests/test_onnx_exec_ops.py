@@ -1873,3 +1873,76 @@ def test_rnn_family_sequence_lens(tmp_path):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_t), np.asarray(h_l),
                                atol=1e-5)
+
+
+class _PoolIndicesNet(torch.nn.Module):
+    def forward(self, x):
+        return torch.nn.functional.max_pool2d(x, 2, 2,
+                                              return_indices=True)
+
+
+def test_maxpool_indices_export(tmp_path):
+    """torch return_indices exports MaxPool with the Indices output
+    plus the exporter's own Slice/Sub index-convention arithmetic —
+    running the whole graph must reproduce torch's per-plane indices
+    exactly (which pins our ONNX-global convention underneath). The
+    MaxUnpool half of the SegNet pair is inexpressible by this torch
+    exporter (its symbolic crashes on any max_unpool2d), so the op is
+    pinned at node level in test_max_unpool_roundtrip_node."""
+    x = np.random.default_rng(51).normal(size=(2, 3, 8, 10)).astype(
+        np.float32)
+    ex = _check_export(_PoolIndicesNet(), [x], tmp_path, opset=11,
+                       jit=True)
+    pool_node = next(n for n in ex.graph.nodes
+                     if n.op_type == "MaxPool"
+                     and len(n.outputs) == 2)
+    assert pool_node is not None
+
+
+def test_maxpool_indices_are_onnx_global_flat():
+    """Node-level pin of the spec convention: indices are row-major
+    flat over the WHOLE [N, C, H, W] tensor (storage_order=0), first
+    max wins on ties."""
+    x = np.zeros((2, 2, 4, 4), np.float32)
+    x[0, 0, 1, 2] = 5.0   # window (0,1): flat = 1*4 + 2 = 6
+    x[1, 1, 3, 3] = 7.0   # plane base (1*2+1)*16 = 48, flat 48+15
+    node = _node("MaxPool", dict(kernel_shape=[2, 2],
+                                 strides=[2, 2]), n_out=2)
+    vals, idx = _OPS["MaxPool"](node, x)
+    idx = np.asarray(idx)
+    assert idx.shape == (2, 2, 2, 2)
+    assert idx[0, 0, 0, 1] == 6
+    assert idx[1, 1, 1, 1] == 48 + 15
+    # ties: all-equal window -> first element in row-major order
+    assert idx[0, 0, 0, 0] == 0
+    # plane offsets: same spatial answer in every other plane
+    assert idx[0, 1, 0, 0] == 16
+    tvals, tidx = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 2, 2, return_indices=True)
+    np.testing.assert_allclose(np.asarray(vals), tvals.numpy())
+    # torch indices are per-plane; adding the plane base must equal ours
+    plane = (np.arange(2)[:, None] * 2
+             + np.arange(2)[None, :]).reshape(2, 2, 1, 1) * 16
+    np.testing.assert_array_equal(idx, tidx.numpy() + plane)
+
+
+def test_max_unpool_roundtrip_node():
+    rng = np.random.default_rng(52)
+    x = rng.normal(size=(1, 2, 6, 6)).astype(np.float32)
+    pool = _node("MaxPool", dict(kernel_shape=[2, 2], strides=[2, 2]),
+                 n_out=2)
+    vals, idx = _OPS["MaxPool"](pool, x)
+    unpool = _node("MaxUnpool", dict(kernel_shape=[2, 2],
+                                     strides=[2, 2]))
+    out = np.asarray(_OPS["MaxUnpool"](unpool, np.asarray(vals),
+                                       np.asarray(idx)))
+    want = torch.nn.functional.max_unpool2d(
+        torch.from_numpy(np.asarray(vals)),
+        torch.from_numpy(np.asarray(idx)
+                         % 36).long(),  # torch wants per-plane
+        2, stride=2).numpy()
+    np.testing.assert_allclose(out, want)
+    # jit path
+    out_t = jax.jit(lambda v, i: _OPS["MaxUnpool"](unpool, v, i))(
+        np.asarray(vals), np.asarray(idx))
+    np.testing.assert_allclose(np.asarray(out_t), want)
