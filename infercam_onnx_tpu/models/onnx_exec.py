@@ -1223,10 +1223,15 @@ def _grid_sample(node: OnnxNode, x, grid):
         raise ValueError(
             f"GridSample padding_mode {pad!r} unsupported "
             f"({node.name})")
+    if len(x.shape) == 5:
+        if mode == b"bicubic":
+            raise ValueError(
+                f"GridSample cubic is 4-D only per spec ({node.name})")
+        return _grid_sample_3d(node, x, grid, mode, pad, align)
     if len(x.shape) != 4:
         raise ValueError(
-            f"GridSample expects 4-D [B,C,H,W] input, got rank "
-            f"{len(x.shape)} ({node.name})")
+            f"GridSample expects 4-D [B,C,H,W] or 5-D [B,C,D,H,W] "
+            f"input, got rank {len(x.shape)} ({node.name})")
     x = jnp.asarray(x)
     grid = jnp.asarray(grid)
     h, w = x.shape[2], x.shape[3]
@@ -1324,6 +1329,69 @@ def _grid_sample(node: OnnxNode, x, grid):
             + wy * wx * sample(y0i + 1, x0i + 1))
 
 
+def _grid_sample_3d(node: OnnxNode, x, grid, mode, pad, align):
+    """Volumetric GridSample (opset 16+/20): x[B,C,D,H,W] sampled at
+    grid[B,Do,Ho,Wo,3] xyz locations — trilinear/nearest with the same
+    padding semantics as the 4-D path."""
+    x = jnp.asarray(x)
+    grid = jnp.asarray(grid)
+    d, h, w = x.shape[2], x.shape[3], x.shape[4]
+
+    def reflect(coord, size):
+        if align:
+            span = 2.0 * max(size - 1, 1)
+            c = jnp.abs(coord) % span
+            return jnp.where(c > span / 2, span - c, c)
+        span = 2.0 * size
+        c = jnp.mod(coord + 0.5, span)
+        c = jnp.where(c > size, span - c, c)
+        return jnp.clip(c - 0.5, 0.0, size - 1.0)
+
+    def unnormalize(coord, size):
+        if align:
+            c = (coord + 1) * (size - 1) / 2
+        else:
+            c = ((coord + 1) * size - 1) / 2
+        if pad == b"reflection":
+            c = reflect(c, size)
+        return c
+
+    gx = unnormalize(grid[..., 0], w)  # [B, Do, Ho, Wo]
+    gy = unnormalize(grid[..., 1], h)
+    gz = unnormalize(grid[..., 2], d)
+
+    def sample(iz, iy, ix):
+        inside = ((iz >= 0) & (iz < d) & (iy >= 0) & (iy < h)
+                  & (ix >= 0) & (ix < w))
+        cz = jnp.clip(iz, 0, d - 1)
+        cy = jnp.clip(iy, 0, h - 1)
+        cx = jnp.clip(ix, 0, w - 1)
+        v = jax.vmap(lambda xb, zb, yb, xbi: xb[:, zb, yb, xbi])(
+            x, cz, cy, cx)
+        if pad == b"zeros":
+            v = jnp.where(inside[:, None], v, 0.0)
+        return v
+
+    if mode == b"nearest":
+        return sample(jnp.round(gz).astype(jnp.int32),
+                      jnp.round(gy).astype(jnp.int32),
+                      jnp.round(gx).astype(jnp.int32))
+    z0, y0, x0 = jnp.floor(gz), jnp.floor(gy), jnp.floor(gx)
+    wz = (gz - z0)[:, None]
+    wy = (gy - y0)[:, None]
+    wx = (gx - x0)[:, None]
+    z0i, y0i, x0i = (v.astype(jnp.int32) for v in (z0, y0, x0))
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = ((wz if dz else 1 - wz)
+                       * (wy if dy else 1 - wy)
+                       * (wx if dx else 1 - wx))
+                out = out + wgt * sample(z0i + dz, y0i + dy, x0i + dx)
+    return out
+
+
 def _rnn_directions(node: OnnxNode):
     d = node.attrs.get("direction", b"forward")
     if d == b"forward":
@@ -1370,9 +1438,6 @@ def _rnn_seq_finish(y, reverse: bool, seq_lens, mask, gidx):
 
 def _rnn_common_checks(node: OnnxNode, seq_lens,
                        default_acts: tuple[bytes, ...]):
-    if node.attrs.get("clip", 0.0):
-        raise ValueError(f"{node.op_type} clip unsupported "
-                         f"({node.name})")
     acts = node.attrs.get("activations")
     if acts:
         # exporters often spell out the defaults; only NON-default
@@ -1396,6 +1461,7 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
                        (b"Sigmoid", b"Tanh", b"Tanh"))
     if p is not None:
         raise ValueError(f"LSTM peepholes unsupported ({node.name})")
+    clip = float(node.attrs.get("clip", 0.0))
     if node.attrs.get("input_forget", 0):
         raise ValueError(
             f"LSTM input_forget (CIFG) unsupported ({node.name})")
@@ -1420,6 +1486,8 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
             h, c = carry
             g, m = inp
             g = g + h @ rd.T
+            if clip:  # spec: applied to the activations' input
+                g = jnp.clip(g, -clip, clip)
             i = jax.nn.sigmoid(g[:, 0 * hs:1 * hs])
             o = jax.nn.sigmoid(g[:, 1 * hs:2 * hs])
             f = jax.nn.sigmoid(g[:, 2 * hs:3 * hs])
@@ -1444,6 +1512,7 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
 def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
     """ONNX vanilla RNN (tanh recurrence; custom activations raise)."""
     _rnn_common_checks(node, seq_lens, (b"Tanh",))
+    clip = float(node.attrs.get("clip", 0.0))
     hs = int(node.attrs["hidden_size"])
     x = jnp.asarray(x)
     bsz = x.shape[1]
@@ -1460,7 +1529,10 @@ def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
 
         def step(h, inp, rd=rd):
             g, m = inp
-            hn = jnp.tanh(g + h @ rd.T)
+            pre = g + h @ rd.T
+            if clip:
+                pre = jnp.clip(pre, -clip, clip)
+            hn = jnp.tanh(pre)
             m = m[:, None]
             return jnp.where(m, hn, h), jnp.where(m, hn, 0)
 
@@ -1475,6 +1547,7 @@ def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
 def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
     """ONNX GRU (gate order zrh), default activations."""
     _rnn_common_checks(node, seq_lens, (b"Sigmoid", b"Tanh"))
+    clip = float(node.attrs.get("clip", 0.0))
     lbr = int(node.attrs.get("linear_before_reset", 0))
     hs = int(node.attrs["hidden_size"])
     x = jnp.asarray(x)
@@ -1496,14 +1569,19 @@ def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
         def step(h, inp, rd=rd, rb=rb, hs=hs, lbr=lbr):
             g, m = inp
             gh = h @ rd.T + rb
-            z = jax.nn.sigmoid(g[:, :hs] + gh[:, :hs])
-            rt = jax.nn.sigmoid(g[:, hs:2 * hs] + gh[:, hs:2 * hs])
+
+            def cl(v):
+                return jnp.clip(v, -clip, clip) if clip else v
+
+            z = jax.nn.sigmoid(cl(g[:, :hs] + gh[:, :hs]))
+            rt = jax.nn.sigmoid(cl(g[:, hs:2 * hs]
+                                   + gh[:, hs:2 * hs]))
             if lbr:
-                ht = jnp.tanh(g[:, 2 * hs:] + rt * gh[:, 2 * hs:])
+                ht = jnp.tanh(cl(g[:, 2 * hs:] + rt * gh[:, 2 * hs:]))
             else:
-                ht = jnp.tanh(g[:, 2 * hs:]
-                              + (rt * h) @ rd[2 * hs:].T
-                              + rb[2 * hs:])
+                ht = jnp.tanh(cl(g[:, 2 * hs:]
+                                 + (rt * h) @ rd[2 * hs:].T
+                                 + rb[2 * hs:]))
             hn = (1 - z) * ht + z * h
             m = m[:, None]
             return jnp.where(m, hn, h), jnp.where(m, hn, 0)

@@ -1711,10 +1711,11 @@ def test_grid_sample_bicubic_matches_torch(padding, align):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
 
-def test_grid_sample_volumetric_rejected():
-    with pytest.raises(ValueError, match="4-D"):
+def test_grid_sample_volumetric_cubic_rejected():
+    with pytest.raises(ValueError, match="cubic"):
         _OPS["GridSample"](
-            _node("GridSample"), np.zeros((1, 1, 2, 2, 2), np.float32),
+            _node("GridSample", dict(mode=b"bicubic")),
+            np.zeros((1, 1, 2, 2, 2), np.float32),
             np.zeros((1, 1, 1, 1, 3), np.float32))
 
 
@@ -1946,3 +1947,82 @@ def test_max_unpool_roundtrip_node():
     out_t = jax.jit(lambda v, i: _OPS["MaxUnpool"](unpool, v, i))(
         np.asarray(vals), np.asarray(idx))
     np.testing.assert_allclose(np.asarray(out_t), want)
+
+
+def test_lstm_clip_matches_numpy_oracle():
+    """The clip attr (tf2onnx-style LSTM exports) clamps every gate's
+    pre-activation; pinned against an independent NumPy step loop."""
+    rng = np.random.default_rng(53)
+    s, bsz, inp, hs = 4, 2, 3, 5
+    x = rng.normal(size=(s, bsz, inp)).astype(np.float32) * 3
+    w = rng.normal(size=(1, 4 * hs, inp)).astype(np.float32)
+    r = rng.normal(size=(1, 4 * hs, hs)).astype(np.float32)
+    b = rng.normal(size=(1, 8 * hs)).astype(np.float32)
+    clip = 0.4
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    h = np.zeros((bsz, hs), np.float32)
+    c = np.zeros((bsz, hs), np.float32)
+    want = []
+    bias = b[0, :4 * hs] + b[0, 4 * hs:]
+    for t in range(s):
+        g = x[t] @ w[0].T + h @ r[0].T + bias
+        g = np.clip(g, -clip, clip)
+        i = sig(g[:, 0 * hs:1 * hs])
+        o = sig(g[:, 1 * hs:2 * hs])
+        f = sig(g[:, 2 * hs:3 * hs])
+        ct = np.tanh(g[:, 3 * hs:4 * hs])
+        c = f * c + i * ct
+        h = o * np.tanh(c)
+        want.append(h.copy())
+    node = _node("LSTM", dict(hidden_size=hs, clip=clip), n_out=3)
+    y, hn, cn = _OPS["LSTM"](node, x, w, r, b)
+    np.testing.assert_allclose(np.asarray(y)[:, 0], np.stack(want),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn)[0], want[-1], atol=1e-5)
+    # clip large enough to never bind == no clip at all
+    loose = _OPS["LSTM"](_node("LSTM", dict(hidden_size=hs,
+                                            clip=1e9), n_out=3),
+                         x, w, r, b)
+    plain = _OPS["LSTM"](_node("LSTM", dict(hidden_size=hs), n_out=3),
+                         x, w, r, b)
+    np.testing.assert_allclose(np.asarray(loose[0]),
+                               np.asarray(plain[0]), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+@pytest.mark.parametrize("align", [False, True])
+def test_grid_sample_volumetric_matches_torch(mode, padding, align):
+    rng = np.random.default_rng(54)
+    x = rng.normal(size=(2, 2, 4, 5, 6)).astype(np.float32)
+    grid = rng.uniform(-1.4, 1.4, size=(2, 3, 2, 4, 3)).astype(
+        np.float32)
+    got = _OPS["GridSample"](
+        _node("GridSample", dict(mode=mode.encode(),
+                                 padding_mode=padding.encode(),
+                                 align_corners=int(align))),
+        x, grid)
+    want = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode=mode,
+        padding_mode=padding, align_corners=align).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_grid_sample_volumetric_export(tmp_path):
+    class Mod(torch.nn.Module):
+        def forward(self, x, g):
+            return torch.nn.functional.grid_sample(
+                x, g, align_corners=False)
+
+    x = np.random.default_rng(55).normal(size=(1, 2, 4, 4, 4)).astype(
+        np.float32)
+    g = np.random.default_rng(56).uniform(
+        -1.2, 1.2, size=(1, 2, 3, 2, 3)).astype(np.float32)
+    try:
+        ex = _check_export(Mod(), [x, g], tmp_path, opset=20, jit=True)
+    except Exception as e:
+        pytest.skip(f"exporter cannot emit 5-D GridSample: {e}")
+    assert any(n.op_type == "GridSample" for n in ex.graph.nodes)
