@@ -340,18 +340,35 @@ def _conv_transpose(node: OnnxNode, x, w, b=None):
     """ONNX ConvTranspose as an input-dilated regular conv. Kernel
     layout is (C_in, C_out/group, kH, kW); flip spatially and swap the
     io axes (per group) to express it with conv_general_dilated."""
-    if node.attrs.get("auto_pad", b"NOTSET") not in (b"", b"NOTSET"):
-        raise ValueError(
-            f"ConvTranspose auto_pad unsupported ({node.name})")
-    if "output_shape" in node.attrs:
-        raise ValueError(
-            f"ConvTranspose output_shape unsupported ({node.name})")
     group = int(node.attrs.get("group", 1))
     kh, kw = w.shape[2], w.shape[3]
     strides = node.attrs.get("strides", [1, 1])
     dil = node.attrs.get("dilations", [1, 1])
     pads = node.attrs.get("pads", [0, 0, 0, 0])
     opad = node.attrs.get("output_padding", [0, 0])
+    auto = node.attrs.get("auto_pad", b"NOTSET") or b"NOTSET"
+    oshape = node.attrs.get("output_shape")
+    if oshape is not None or auto in (b"SAME_UPPER", b"SAME_LOWER"):
+        # spec: pads are DERIVED from the requested output size
+        # (output_shape overrides pads; SAME_* implies out = in*stride),
+        # split per the SAME_UPPER/other distribution rule
+        if oshape is not None:
+            osp = [int(v) for v in np.asarray(oshape).reshape(-1)][-2:]
+        else:
+            osp = [int(x.shape[2 + i]) * strides[i] for i in range(2)]
+        pads = [0, 0, 0, 0]
+        for i in range(2):
+            k = (kh, kw)[i]
+            total = (strides[i] * (int(x.shape[2 + i]) - 1) + opad[i]
+                     + (k - 1) * dil[i] + 1 - osp[i])
+            if auto == b"SAME_UPPER":
+                pads[i], pads[i + 2] = total // 2, total - total // 2
+            else:
+                pads[i], pads[i + 2] = total - total // 2, total // 2
+    elif auto not in (b"", b"NOTSET", b"VALID"):
+        raise ValueError(
+            f"ConvTranspose auto_pad {auto!r} unsupported "
+            f"({node.name})")
     w = jnp.asarray(w)[:, :, ::-1, ::-1]
     cin, cog = w.shape[0], w.shape[1]
     # (C_in, C_out/g, kH, kW) -> (g, C_in/g, C_out/g, ...) -> (C_out, C_in/g, ...)

@@ -2026,3 +2026,52 @@ def test_grid_sample_volumetric_export(tmp_path):
     except Exception as e:
         pytest.skip(f"exporter cannot emit 5-D GridSample: {e}")
     assert any(n.op_type == "GridSample" for n in ex.graph.nodes)
+
+
+def test_conv_transpose_output_shape_and_same():
+    """output_shape / auto_pad=SAME_* (tf2onnx-style ConvTranspose):
+    pads derive from the requested output size per the spec's
+    distribution rule; torch conv_transpose2d is the oracle where the
+    total splits evenly, and the two half-rules are pinned against the
+    equivalent explicit-pads node."""
+    rng = np.random.default_rng(57)
+    x = rng.normal(size=(1, 3, 5, 6)).astype(np.float32)
+    w = rng.normal(size=(3, 4, 3, 3)).astype(np.float32)
+
+    # even total: stride 2, k=3, in=5 -> out=10 needs total=1? compute:
+    # total = 2*(5-1)+0+3-10 = 1 (odd) for h; pick out sizes giving
+    # even totals: out_h=9 -> total=2, out_w: 2*(6-1)+3-11=2
+    node = _node("ConvTranspose", dict(
+        kernel_shape=[3, 3], strides=[2, 2],
+        output_shape=[9, 11]), n_out=1)
+    got = np.asarray(_OPS["ConvTranspose"](node, x, w))
+    assert got.shape == (1, 4, 9, 11)
+    want = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2,
+        padding=1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # odd total: default (non-SAME_UPPER) puts the extra pad at the
+    # START; SAME_UPPER puts it at the END — both must equal the same
+    # node with the spec's explicit pads
+    for auto, pads in ((None, [1, 1, 0, 0]),
+                       (b"SAME_UPPER", [0, 0, 1, 1])):
+        attrs = dict(kernel_shape=[3, 3], strides=[2, 2],
+                     output_shape=[10, 12])
+        if auto:
+            attrs["auto_pad"] = auto
+        got = np.asarray(_OPS["ConvTranspose"](
+            _node("ConvTranspose", attrs), x, w))
+        assert got.shape == (1, 4, 10, 12)
+        expl = np.asarray(_OPS["ConvTranspose"](
+            _node("ConvTranspose", dict(kernel_shape=[3, 3],
+                                        strides=[2, 2], pads=pads)),
+            x, w))
+        np.testing.assert_allclose(got, expl, atol=1e-5)
+
+    # SAME_UPPER without output_shape: out = in * stride
+    got = np.asarray(_OPS["ConvTranspose"](
+        _node("ConvTranspose", dict(kernel_shape=[3, 3],
+                                    strides=[2, 2],
+                                    auto_pad=b"SAME_UPPER")), x, w))
+    assert got.shape == (1, 4, 10, 12)
