@@ -153,3 +153,76 @@ class SqueezeNet11(nn.Module):
 
     def forward(self, x):
         return torch.flatten(self.classifier(self.features(x)), 1)
+
+
+# -- unet-small (encoder/decoder segmentation with skip concats) -------------
+
+
+class _DoubleConv(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+            nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class UNetSmall(nn.Module):
+    """Classic U-Net shape at toy width: MaxPool encoder,
+    ConvTranspose(stride 2) decoder, skip concatenations — the standard
+    segmentation export (ConvTranspose + Concat at model scale)."""
+
+    def __init__(self, classes=3):
+        super().__init__()
+        self.inc = _DoubleConv(3, 8)
+        self.down1 = _DoubleConv(8, 16)
+        self.down2 = _DoubleConv(16, 32)
+        self.pool = nn.MaxPool2d(2)
+        self.up1 = nn.ConvTranspose2d(32, 16, 2, stride=2)
+        self.dec1 = _DoubleConv(32, 16)
+        self.up2 = nn.ConvTranspose2d(16, 8, 2, stride=2)
+        self.dec2 = _DoubleConv(16, 8)
+        self.head = nn.Conv2d(8, classes, 1)
+
+    def forward(self, x):
+        x1 = self.inc(x)
+        x2 = self.down1(self.pool(x1))
+        x3 = self.down2(self.pool(x2))
+        y = self.dec1(torch.cat([self.up1(x3), x2], dim=1))
+        y = self.dec2(torch.cat([self.up2(y), x1], dim=1))
+        return self.head(y)
+
+
+# -- crnn (conv feature extractor -> bidirectional LSTM -> classifier) -------
+
+
+class CRNN(nn.Module):
+    """CRNN-style sequence recognizer (the standard OCR export shape):
+    strided conv columns -> per-column features -> 2-layer
+    bidirectional LSTM -> per-step class logits."""
+
+    def __init__(self, classes=11, hidden=32):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(1, 16, 3, padding=1), nn.ReLU(inplace=True),
+            nn.MaxPool2d(2),
+            nn.Conv2d(16, 32, 3, padding=1), nn.ReLU(inplace=True),
+            nn.MaxPool2d((2, 1)),
+            nn.Conv2d(32, 48, 3, padding=1), nn.BatchNorm2d(48),
+            nn.ReLU(inplace=True),
+            nn.MaxPool2d((2, 1)))
+        self.rnn1 = nn.LSTM(48 * 4, hidden, bidirectional=True)
+        self.rnn2 = nn.LSTM(2 * hidden, hidden, bidirectional=True)
+        self.head = nn.Linear(2 * hidden, classes)
+
+    def forward(self, x):
+        f = self.features(x)  # [B, C, H', W']
+        b, c, h, w = f.shape
+        seq = f.permute(3, 0, 1, 2).reshape(w, b, c * h)
+        y, _ = self.rnn1(seq)
+        y, _ = self.rnn2(y)
+        return self.head(y)  # [W', B, classes]

@@ -79,3 +79,35 @@ def test_resnet18_opset17(tmp_path):
     evolution must not change results)."""
     _full_model_parity(ResNet18(), tmp_path, opset=17, size=64,
                        batch=1)
+
+
+def test_unet_small_full_model(tmp_path):
+    """Segmentation-family export: ConvTranspose decoder + skip
+    concats at model scale (round-3 continuation)."""
+    from tests.model_zoo_torch import UNetSmall
+
+    ex = _full_model_parity(UNetSmall(), tmp_path, size=64)
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert "ConvTranspose" in ops and "Concat" in ops
+
+
+def test_crnn_full_model(tmp_path):
+    """Recurrent-family export at model scale: conv columns into a
+    2-layer bidirectional LSTM (the standard OCR shape)."""
+    from tests.model_zoo_torch import CRNN
+
+    torch.manual_seed(1)
+    mod = CRNN().eval()
+    x = np.random.default_rng(2).normal(
+        size=(2, 1, 32, 24)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = mod(torch.from_numpy(x)).numpy()
+    path = tmp_path / "crnn.onnx"
+    export_onnx(mod, path, torch.from_numpy(x), opset=13)
+    ex = GraphExecutor(read_onnx_graph(str(path)))
+    got = np.asarray(ex(x)[0], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    got_jit = np.asarray(jax.jit(ex)(x)[0], np.float32)
+    np.testing.assert_allclose(got_jit, want, atol=1e-4, rtol=1e-4)
+    ops = {n.op_type for n in ex.graph.nodes}
+    assert "LSTM" in ops
