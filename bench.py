@@ -918,19 +918,26 @@ def main() -> int:
                 if (second["serving_delivered_fps"]
                         > lossless["serving_delivered_fps"]):
                     lossless = second
+            # evidence-priority order on starved budgets: MFU and the
+            # latency preset are cheap (one compile + short runs) and
+            # each anchors a recorded metric family, so they come
+            # before the transfer-hungry tiled windows
+            mfu = {}
+            if remaining() > 40:
+                mfu = bench_mfu(detector, batch=64)
+                note(f"mfu done ({mfu.get('achieved_tflops')} TFLOP/s"
+                     f", {mfu.get('mfu_pct', 'n/a')}% of peak)")
+            if remaining() > 60:
+                serving.update(bench_serving_latency(
+                    cut_through=True, port=38610))
+                note("latency preset done "
+                     f"(p50 {serving['serving_latency_p50_e2e_ms']}"
+                     " ms)")
             tiled = {"tiled_1080p_fps": 0.0}
             if remaining() > 100:
                 tiled = bench_tiled(detector)
                 note(f"tiled done (rgb {tiled['tiled_1080p_rgb_fps']}"
                      f" vs ycbcr {tiled['tiled_1080p_ycbcr_fps']} fps)")
-            mfu = {}
-            if remaining() > 60:
-                mfu = bench_mfu(detector, batch=64)
-                note(f"mfu done ({mfu.get('achieved_tflops')} TFLOP/s"
-                     f", {mfu.get('mfu_pct', 'n/a')}% of peak)")
-            if remaining() > 100:
-                serving.update(bench_serving_latency(
-                    cut_through=True, port=38610))
             if remaining() > 120:
                 serving.update(bench_serving_latency())
             if remaining() > 120:
