@@ -283,17 +283,21 @@ def _instance_norm(node: OnnxNode, x, scale, bias):
 
 
 def _layer_norm(node: OnnxNode, x, scale, bias=None):
-    if len(node.outputs) > 1:
-        raise ValueError(
-            f"LayerNormalization mean/inv_std outputs unsupported "
-            f"({node.name})")
     eps = node.attrs.get("epsilon", 1e-5)
     axis = node.attrs.get("axis", -1)
     axes = tuple(range(axis % x.ndim, x.ndim))
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.var(x, axis=axes, keepdims=True)
-    out = (x - mean) / jnp.sqrt(var + eps) * scale
-    return out if bias is None else out + bias
+    inv_std = 1.0 / jnp.sqrt(var + eps)
+    out = (x - mean) * inv_std * scale
+    if bias is not None:
+        out = out + bias
+    if len(node.outputs) == 1:
+        return out
+    # spec: optional Mean and InvStdDev outputs (kept reduced-rank
+    # with keepdims, the shape the spec's "reduced" wording implies)
+    outs = (out, mean, inv_std)
+    return outs[:len(node.outputs)]
 
 
 def _group_norm(node: OnnxNode, x, scale, bias):

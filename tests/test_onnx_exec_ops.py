@@ -2075,3 +2075,21 @@ def test_conv_transpose_output_shape_and_same():
                                     strides=[2, 2],
                                     auto_pad=b"SAME_UPPER")), x, w))
     assert got.shape == (1, 4, 10, 12)
+
+
+def test_layer_norm_mean_invstd_outputs():
+    """LayerNormalization's optional Mean/InvStdDev outputs (spec
+    stage-two values, kept at reduced rank with keepdims)."""
+    rng = np.random.default_rng(58)
+    x = rng.normal(size=(2, 3, 8)).astype(np.float32)
+    scale = rng.normal(size=(8,)).astype(np.float32)
+    node = _node("LayerNormalization", dict(axis=-1), n_out=3)
+    out, mean, inv = _OPS["LayerNormalization"](node, x, scale)
+    np.testing.assert_allclose(np.asarray(mean)[..., 0],
+                               x.mean(-1), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inv)[..., 0],
+        1.0 / np.sqrt(x.var(-1) + 1e-5), rtol=1e-5)
+    want = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (8,), torch.from_numpy(scale)).numpy()
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
