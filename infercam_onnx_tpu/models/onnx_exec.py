@@ -111,6 +111,34 @@ def _batch_norm(node: OnnxNode, x, scale, bias, mean, var):
         + bias.reshape(shape)
 
 
+def _pool_geometry(node: OnnxNode, x):
+    """Shared window geometry for the pool family: kernel/stride/
+    dilation/pads plus output dims and the ceil_mode right-extension
+    (windows starting entirely in the right padding are dropped — the
+    torch/ONNX rule). One definition so the values path (_pool) and
+    the indices path (_max_pool_indices) can never drift."""
+    ks = node.attrs["kernel_shape"]
+    n = len(ks)
+    strides = node.attrs.get("strides", [1] * n)
+    dilations = node.attrs.get("dilations", [1] * n)
+    pads = list(_auto_pads(node, x.shape[2:], ks, strides, dilations))
+    ceil = node.attrs.get("ceil_mode", 0)
+    out_dims, extra = [], []
+    for i in range(n):
+        span = (ks[i] - 1) * dilations[i] + 1
+        total = int(x.shape[2 + i]) + pads[i] + pads[i + n]
+        if ceil:
+            o = -((span - total) // strides[i]) + 1
+            if (o - 1) * strides[i] >= int(x.shape[2 + i]) + pads[i]:
+                o -= 1
+            extra.append(max((o - 1) * strides[i] + span - total, 0))
+        else:
+            o = (total - span) // strides[i] + 1
+            extra.append(0)
+        out_dims.append(o)
+    return ks, strides, dilations, pads, out_dims, extra
+
+
 def _max_pool_indices(node: OnnxNode, x):
     """MaxPool's second output (torch return_indices=True exports):
     ONNX-convention GLOBAL flat indices (row-major over [N, C, *D],
@@ -122,35 +150,18 @@ def _max_pool_indices(node: OnnxNode, x):
             f"MaxPool storage_order=1 unsupported ({node.name})")
     import itertools
 
-    ks = node.attrs["kernel_shape"]
-    strides = node.attrs.get("strides", [1] * len(ks))
-    dilations = node.attrs.get("dilations", [1] * len(ks))
-    pads = list(_auto_pads(node, x.shape[2:], ks, strides, dilations))
+    idt = jax.dtypes.canonicalize_dtype(jnp.int64)
+    ks, strides, dilations, pads, out_dims, extra = _pool_geometry(
+        node, x)
     n = len(ks)
     spatial = [int(s) for s in x.shape[2:]]
-    out_dims = []
-    for i in range(n):
-        span = (ks[i] - 1) * dilations[i] + 1
-        total = spatial[i] + pads[i] + pads[i + n]
-        if node.attrs.get("ceil_mode", 0):
-            o = -((span - total) // strides[i]) + 1
-            if (o - 1) * strides[i] >= spatial[i] + pads[i]:
-                o -= 1
-        else:
-            o = (total - span) // strides[i] + 1
-        out_dims.append(o)
-    # pad with -inf so padding never wins the argmax
+    # pad with -inf so padding never wins the argmax against real data
     xp = jnp.pad(
         jnp.asarray(x, jnp.float32),
         ((0, 0), (0, 0)) + tuple(
-            (pads[i],
-             pads[i + n] + max((out_dims[i] - 1) * strides[i]
-                               + (ks[i] - 1) * dilations[i] + 1
-                               - (spatial[i] + pads[i] + pads[i + n]),
-                               0))
-            for i in range(n)),
+            (pads[i], pads[i + n] + extra[i]) for i in range(n)),
         constant_values=-jnp.inf)
-    slabs, flat_pos = [], []
+    slabs, flat_pos, valid = [], [], []
     for offs in itertools.product(*(range(k) for k in ks)):
         sl = [slice(None), slice(None)]
         for i in range(n):
@@ -160,27 +171,37 @@ def _max_pool_indices(node: OnnxNode, x):
                             strides[i]))
         slabs.append(xp[tuple(sl)])
         # input coordinate of this tap for every output cell, as the
-        # per-axis contribution to the global flat index
-        pos = jnp.zeros((1, 1) + tuple(out_dims), jnp.int32)
+        # per-axis contribution to the global flat index + validity
+        pos = jnp.zeros((1, 1) + tuple(out_dims), idt)
+        ok = jnp.ones((1, 1) + tuple(out_dims), bool)
         mult = 1
         for i in reversed(range(n)):
-            coord = (jnp.arange(out_dims[i], dtype=jnp.int32)
+            coord = (jnp.arange(out_dims[i], dtype=idt)
                      * strides[i] - pads[i] + offs[i] * dilations[i])
             shape = [1] * (n + 2)
             shape[2 + i] = out_dims[i]
-            pos = pos + coord.reshape(shape) * mult
+            coord = coord.reshape(shape)
+            ok = ok & (coord >= 0) & (coord < spatial[i])
+            pos = pos + coord * mult
             mult *= spatial[i]
         flat_pos.append(pos)
+        valid.append(ok)
     stack = jnp.stack(slabs)  # [K, N, C, *out]
-    best = jnp.argmax(stack, axis=0)  # first max wins (torch tie rule)
+    # first VALID tap among the maxima: torch's tie rule, and the only
+    # correct answer when every real value is -inf (padding taps then
+    # compare equal to the max but must never be chosen — a plain
+    # argmax would return a padding position, which MaxUnpool's
+    # negative indexing would wrap into unrelated cells)
+    m = jnp.max(stack, axis=0, keepdims=True)
+    is_best = (stack == m) & jnp.stack(valid)
+    best = jnp.argmax(is_best, axis=0)
     pos = jnp.take_along_axis(jnp.stack(flat_pos), best[None],
                               axis=0)[0]
     plane = int(np.prod(spatial))
     nb, c = x.shape[0], x.shape[1]
-    base = (jnp.arange(nb, dtype=jnp.int64)[:, None] * c
-            + jnp.arange(c, dtype=jnp.int64)[None, :]) * plane
-    return (pos.astype(jnp.int64)
-            + base.reshape((nb, c) + (1,) * n))
+    base = (jnp.arange(nb, dtype=idt)[:, None] * c
+            + jnp.arange(c, dtype=idt)[None, :]) * plane
+    return pos + base.reshape((nb, c) + (1,) * n)
 
 
 def _max_pool(node: OnnxNode, x):
@@ -219,25 +240,10 @@ def _pool(node: OnnxNode, x, reducer, init, is_avg=False,
     if len(node.outputs) > 1 and not indices_ok:
         raise ValueError(
             f"pool with indices output unsupported ({node.name})")
-    ks = node.attrs["kernel_shape"]
-    strides = node.attrs.get("strides", [1] * len(ks))
-    dilations = node.attrs.get("dilations", [1] * len(ks))
-    pads = list(_auto_pads(node, x.shape[2:], ks, strides, dilations))
+    # ceil_mode's `extra` = right padding with the reduction's identity
+    # (so padded cells never affect the result); see _pool_geometry
+    ks, strides, dilations, pads, _, extra = _pool_geometry(node, x)
     n = len(ks)
-    extra = [0] * n
-    if node.attrs.get("ceil_mode", 0):
-        # ceil output dims = extra right padding with the reduction's
-        # identity (so padded cells never affect the result); windows
-        # that would start entirely in the right padding are dropped
-        # (torch/ONNX rule), hence the out_c decrement
-        for i in range(n):
-            span = (ks[i] - 1) * dilations[i] + 1
-            total = int(x.shape[2 + i]) + pads[i] + pads[i + n]
-            out_c = -((span - total) // strides[i]) + 1
-            if (out_c - 1) * strides[i] >= int(x.shape[2 + i]) + pads[i]:
-                out_c -= 1
-            extra[i] = max(
-                (out_c - 1) * strides[i] + span - total, 0)
     window = (1, 1) + tuple(ks)
     strd = (1, 1) + tuple(strides)
     padding = ((0, 0), (0, 0)) + tuple(
@@ -492,8 +498,20 @@ def _resize_matrix(n_in: int, n_out: int, mode: str, coord: str,
         # cubic_coeff_a=-0.5 for AA bicubic — honored via the attr.
         # torch's truncated [xmin, xmax) tap window equals this dense
         # form: every tap it excludes has exactly zero filter weight.
+        # torch/PIL AA convention: the tap argument is always
+        # (j + 0.5 - fscale*(i + 0.5)) / fscale — only the SCALE
+        # follows align_corners ((in-1)/(out-1) vs in/out), never the
+        # center origin. (The onnx reference centers on the
+        # coordinate-transformed source instead; for half_pixel the
+        # two coincide exactly, and torch eager is the convention any
+        # torch-exported model was trained against.)
+        if coord == "align_corners":
+            fscale = max((n_in - 1) / max(n_out - 1, 1), 1.0)
+        else:
+            fscale = scale
         radius = 1.0 if mode == "linear" else 2.0
-        d = np.abs(np.arange(n_in)[None, :] - src[:, None]) / scale
+        src_aa = fscale * (i + 0.5) - 0.5
+        d = np.abs(np.arange(n_in)[None, :] - src_aa[:, None]) / fscale
         if mode == "linear":
             w = np.maximum(0.0, 1.0 - d)
         else:
@@ -1457,7 +1475,7 @@ def _rnn_seq_finish(y, reverse: bool, seq_lens, mask, gidx):
     return y
 
 
-def _rnn_common_checks(node: OnnxNode, seq_lens,
+def _rnn_common_checks(node: OnnxNode,
                        default_acts: tuple[bytes, ...]):
     acts = node.attrs.get("activations")
     if acts:
@@ -1478,8 +1496,7 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
           c0=None, p=None):
     """ONNX LSTM (gate order iofc), default activations, no peepholes.
     One lax.scan per direction — the recurrences stay MXU matmuls."""
-    _rnn_common_checks(node, seq_lens,
-                       (b"Sigmoid", b"Tanh", b"Tanh"))
+    _rnn_common_checks(node, (b"Sigmoid", b"Tanh", b"Tanh"))
     if p is not None:
         raise ValueError(f"LSTM peepholes unsupported ({node.name})")
     clip = float(node.attrs.get("clip", 0.0))
@@ -1532,7 +1549,7 @@ def _lstm(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None,
 
 def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
     """ONNX vanilla RNN (tanh recurrence; custom activations raise)."""
-    _rnn_common_checks(node, seq_lens, (b"Tanh",))
+    _rnn_common_checks(node, (b"Tanh",))
     clip = float(node.attrs.get("clip", 0.0))
     hs = int(node.attrs["hidden_size"])
     x = jnp.asarray(x)
@@ -1567,7 +1584,7 @@ def _rnn(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
 
 def _gru(node: OnnxNode, x, w, r, b=None, seq_lens=None, h0=None):
     """ONNX GRU (gate order zrh), default activations."""
-    _rnn_common_checks(node, seq_lens, (b"Sigmoid", b"Tanh"))
+    _rnn_common_checks(node, (b"Sigmoid", b"Tanh"))
     clip = float(node.attrs.get("clip", 0.0))
     lbr = int(node.attrs.get("linear_before_reset", 0))
     hs = int(node.attrs["hidden_size"])

@@ -2093,3 +2093,35 @@ def test_layer_norm_mean_invstd_outputs():
     want = torch.nn.functional.layer_norm(
         torch.from_numpy(x), (8,), torch.from_numpy(scale)).numpy()
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_maxpool_indices_all_neg_inf_window_stays_valid():
+    """A window whose real values are all -inf must still index a real
+    input cell (first valid tap, torch's answer) — a plain argmax
+    would pick a padding tap whose negative flat position MaxUnpool
+    then wraps into unrelated cells."""
+    x = np.full((1, 1, 4, 4), -np.inf, np.float32)
+    node = _node("MaxPool", dict(kernel_shape=[3, 3], strides=[2, 2],
+                                 pads=[1, 1, 1, 1]), n_out=2)
+    _, idx = _OPS["MaxPool"](node, x)
+    idx = np.asarray(idx)
+    tvals, tidx = torch.nn.functional.max_pool2d(
+        torch.from_numpy(x), 3, 2, padding=1, return_indices=True)
+    np.testing.assert_array_equal(idx, tidx.numpy())
+    assert (idx >= 0).all()
+
+
+def test_resize_antialias_align_corners_matches_torch():
+    rng = np.random.default_rng(59)
+    x = rng.normal(size=(2, 3, 17, 23)).astype(np.float32)
+    for mode, tmode, a in (("linear", "bilinear", -0.75),
+                           ("cubic", "bicubic", -0.5)):
+        node = _node("Resize", dict(
+            mode=mode.encode(), antialias=1, cubic_coeff_a=a,
+            coordinate_transformation_mode=b"align_corners"))
+        got = _OPS["Resize"](node, x, None, None,
+                             np.array([2, 3, 7, 9], np.int64))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(7, 9), mode=tmode,
+            antialias=True, align_corners=True).numpy()
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
