@@ -540,3 +540,30 @@ def test_onnx_reader_rejects_garbage_cleanly(tmp_path, rng):
         path.write_bytes(blob)
         with pytest.raises(ValueError):
             read_onnx_graph(str(path))
+
+
+def test_onnx_reader_mutation_fuzz(exports, tmp_path):
+    """Deep-path fuzz: byte flips and truncations of a VALID export
+    must either parse or raise ValueError — never hang, crash, or leak
+    parser internals (IndexError/struct.error/RecursionError)."""
+    data = open(exports[True], "rb").read()
+    rng = np.random.default_rng(60)
+    for i in range(120):
+        blob = bytearray(data)
+        kind = i % 3
+        if kind == 0:  # truncate
+            blob = blob[:int(rng.integers(1, len(blob)))]
+        elif kind == 1:  # flip a handful of bytes
+            for _ in range(int(rng.integers(1, 8))):
+                blob[int(rng.integers(0, len(blob)))] = int(
+                    rng.integers(0, 256))
+        else:  # splice a random chunk over a random offset
+            off = int(rng.integers(0, len(blob) - 16))
+            blob[off:off + 16] = bytes(
+                rng.integers(0, 256, size=16, dtype=np.uint8))
+        path = tmp_path / "mut.onnx"
+        path.write_bytes(bytes(blob))
+        try:
+            read_onnx_graph(str(path))
+        except ValueError:
+            pass
