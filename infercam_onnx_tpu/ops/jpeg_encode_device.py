@@ -86,8 +86,13 @@ def glyph_atlas() -> tuple[np.ndarray, int, int]:
 def _label_indices(conf: jax.Array) -> jax.Array:
     """[...,] confidence -> [..., 7] glyph indices for "{:.2f}%" of
     confidence*100, left-aligned (blank-padded on the right), matching
-    Python's format for values >= 1%."""
-    v = jnp.round(conf * 10000.0).astype(jnp.int32)  # percent * 100
+    Python's format for values >= 1%. Rounding is half-UP: Python
+    formats the float64 expansion of the score, which sits above the
+    decimal tie for typical values (e.g. 0.12345 -> "12.35%"), while
+    jnp.round's half-even would show "12.34%"; exact-tie float32
+    products can still differ from the host label by 0.01 — cosmetic,
+    and only on the last digit."""
+    v = jnp.floor(conf * 10000.0 + 0.5).astype(jnp.int32)  # pct * 100
     hund = v // 10000
     tens = (v // 1000) % 10
     unit = (v // 100) % 10
@@ -251,19 +256,25 @@ def render_overlay_ycbcr(
     strips = _label_strips(conf) * valid[..., None, None]
     _, gh, sw = strips.shape[1], strips.shape[2], strips.shape[3]
     # map display coords onto the stored plane grid; shift fully inside
-    # so dynamic_slice never clamps asymmetrically (divergence: PIL
-    # clips edge-overflowing labels instead)
-    lx = jnp.clip(x0, 0.0, max(y.shape[2] - sw, 0)).astype(jnp.int32)
-    ly = jnp.clip(y0, 0.0, max(y.shape[1] - gh, 0)).astype(jnp.int32)
+    # the VISIBLE frame so dynamic_slice never clamps asymmetrically
+    # and edge labels never land in the invisible iMCU padding — which
+    # viewers would never see, and which would burn splice block
+    # budget on blocks that never display (divergence: PIL clips
+    # edge-overflowing labels instead)
+    lx = jnp.clip(x0, 0.0, max(min(width, y.shape[2]) - sw, 0)
+                  ).astype(jnp.int32)
+    ly = jnp.clip(y0, 0.0, max(min(height, y.shape[1]) - gh, 0)
+                  ).astype(jnp.int32)
     y, ylab = _stamp_labels(y, lx, ly, strips, GREEN_Y)
     if hs == 2 or vs == 2:
         b, d = strips.shape[0], strips.shape[1]
         cstrips = strips.reshape(
             b, d, gh // vs, vs, sw // hs, hs).mean(axis=(3, 5))
+        cw, chh = -(-width // hs), -(-height // vs)
         clx = jnp.clip(lx // hs, 0,
-                       max(cb.shape[2] - sw // hs, 0))
+                       max(min(cw, cb.shape[2]) - sw // hs, 0))
         cly = jnp.clip(ly // vs, 0,
-                       max(cb.shape[1] - gh // vs, 0))
+                       max(min(chh, cb.shape[1]) - gh // vs, 0))
         cb, clab = _stamp_labels(cb, clx, cly, cstrips, GREEN_CB)
         cr, _ = _stamp_labels(cr, clx, cly, cstrips, GREEN_CR)
     else:

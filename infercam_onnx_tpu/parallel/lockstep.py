@@ -45,6 +45,15 @@ log = logging.getLogger("infercam.lockstep")
 _IO_TIMEOUT_S = 600.0  # must outlast the slowest member compile
 
 
+class LockstepSessionEnded(RuntimeError):
+    """The cluster-wide lockstep session has ended (a member left, or
+    an agreed dispatch failed after peers ran the collective). There is
+    no rejoin path — jax.distributed cannot re-admit a process — so the
+    hosting process must exit and the cluster restart as a unit; the
+    serving supervisor treats this as terminal instead of restarting
+    the worker into a no-op loop."""
+
+
 def _desc_key(desc: dict) -> str:
     return json.dumps(desc, sort_keys=True)
 
@@ -333,6 +342,12 @@ class LockstepDetector(ShardedDetector):
                              "cr": np.asarray(cr),
                              "quant": np.asarray(quant)})
 
+    @property
+    def session_ended(self) -> bool:
+        """True once the cluster session is over (a member left or an
+        agreed dispatch failed); there is no rejoin path."""
+        return self._stopped.is_set()
+
     def close(self) -> None:
         """Leave the session (ends it for the whole cluster)."""
         if not self._stopped.is_set():
@@ -343,17 +358,22 @@ class LockstepDetector(ShardedDetector):
 
     def _submit(self, desc: dict, n: int, data: dict):
         if self._stopped.is_set():
-            raise RuntimeError("lockstep session has ended")
-        top = self._ladder[-1]
+            raise LockstepSessionEnded("lockstep session has ended")
+        # merge_proposals clamps decisions to the ladder top and then
+        # rounds UP to the per-host device granularity (the serving
+        # worker's buckets round the same way), so the real dispatch
+        # capacity is the granularity-rounded top. A single unit above
+        # THAT could never dispatch whole — and the pump's first-match
+        # slot would hand an oversized local share to the collective,
+        # killing the session. Fail the one caller loudly instead.
+        g = max(self._local_devices, 1)
+        top = -(-self._ladder[-1] // g) * g
         if n > top:
-            # merge_proposals clamps decisions to the ladder top, so a
-            # single unit larger than it could never dispatch whole —
-            # and the pump's first-match slot would hand an oversized
-            # local share to the collective, killing the session. Fail
-            # the one caller loudly instead.
             raise ValueError(
-                f"batch of {n} rows exceeds the lockstep ladder top "
-                f"{top}; split the submission or raise the ladder")
+                f"batch of {n} rows exceeds the lockstep dispatch "
+                f"capacity {top} (ladder top rounded to the {g}-device "
+                f"granularity); split the submission or raise the "
+                f"ladder")
         slot: queue.Queue = queue.Queue(1)
         self._requests.put((desc, n, data, slot))
         deadline = _IO_TIMEOUT_S
@@ -370,7 +390,7 @@ class LockstepDetector(ShardedDetector):
                         out = slot.get_nowait()
                         break
                     except queue.Empty:
-                        raise RuntimeError(
+                        raise LockstepSessionEnded(
                             "lockstep session has ended") from None
                 if deadline <= 0:
                     raise TimeoutError("lockstep round timed out")
@@ -444,7 +464,7 @@ class LockstepDetector(ShardedDetector):
         finally:
             self._stopped.set()
             self._conn.close()
-            err = RuntimeError("lockstep session has ended")
+            err = LockstepSessionEnded("lockstep session has ended")
             for p in pending:
                 p[3].put(err)
             while True:

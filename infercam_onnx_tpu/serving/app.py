@@ -125,6 +125,20 @@ async def start_server(
         log.info("lockstep dispatch joined: process %d/%d",
                  _jax.process_index(), _jax.process_count())
 
+        async def lockstep_watch(lock=detector):
+            # a dead session is terminal for the PROCESS (no rejoin
+            # path), but demand-driven serving may never dispatch again
+            # to notice — poll the session and raise so serve_forever
+            # exits non-zero and supervisors restart the cluster
+            from infercam_onnx_tpu.parallel.lockstep import (
+                LockstepSessionEnded)
+
+            while not lock.session_ended:
+                await asyncio.sleep(0.5)
+            raise LockstepSessionEnded(
+                "lockstep session has ended (peer left or dispatch "
+                "diverged); restart the cluster as a unit")
+
     def warm():
         # Trip the tunnel's transfer-mode latch on a 4-byte read FIRST:
         # the first device->host read after healthy-mode traffic can
@@ -190,7 +204,19 @@ async def start_server(
                 return  # clean exit
             except asyncio.CancelledError:
                 raise
-            except Exception:
+            except Exception as e:
+                from infercam_onnx_tpu.parallel.lockstep import (
+                    LockstepSessionEnded)
+
+                if isinstance(e, LockstepSessionEnded):
+                    # terminal: the cluster session cannot be rejoined;
+                    # restarting the worker would spin forever serving
+                    # nothing — surface the failure so the process
+                    # exits non-zero and supervisors restart the
+                    # cluster as a unit
+                    log.error("%s: lockstep session ended — terminal, "
+                              "stopping the server", name)
+                    raise
                 log.exception("%s task crashed; restarting in %.1fs",
                               name, backoff_s)
                 await asyncio.sleep(backoff_s)
@@ -205,6 +231,9 @@ async def start_server(
             supervised("meter", lambda: meter_logger(
                 server_config.meter_period_s)), name="meter"),
     ]
+    if lockstep_address:
+        tasks.append(asyncio.create_task(lockstep_watch(),
+                                         name="lockstep-watch"))
     if server_config.max_rss_mb:
         tasks.append(asyncio.create_task(
             rss_watchdog(server_config.max_rss_mb,
@@ -280,5 +309,11 @@ async def serve_forever(**kwargs) -> None:
         if waiter in done:
             log.info("SIGTERM received; shutting down")
         waiter.cancel()
+        for t in done - {waiter}:
+            if not t.cancelled() and t.exception() is not None:
+                # a core task died terminally (supervised() re-raised):
+                # propagate so the CLI exits non-zero instead of
+                # reporting a clean shutdown
+                raise t.exception()
     finally:
         await server.close()

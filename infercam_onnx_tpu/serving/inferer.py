@@ -229,18 +229,18 @@ class InferenceWorker:
         splice_mode = (coef_mode and self._annotate_device
                        and hasattr(self._detector,
                                    "run_device_coefficients_annotated"))
-        annot_ids = {id(j) for j in jobs
-                     if j.reply is not None and self._annotate_device
-                     and (coef_mode or ycbcr_mode)}
-        splice_ids = ({id(j) for j in jobs
-                       if id(j) in annot_ids} if splice_mode
-                      else set())
-        annot_ids -= splice_ids
-        splice_jobs = [j for j in jobs if id(j) in splice_ids]
-        annot_jobs = [j for j in jobs if id(j) in annot_ids]
-        annot_ids |= splice_ids  # for the pixel-routing exclusion
+        device_annot_ids = {
+            id(j) for j in jobs
+            if j.reply is not None and self._annotate_device
+            and (coef_mode or ycbcr_mode)}
+        # in coefficients mode every device-annotated job takes the
+        # splice transcode; otherwise they take the ycbcr annotate tail
+        splice_jobs = [j for j in jobs
+                       if splice_mode and id(j) in device_annot_ids]
+        annot_jobs = [] if splice_mode else [
+            j for j in jobs if id(j) in device_annot_ids]
         pixel_jobs = [j for j in jobs
-                      if id(j) not in annot_ids
+                      if id(j) not in device_annot_ids
                       and (j.reply is not None
                            or not (coef_mode or ycbcr_mode))]
         coef_jobs = [j for j in jobs
@@ -298,19 +298,27 @@ class InferenceWorker:
                         pixel_fallback(job, e)
                 return list(by_geom.values())
 
+            def untiled_only(groups, dims):
+                """Keep groups below the tiling threshold; members at
+                or above it host-annotate via the pixel path (their
+                detections must come from the TILED program — same
+                guard as pixels-mode annotate in _device_stage)."""
+                out = []
+                for group in groups:
+                    w0, h0 = dims(group)
+                    if self._is_tiled(w0, h0):
+                        for job, _ in group[0] if isinstance(
+                                group, tuple) else group:
+                            pixel_fallback(
+                                job, "tiled stream: host annotate")
+                    else:
+                        out.append(group)
+                return out
+
             coef_groups = group_coefs(coef_jobs) if coef_jobs else []
-            splice_groups = []
-            for members in (group_coefs(splice_jobs) if splice_jobs
-                            else []):
-                w0, h0 = members[0][1][4]
-                if self._is_tiled(w0, h0):
-                    # high-res: detections must come from the tiled
-                    # program — host annotate via the pixel path
-                    for job, _ in members:
-                        pixel_fallback(job, "tiled stream: host "
-                                            "annotate")
-                else:
-                    splice_groups.append(members)
+            splice_groups = untiled_only(
+                group_coefs(splice_jobs),
+                lambda ms: ms[0][1][4]) if splice_jobs else []
 
             # entropy+IDCT decode to packed planes, grouped by geometry.
             # Fast path: ONE batched C call when all frames share
@@ -360,19 +368,10 @@ class InferenceWorker:
             # above the tiling threshold fall back to the pixel path so
             # their detections keep coming from the TILED program (same
             # as the pixels-mode annotate guard in _device_stage).
-            def untiled_only(groups):
-                out = []
-                for members, geom in groups:
-                    if self._is_tiled(geom["width"], geom["height"]):
-                        for job, _ in members:
-                            pixel_fallback(
-                                job, "tiled stream: host annotate")
-                    else:
-                        out.append((members, geom))
-                return out
-
-            annot_groups = (untiled_only(group_ycbcr(annot_jobs))
-                            if annot_jobs else [])
+            annot_groups = (untiled_only(
+                group_ycbcr(annot_jobs),
+                lambda g: (g[1]["width"], g[1]["height"]))
+                if annot_jobs else [])
 
         # assemble padded batches + start async uploads (still on the
         # decode thread: overlaps the device thread's current dispatch).

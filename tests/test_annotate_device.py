@@ -555,3 +555,29 @@ def _extract_jpeg(stream: bytes):
     if start < 0 or end < 0:
         return None
     return stream[start:end + 2]
+
+
+def test_edge_label_stays_inside_visible_frame(native):
+    """A detection hugging the right edge of a non-iMCU-aligned frame
+    must render its label inside the VISIBLE area, not the invisible
+    iMCU padding (which viewers never see and which burns splice block
+    budget)."""
+    w, h = 100, 100  # 4:2:0 pads the stored luma plane to 112x112
+    frame = _grad_frame(h, w)
+    data = codec.encode_rgb(frame, 95, "420")
+    packed, geom = native.decode_ycbcr_batch([data])
+    y, cb, cr = unpack_ycbcr_planes(
+        jnp.asarray(packed), y_pw=geom["y_pw"], y_ph=geom["y_ph"],
+        c_pw=geom["c_pw"], c_ph=geom["c_ph"])
+    pdet = np.zeros((1, 1, 6), np.float32)
+    pdet[0, 0] = [0.90, 0.40, 0.99, 0.60, 0.77, 1.0]
+    _, _, _, my, mc = render_overlay_ycbcr(
+        y, cb, cr, jnp.asarray(pdet), width=w, height=h,
+        sampling=(2, 2), return_masks=True)
+    my = np.asarray(my)[0]
+    assert my[:, :w].any(), "label/box must render"
+    assert not my[:, w:].any(), \
+        "touched pixels must stay inside the visible width"
+    assert not my[h:, :].any()
+    mc = np.asarray(mc)[0]
+    assert not mc[:, -(-w // 2):].any()

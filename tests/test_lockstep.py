@@ -413,19 +413,21 @@ def test_two_host_lockstep_deployment(tmp_path):
                 time.sleep(0.5)
             assert count >= 1, f"host {pid} stats: {payload['totals']}"
 
-        # graceful degradation: hard-kill host 1 (ends the lockstep
-        # session cluster-wide). Host 0 must stay up — healthcheck and
-        # the RAW stream path (no detector involved) keep working;
-        # only detection output stops until the cluster is restarted
-        # (the documented failure contract, docs/OPERATIONS.md).
+        # failure contract: hard-kill host 1 (ends the lockstep
+        # session cluster-wide, no rejoin path). Host 0 must EXIT
+        # non-zero promptly — not linger restart-looping a worker that
+        # can never serve again — so supervisors/cluster_launch restart
+        # the cluster as a unit (docs/OPERATIONS.md). The next frame
+        # submission is what trips the ended session in host 0's
+        # worker; the still-running sender provides it.
         servers[1].kill()
-        time.sleep(2.0)
-        resp = _http_get(http[0], "/healthcheck", timeout=10.0)
-        assert resp.endswith(b"healthy")
-        raw = _http_get(http[0], "/stream?name=cam0", timeout=20.0,
-                        stop_after_frames=2)
-        assert raw.count(b"--frame\r\nContent-Type") >= 2, \
-            "raw streaming must survive a peer host failure"
+        deadline = time.time() + 60
+        while servers[0].poll() is None and time.time() < deadline:
+            time.sleep(0.5)
+        assert servers[0].poll() is not None, \
+            "surviving host must exit after the session ends"
+        assert servers[0].returncode != 0, \
+            "the exit must be non-zero so supervisors see a failure"
     finally:
         for p in senders:
             p.send_signal(signal.SIGINT)
@@ -454,3 +456,84 @@ def test_lockstep_oversized_batch_rejected(lockstep_pair):
     want = np.asarray(det.run_device(ok, pack_output=True))
     np.testing.assert_allclose(lock.run_device(ok, pack_output=True),
                                want, atol=1e-5)
+
+
+def test_lockstep_capacity_is_granularity_rounded():
+    """The serving worker rounds buckets up to the per-host device
+    granularity and merge_proposals rounds decisions the same way, so
+    a unit above the raw ladder top but within the rounded top MUST
+    dispatch (a latency-preset ladder of (1, 2) on an 8-device host
+    serves granularity-8 batches)."""
+    from infercam_onnx_tpu.config import DetectorConfig
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    lock = LockstepDetector(det, make_mesh(8),
+                            f"127.0.0.1:{_free_port()}",
+                            coordinator=True, n_processes=1,
+                            ladder=(1, 2), tick_ms=5.0)
+    try:
+        rng = np.random.default_rng(15)
+        frames = rng.integers(0, 256, size=(5, 48, 64, 3),
+                              dtype=np.uint8)
+        got = lock.run_device(frames, pack_output=True)
+        want = np.asarray(det.run_device(frames, pack_output=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        with pytest.raises(ValueError, match="capacity"):
+            lock.run_device(rng.integers(
+                0, 256, size=(9, 48, 64, 3), dtype=np.uint8),
+                pack_output=True)
+    finally:
+        lock.close()
+
+
+def test_lockstep_session_end_is_terminal_for_server():
+    """An ended session has no rejoin path: the serving supervisor must
+    STOP (so the process exits non-zero) instead of restart-looping a
+    worker that can never serve again."""
+    import asyncio
+
+    from infercam_onnx_tpu import codec as _codec
+    from infercam_onnx_tpu.config import (
+        DetectorConfig,
+        EngineConfig,
+        ServerConfig,
+    )
+    from infercam_onnx_tpu.detector import Detector
+    from infercam_onnx_tpu.parallel.lockstep import LockstepSessionEnded
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+    from infercam_onnx_tpu.serving.app import start_server
+    from infercam_onnx_tpu.serving.broadcast import Broadcast
+    from infercam_onnx_tpu.serving.router import InferJob
+
+    det = Detector(DetectorConfig(variant="RFB-320",
+                                  compute_dtype="float32"), rng=0)
+    lock = LockstepDetector(det, make_mesh(8),
+                            f"127.0.0.1:{_free_port()}",
+                            coordinator=True, n_processes=1,
+                            tick_ms=5.0)
+    jpeg = _codec.encode_rgb(np.zeros((48, 64, 3), np.uint8))
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address=f"127.0.0.1:{_free_port()}",
+                socket_address=f"127.0.0.1:{_free_port()}"),
+            engine_config=EngineConfig(batch_buckets=(1, 8),
+                                       batch_window_ms=5.0,
+                                       annotate_mode="host"),
+            detector=lock, data_parallel="off")
+        try:
+            lock.close()  # the cluster session dies under the worker
+            chan = Broadcast(4)
+            assert server.worker.submit(InferJob(1, jpeg, chan))
+            inferer = next(t for t in server.tasks
+                           if t.get_name() == "inferer")
+            with pytest.raises(LockstepSessionEnded):
+                await asyncio.wait_for(inferer, 30)
+        finally:
+            await server.close()
+
+    asyncio.run(run())
