@@ -61,6 +61,14 @@ def detect_program_impl(
         top_k=top_k, max_detections=max_detections)
     if not pack_output:
         return sel_boxes, sel_conf, count
+    return pack_detections(sel_boxes, sel_conf, count)
+
+
+def pack_detections(sel_boxes, sel_conf, count):
+    """(boxes [B,D,4], confs [B,D], count [B]) -> ONE [B, D, 6] array
+    (x0, y0, x1, y1, conf, valid) — the single-transfer detection
+    layout every packed program (plain, tiled, sharded, graph) emits;
+    unpack_detections is the host-side inverse."""
     d = sel_boxes.shape[1]
     valid = (jnp.arange(d)[None, :] < count[:, None]).astype(jnp.float32)
     return jnp.concatenate(

@@ -142,6 +142,8 @@ def read_coefficient_batch(datas: list[bytes]):
     """
     from infercam_onnx_tpu.native import jpeg as native_jpeg
 
+    if not datas:
+        raise ValueError("empty JPEG batch")
     n = native_jpeg.load()
     ys, cbs, crs, quants = [], [], [], []
     geom = None

@@ -119,7 +119,7 @@ class ShardedDetector(Detector):
 
     def _ycbcr_program(self, geom: dict, pack: bool):
         key = ("ycbcr", tuple(sorted(
-            (k, tuple(v) if isinstance(v, tuple) else v)
+            (k, tuple(v) if isinstance(v, (tuple, list)) else v)
             for k, v in geom.items())), pack)
         prog = self._coef_programs.get(key)
         if prog is None:
@@ -175,7 +175,7 @@ class ShardedDetector(Detector):
 
     def _annot_ycbcr_program(self, geom: dict, disp: tuple | None):
         key = ("annot_ycbcr", tuple(sorted(
-            (k, tuple(v) if isinstance(v, tuple) else v)
+            (k, tuple(v) if isinstance(v, (tuple, list)) else v)
             for k, v in geom.items())), disp)
         prog = self._coef_programs.get(key)
         if prog is None:
@@ -303,6 +303,11 @@ class ShardedDetector(Detector):
         if pad == 0:
             return arr  # no copy (and no device->host for jax arrays)
         widths = [(0, pad)] + [(0, 0)] * (np.ndim(arr) - 1)
+        if isinstance(arr, jax.Array):
+            # keep device-resident batches on device: np.asarray here
+            # would be a synchronous D2H of the whole frame batch (25+
+            # ms fixed on the degraded tunnel) just to re-upload it
+            return jnp.pad(arr, widths)
         return np.pad(np.asarray(arr), widths)
 
     def run_device(self, images, *, pack_output: bool = False):

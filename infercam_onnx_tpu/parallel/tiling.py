@@ -112,13 +112,11 @@ def tiled_detect_program(
         top_k=top_k, max_detections=max_detections)
     if not pack_output:
         return sel_boxes, sel_conf, count
-    # ONE [B, D, 6] device->host transfer, same layout as
-    # detector.detect_program_impl(pack_output=True) — lets the serving
-    # worker keep its async-readback discipline on the tiled path too
-    d = sel_boxes.shape[1]
-    valid = (jnp.arange(d)[None, :] < count[:, None]).astype(jnp.float32)
-    return jnp.concatenate(
-        [sel_boxes, sel_conf[..., None], valid[..., None]], axis=-1)
+    # ONE [B, D, 6] device->host transfer — the SAME pack helper the
+    # plain program uses, so the layout can never desynchronize
+    from infercam_onnx_tpu.detector import pack_detections
+
+    return pack_detections(sel_boxes, sel_conf, count)
 
 
 def tiled_detect_from_ycbcr_program(
@@ -202,9 +200,19 @@ class TiledDetector:
             top_k=c.top_k, max_detections=c.max_detections)
         self._programs: dict = {}
         if mesh is not None:
-            repl = NamedSharding(mesh, P())
-            self._params = jax.device_put(m.params, repl)
-            self._priors = jax.device_put(m.priors, repl)
+            # reuse the wrapped detector's already-replicated copies
+            # when it has them (ShardedDetector/LockstepDetector): a
+            # fresh device_put per TiledDetector instance re-uploads
+            # the full weight pytree — and this rig's tunnel client
+            # leaks every H2D staging buffer (CLAUDE.md)
+            if getattr(detector, "mesh", None) is mesh and hasattr(
+                    detector, "_params"):
+                self._params = detector._params
+                self._priors = detector._priors
+            else:
+                repl = NamedSharding(mesh, P())
+                self._params = jax.device_put(m.params, repl)
+                self._priors = jax.device_put(m.priors, repl)
         else:
             self._params = m.params
             self._priors = m.priors
@@ -241,6 +249,14 @@ class TiledDetector:
         """[B, frame_h, frame_w, 3] uint8 -> (boxes, confs, counts)
         in global relative coordinates ([B, D, 6] packed with
         ``pack_output``)."""
+        h, w = int(images.shape[1]), int(images.shape[2])
+        if (w, h) != (self.frame_w, self.frame_h):
+            # the tile boxes are static per frame_size; mismatched
+            # frames would silently cover only a corner (or crash in a
+            # cryptic slice error)
+            raise ValueError(
+                f"frame {w}x{h} != tiled frame size "
+                f"{self.frame_w}x{self.frame_h}")
         return self._program("pixels", pack_output)(
             self._params, self._priors, jnp.asarray(images),
             self._r_h, self._r_w)

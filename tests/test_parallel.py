@@ -216,3 +216,53 @@ def test_multihost_two_process_dryrun(tmp_path):
     assert all(ln.startswith("MULTIHOST_OK") for ln in lines), outs
     # replicated global results agree across the two processes
     assert lines[0] == lines[1], lines
+
+
+def test_tiled_rejects_mismatched_frame_size(detector, rng):
+    """The tile boxes are static per frame_size: mismatched pixel
+    batches must fail loudly instead of silently covering a corner
+    (the ycbcr entry point always had this guard)."""
+    t = TiledDetector(detector, (480, 270), grid=(2, 2))
+    wrong = rng.integers(0, 256, size=(1, 540, 960, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="frame"):
+        t.run_device(wrong, pack_output=True)
+
+
+def test_sharded_ycbcr_accepts_list_valued_geom(detector):
+    """Geoms deserialized from JSON (the lockstep wire format) carry
+    lists where the native decoder produces tuples; the program-cache
+    key must normalize both."""
+    from infercam_onnx_tpu import codec
+    from infercam_onnx_tpu.parallel.data_parallel import ShardedDetector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    native = pytest.importorskip(
+        "infercam_onnx_tpu.native.jpeg").load()
+    rng2 = np.random.default_rng(12)
+    frame = rng2.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    packed, geom = native.decode_ycbcr_batch(
+        [codec.encode_rgb(frame, 92, "420")])
+    listy = {k: (list(v) if isinstance(v, tuple) else v)
+             for k, v in geom.items()}
+    sharded = ShardedDetector(detector, make_mesh(8))
+    want = np.asarray(sharded.run_device_ycbcr_packed(
+        packed, geom, pack_output=True))
+    got = np.asarray(sharded.run_device_ycbcr_packed(
+        packed, listy, pack_output=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_pad_keeps_device_arrays_on_device(detector):
+    """A device-resident batch whose size is not a mesh multiple must
+    pad WITHOUT a host round trip (sync D2H costs 25+ ms fixed on the
+    deployment tunnel)."""
+    import jax
+
+    from infercam_onnx_tpu.parallel.data_parallel import ShardedDetector
+    from infercam_onnx_tpu.parallel.mesh import make_mesh
+
+    sharded = ShardedDetector(detector, make_mesh(8))
+    arr = jax.numpy.zeros((5, 48, 64, 3), jax.numpy.uint8)
+    padded = sharded._pad(arr, 5)
+    assert isinstance(padded, jax.Array)
+    assert padded.shape[0] == 8
