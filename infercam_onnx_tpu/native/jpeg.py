@@ -32,12 +32,21 @@ def _build() -> str:
     out = os.path.join(_HERE, "csrc", f"_jpeg_shim_{tag}.so")
     if os.path.isfile(out):
         return out
+    # per-process temp name: concurrent first-use builds (e.g.
+    # cluster_launch spawning N serve processes with a cold cache)
+    # must not write the same .tmp — one process's os.replace would
+    # publish a file another's compiler is still writing
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", out + ".tmp", "-ljpeg",
+        _SRC, "-o", tmp, "-ljpeg",
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(out + ".tmp", out)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 

@@ -65,7 +65,11 @@ def bucket_ladder(max_batch: int) -> list[int]:
 
 
 def main(argv: list[str] | None = None) -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
+    # allow_abbrev=False: the preset machinery detects explicitly
+    # passed flags by token name; an abbreviated --max-b would parse
+    # but evade detection and be silently preset-overridden
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 allow_abbrev=False)
     ap.add_argument("--server-address", default="127.0.0.1:3000",
                     help="HTTP address (default %(default)s)")
     ap.add_argument("--socket-address", default="127.0.0.1:3001",
@@ -297,17 +301,21 @@ def main(argv: list[str] | None = None) -> int:
         _traceback.print_exc()
         exit_code = 1
     finally:
-        if args.distributed:
-            # after the graceful close (listeners + sender connections
-            # are down, peers notified), exit HARD: the jax.distributed
-            # runtime's non-daemon threads otherwise keep the process
-            # alive, and jax.distributed.shutdown() barriers on peers —
-            # which never arrive when one host of a cluster terminates
-            # alone (observed live)
+        # after the graceful close (listeners + sender connections
+        # are down, peers notified), exit HARD with the tracked status
+        # when serve owns the process (argv is None = the python -m
+        # entry; in-process test callers get a normal return):
+        # - distributed: the jax.distributed runtime's non-daemon
+        #   threads otherwise keep the process alive, and shutdown()
+        #   barriers on peers that never arrive when one host of a
+        #   cluster terminates alone (observed live);
+        # - single-host too: the TPU-tunnel client can SIGABRT during
+        #   interpreter TEARDOWN after all useful work (CLAUDE.md),
+        #   which would turn a clean stop into exit 134 and make
+        #   supervisors treat every graceful recycle as a crash
+        if argv is None or args.distributed:
             import os as _os
 
-            logging.getLogger("infercam.serve").info(
-                "distributed runtime: hard exit after graceful close")
             sys.stdout.flush()
             sys.stderr.flush()
             _os._exit(exit_code)

@@ -172,7 +172,17 @@ async def start_server(
     if warmup_async:
         # the worker's device executor is single-threaded, so the warm-up
         # strictly precedes any live batch's dispatch
-        worker._device_exec.submit(warm)
+        fut = worker._device_exec.submit(warm)
+
+        def _warm_done(f):
+            # concurrent.futures never reports unretrieved exceptions —
+            # a failed warm-up (flaky tunnel, bad resolution) must not
+            # leave the server silently claiming to be warm
+            if f.exception() is not None:
+                log.error("async device warm-up FAILED: %r",
+                          f.exception())
+
+        fut.add_done_callback(_warm_done)
     else:
         warm()
 

@@ -121,14 +121,29 @@ class HttpServer:
                 method, target = parts[0], parts[1]
                 version = parts[2] if len(parts) >= 3 else "HTTP/1.0"
                 conn_hdr = ""
+                body_len = 0
                 while True:
                     line = await asyncio.wait_for(reader.readline(), 30.0)
                     if line in (b"\r\n", b"\n", b""):
                         break
-                    if line.lower().startswith(b"connection:"):
+                    low = line.lower()
+                    if low.startswith(b"connection:"):
                         conn_hdr = line.split(b":", 1)[1].strip(
                         ).decode("latin-1").lower()
+                    elif low.startswith(b"content-length:"):
+                        try:
+                            body_len = int(line.split(b":", 1)[1])
+                        except ValueError:
+                            body_len = -1
                 keep = (version == "HTTP/1.1" and conn_hdr != "close")
+                # drain any request body so a keep-alive connection's
+                # next request line is not the leftover body bytes
+                # (bounded: nothing here accepts uploads)
+                if body_len < 0 or body_len > 1 << 20:
+                    keep = False
+                elif body_len:
+                    await asyncio.wait_for(
+                        reader.readexactly(body_len), 30.0)
 
                 url = urllib.parse.urlsplit(target)
                 query = urllib.parse.parse_qs(url.query)
@@ -190,10 +205,19 @@ class HttpServer:
                     # annotated one. Demand-driven like the streams: the
                     # subscription itself makes the router infer.
                     raw = query.get("raw", ["0"])[0] not in ("0", "")
+                    try:
+                        timeout_s = float(
+                            query.get("timeout", ["10"])[0] or 10)
+                    except ValueError:
+                        writer.write(_simple_response(
+                            "400 Bad Request", b"bad timeout",
+                            keep_alive=keep))
+                        await writer.drain()
+                        if not keep:
+                            return
+                        continue
                     sub = (self._router.subscribe_raw(name) if raw
                            else self._router.subscribe_inferred(name))
-                    timeout_s = float(
-                        query.get("timeout", ["10"])[0] or 10)
                     try:
                         with sub:
                             part = await asyncio.wait_for(
@@ -299,6 +323,11 @@ class HttpServer:
                         {recv, disconnect},
                         return_when=asyncio.FIRST_COMPLETED)
                     if disconnect in done:
+                        # consume the result/exception: a reset
+                        # connection completes this task with an error,
+                        # and an unretrieved exception would be logged
+                        # at GC for every abruptly-dropped viewer
+                        disconnect.exception()
                         recv.cancel()
                         break
                     part = recv.result()
@@ -308,6 +337,8 @@ class HttpServer:
         except (ConnectionError, BrokenPipeError, asyncio.CancelledError):
             pass
         finally:
-            disconnect.cancel()
-            if recv is not None:
-                recv.cancel()
+            for t in (disconnect, recv):
+                if t is not None:
+                    t.cancel()
+                    if t.done() and not t.cancelled():
+                        t.exception()  # retrieve, don't warn at GC
