@@ -383,8 +383,16 @@ class V4L2Camera:
         buf.memory = V4L2_MEMORY_MMAP
         try:
             _ioctl(self._fd, VIDIOC_DQBUF, buf)
-        except OSError:
-            return None
+        except OSError as e:
+            import errno
+
+            if e.errno in (errno.EAGAIN, errno.EINTR):
+                return None  # transient: no buffer ready yet
+            # dead camera (ENODEV/EIO/...): select() will mark the fd
+            # readable forever, so returning None here would busy-spin
+            # the capture thread at 100% CPU with no frames and no
+            # error — surface it to the sender's retry loop instead
+            raise
         data = self._maps[buf.index][:buf.bytesused]
         _ioctl(self._fd, VIDIOC_QBUF, buf)
         return data

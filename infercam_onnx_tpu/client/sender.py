@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import pathlib
 import logging
 import os
 import sys
@@ -54,7 +55,8 @@ class ReplaySource:
             if f.lower().endswith((".jpg", ".jpeg")))
         if not self._files:
             raise FileNotFoundError(f"no JPEGs in {directory}")
-        self._frames = [open(f, "rb").read() for f in self._files]
+        self._frames = [pathlib.Path(f).read_bytes()
+                        for f in self._files]
         self._fps = fps
         self._loop_forever = loop_forever
 
@@ -108,7 +110,13 @@ async def run_forever(source: FrameSource,
     while True:
         try:
             await send_stream(source, config)
-        except (ConnectionError, OSError, asyncio.IncompleteReadError) as e:
+        except asyncio.CancelledError:
+            raise
+        except Exception as e:
+            # the reference retries on ANY error (socket_sender.rs:55
+            # matches every Err) — e.g. an oversized frame failing
+            # protocol encode must reconnect, not kill every camera
+            # loop in the process
             log.warning("Error in sender: %s. Reconnecting...", e)
         await asyncio.sleep(config.reconnect_backoff_s)
 

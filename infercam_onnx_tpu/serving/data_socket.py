@@ -26,6 +26,7 @@ class DataSocket:
     def __init__(self) -> None:
         self.server: asyncio.AbstractServer | None = None
         self._writers: set[asyncio.StreamWriter] = set()
+        self._tasks: set[asyncio.Task] = set()
 
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter,
@@ -33,16 +34,27 @@ class DataSocket:
         peer = writer.get_extra_info("peername")
         log.info("%s: New TCP connection", peer)
         self._writers.add(writer)
+        task = asyncio.current_task()
+        if task is not None:
+            self._tasks.add(task)
         try:
             while True:
                 frame = await read_frame(reader)
                 await queue.put(frame)
-        except (asyncio.IncompleteReadError, ConnectionError):
+        # OSError subsumes ConnectionError and also covers dead-link
+        # errors that are NOT resets (TCP keepalive ETIMEDOUT,
+        # EHOSTUNREACH, ...) — those used to escape as unretrieved
+        # task exceptions
+        except (asyncio.IncompleteReadError, OSError):
             pass
+        except asyncio.CancelledError:
+            pass  # shutdown while parked in queue.put
         except ValueError as e:
             log.warning("%s: protocol error: %s", peer, e)
         finally:
             self._writers.discard(writer)
+            if task is not None:
+                self._tasks.discard(task)
             writer.close()
             log.info("%s: connection closed", peer)
 
@@ -59,6 +71,12 @@ class DataSocket:
             transport = w.transport
             if transport is not None:
                 transport.abort()
+        # a handler parked in `await queue.put()` (full ingest queue)
+        # is not at a read, so the abort never wakes it — cancel
+        # outstanding handler tasks so wait_closed() cannot hang on
+        # them (3.12's Server.wait_closed waits for handlers)
+        for t in list(self._tasks):
+            t.cancel()
 
     async def wait_closed(self) -> None:
         if self.server is not None:

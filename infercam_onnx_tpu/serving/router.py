@@ -79,6 +79,12 @@ class FrameRouter:
 
     def _subscribe(self, table: dict[int, Broadcast],
                    name: str) -> _Subscription:
+        # prune on the subscription cadence too: the run() loop only
+        # prunes when frames arrive, so on an idle ingest a scraper
+        # minting distinct names would otherwise grow the channel
+        # tables without bound (_prune_seen guards the same flood on
+        # the sender side)
+        self._prune()
         key = stream_key(name)
         chan = table.get(key)
         if chan is None:
@@ -102,10 +108,8 @@ class FrameRouter:
 
     def active_streams(self, max_age_s: float = 15.0) -> list[str]:
         """Names of streams with frames in the last ``max_age_s``."""
-        import asyncio as _asyncio
-
         try:
-            now = _asyncio.get_running_loop().time()
+            now = asyncio.get_running_loop().time()
         except RuntimeError:
             return sorted(self._seen)
         return sorted(n for n, t in self._seen.items()
