@@ -67,7 +67,10 @@ def test_submit_backpressure_is_nonblocking():
 
 
 def test_window_waits_for_more_frames():
-    w, _ = _worker(batch_buckets=(1, 2, 4, 8), batch_window_ms=200.0)
+    # a WIDE window + poll-until keeps this deterministic under a
+    # loaded single core (a fixed 200 ms window vs 50 ms sleep flaked
+    # when the full suite saturated the CPU)
+    w, _ = _worker(batch_buckets=(1, 2, 4, 8), batch_window_ms=1500.0)
     processed = []
 
     async def run():
@@ -76,14 +79,18 @@ def test_window_waits_for_more_frames():
         chan = Broadcast()
         task = asyncio.create_task(w.run())
         w.submit(InferJob(1, b"a", chan))
-        await asyncio.sleep(0.05)  # inside the 200 ms window
+        await asyncio.sleep(0.05)  # well inside the window
         w.submit(InferJob(2, b"b", chan))
-        await asyncio.sleep(0.5)
+        deadline = asyncio.get_running_loop().time() + 20.0
+        while (not processed
+               and asyncio.get_running_loop().time() < deadline):
+            await asyncio.sleep(0.05)
         task.cancel()
         await asyncio.gather(task, return_exceptions=True)
 
     asyncio.run(run())
     # both frames landed in ONE batch thanks to the gather window
+    assert processed, "no batch dispatched within the deadline"
     assert len(processed[0]) == 2
 
 
