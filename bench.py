@@ -551,10 +551,11 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
     # the splice transcode serves FULL-resolution annotated output
     # (coefficient mode has no IDCT scaling); its fair host comparison
     # is full-res host annotate. These are the SECONDARY annotated
-    # numbers: on a starved budget they yield to the serving samples
-    # main() still has to take (the device-vs-host pair above is the
-    # round-3 evidence and always runs).
-    if remaining is None or remaining() > 150:
+    # numbers: on a starved budget OR a degraded link they yield — a
+    # splice window on a 45 MB/s day measures the link, not the path
+    # (observed 1.0 fps vs 41.9 on a healthy window) and costs ~70 s
+    # of compiles the MFU/latency samples need.
+    if not slow_rig and (remaining is None or remaining() > 150):
         fps_annot_splice = _annotated_fps(
             detector, frames, mode="splice", batch=batch,
             seconds=seconds)
@@ -908,9 +909,11 @@ def main() -> int:
                 lossless["serving_lossless_max_batch"] = 4 * batch
                 note(f"lossless serving done "
                      f"({lossless['serving_delivered_fps']} fps)")
-            if (remaining() > 120
+            if (remaining() > 240
                     or (lossless["serving_delivered_fps"] <= 0
                         and remaining() > 60)):
+                # the second batch depth is a refinement; on tight
+                # budgets the MFU/latency samples matter more
                 second = bench_serving_throughput(
                     streams=batch, coalesce=False, max_batch=2 * batch,
                     port_base=38680)
