@@ -819,7 +819,7 @@ def bench_cpu_baseline(frames: list[bytes], *, max_frames: int = 12) -> dict:
         img = codec.decode_rgb(data).astype(np.float32)
         x = np.einsum("oH,HWc->oWc", r_h, img)
         x = np.einsum("oW,hWc->hoc", r_w, x)
-        x = (np.clip(np.round(x), 0, 255) / 255.0 - MEAN) / STD
+        x = (np.clip(np.floor(x + 0.5), 0, 255) / 255.0 - MEAN) / STD
         with torch.no_grad():
             scores, boxes = twin(torch.from_numpy(
                 np.transpose(x[None], (0, 3, 1, 2)).astype(np.float32)))

@@ -435,7 +435,14 @@ class Detector:
         npz = os.path.join(cache_dir("weights"),
                            f"ultraface-{variant}.npz")
         if os.path.isfile(npz):
-            return checkpoint.load_params(npz)
+            try:
+                return checkpoint.load_params(npz)
+            except Exception as e:
+                # a truncated/corrupt cache file must not wedge every
+                # startup until someone deletes it by hand
+                log.warning("corrupt weights cache %s (%s); rebuilding",
+                            npz, e)
+                os.unlink(npz)
         params = load_or_download_params(variant)
         if params is not None:
             checkpoint.save_params(params, npz)
@@ -443,7 +450,8 @@ class Detector:
         log.warning(
             "UltraFace %s weights unavailable (offline); using "
             "deterministic random weights", variant)
-        return uf.init_params(rng, background_bias=0.75)
+        arch = "slim" if variant.lower().startswith("slim") else "RFB"
+        return uf.init_params(rng, background_bias=0.75, arch=arch)
 
     # -- device program ----------------------------------------------------
 

@@ -347,9 +347,42 @@ def expected_conv_slots(arch: str, base: int = 16) -> list[ConvSpec]:
     return slots
 
 
+def interleaved_conv_slots(arch: str, base: int = 16) -> list[ConvSpec]:
+    """The SAME slots reordered to the upstream SSD's execution order.
+
+    The genuine Ultra-Light repo's SSD.forward runs each level's heads
+    AT its source layer while traversing the backbone
+    (source_layer_indexes = [8, 11, 13]: base[0:8] -> heads0 ->
+    base[8:11] -> heads1 -> base[11:13] -> heads2 -> extras -> heads3,
+    classification before regression), so the real version-RFB ONNX
+    artifacts trace head convs interleaved with backbone convs — while
+    a grouped forward (all base, extras, then heads; what the test twin
+    and many re-implementations emit) groups them at the end.
+    params_from_graph accepts both orders."""
+    slots = expected_conv_slots(arch, base)
+
+    def take(prefix: tuple) -> list[ConvSpec]:
+        return [s for s in slots if s.path[:len(prefix)] == prefix]
+
+    def heads(level: int) -> list[ConvSpec]:
+        return (take(("cls_heads", level)) + take(("reg_heads", level)))
+
+    attach = {7: 0, 10: 1, 12: 2}  # base index -> head level
+    ordered: list[ConvSpec] = []
+    for i in range(13):
+        ordered += take(("base", i))
+        if i in attach:
+            ordered += heads(attach[i])
+    ordered += take(("extras",))
+    ordered += heads(3)
+    assert len(ordered) == len(slots)
+    return ordered
+
+
 def _check_conv(node, spec: ConvSpec, w: Array) -> None:
     got = {
-        "kernel_shape": node.attrs.get("kernel_shape", [spec.k, spec.k]),
+        "kernel_shape": (node.attrs.get("kernel_shape")
+                         or list(w.shape[2:4])),
         "strides": node.attrs.get("strides", [1, 1]),
         "pads": node.attrs.get("pads", [0, 0, 0, 0]),
         "dilations": node.attrs.get("dilations", [1, 1]),
@@ -448,46 +481,66 @@ def params_from_graph(graph) -> dict:
                              "initializer (dynamic weights unsupported)")
         return np.asarray(graph.initializers[name], np.float32)
 
-    # skeleton to _place into
-    tree: dict = {
-        "base": [{"dw": {}, "pw": {}} for _ in range(13)],
-        "extras": {"sep": {}},
-        "cls_heads": [{} for _ in range(4)],
-        "reg_heads": [{} for _ in range(4)],
-    }
-    if arch == "RFB":
-        tree["base"][7] = {"branch0": [{}, {}, {}],
-                           "branch1": [{}, {}, {}],
-                           "branch2": [{}, {}, {}, {}]}
+    def attempt(ordered_slots: list[ConvSpec]) -> dict:
+        # skeleton to _place into
+        tree: dict = {
+            "base": [{"dw": {}, "pw": {}} for _ in range(13)],
+            "extras": {"sep": {}},
+            "cls_heads": [{} for _ in range(4)],
+            "reg_heads": [{} for _ in range(4)],
+        }
+        if arch == "RFB":
+            tree["base"][7] = {"branch0": [{}, {}, {}],
+                               "branch1": [{}, {}, {}],
+                               "branch2": [{}, {}, {}, {}]}
 
-    for node, spec in zip(convs, slots):
-        w = tensor(node.inputs[1])
-        _check_conv(node, spec, w)
-        if spec.kind == "cbr":
-            bn = [n for n in consumers.get(node.outputs[0], [])
-                  if n.op_type == "BatchNormalization"]
-            if bn:
-                if len(node.inputs) > 2:
+        for node, spec in zip(convs, ordered_slots):
+            w = tensor(node.inputs[1])
+            _check_conv(node, spec, w)
+            if spec.kind == "cbr":
+                bn = [n for n in consumers.get(node.outputs[0], [])
+                      if n.op_type == "BatchNormalization"]
+                if bn:
+                    if len(node.inputs) > 2:
+                        raise ValueError(
+                            f"conv {node.name!r} has both a bias and a "
+                            "following BatchNorm — unexpected export")
+                    gamma, beta, mean, var = (tensor(i) for i in
+                                              bn[0].inputs[1:5])
+                    eps = bn[0].attrs.get("epsilon", BN_EPS)
+                    scale, bias = _fold_bn(gamma, beta, mean, var, eps)
+                elif len(node.inputs) > 2:  # BN folded into the conv
+                    scale = np.ones(spec.out_ch, np.float32)
+                    bias = tensor(node.inputs[2])
+                else:
                     raise ValueError(
-                        f"conv {node.name!r} has both a bias and a "
-                        "following BatchNorm — unexpected export")
-                gamma, beta, mean, var = (tensor(i) for i in
-                                          bn[0].inputs[1:5])
-                eps = bn[0].attrs.get("epsilon", BN_EPS)
-                scale, bias = _fold_bn(gamma, beta, mean, var, eps)
-            elif len(node.inputs) > 2:  # BN already folded into the conv
-                scale = np.ones(spec.out_ch, np.float32)
-                bias = tensor(node.inputs[2])
+                        f"conv {node.name!r} "
+                        f"({'.'.join(map(str, spec.path))})"
+                        " has neither a bias nor a following BatchNorm")
+                value = {"w": _oihw_to_hwio(w), "scale": scale,
+                         "bias": bias}
             else:
-                raise ValueError(
-                    f"conv {node.name!r} ({'.'.join(map(str, spec.path))})"
-                    " has neither a bias nor a following BatchNorm")
-            value = {"w": _oihw_to_hwio(w), "scale": scale, "bias": bias}
-        else:
-            bias = (tensor(node.inputs[2]) if len(node.inputs) > 2
-                    else np.zeros(spec.out_ch, np.float32))
-            value = {"w": _oihw_to_hwio(w), "b": bias}
-        _place(tree, spec.path, value)
+                bias = (tensor(node.inputs[2]) if len(node.inputs) > 2
+                        else np.zeros(spec.out_ch, np.float32))
+                value = {"w": _oihw_to_hwio(w), "b": bias}
+            _place(tree, spec.path, value)
+        return tree
+
+    # the upstream SSD traces head convs interleaved with the backbone;
+    # grouped forwards (the torch twin, many re-implementations) put
+    # them at the end — accept both orders, preferring the upstream one
+    errors = []
+    for order in (interleaved_conv_slots(arch), slots):
+        try:
+            tree = attempt(order)
+            break
+        except ValueError as e:
+            errors.append(str(e))
+    else:
+        raise ValueError(
+            "ONNX graph matches neither the upstream-interleaved nor "
+            "the grouped UltraFace conv order:\n  interleaved: "
+            f"{errors[0]}\n  grouped: {errors[1]}")
 
     return jax.tree.map(jnp.asarray, tree)
 
@@ -540,4 +593,19 @@ def load_or_download_params(
             return None
     if not os.path.isfile(path):
         return None
-    return params_from_onnx(path)
+    try:
+        return params_from_onnx(path)
+    except ValueError as e:
+        # corrupt/unexpected cached artifact: quarantine it so the next
+        # run can re-download instead of crashing every startup; the
+        # caller falls back to random weights meanwhile
+        import logging
+
+        logging.getLogger("infercam.convert").warning(
+            "cached ONNX %s failed to load (%s); quarantined as .bad",
+            path, e)
+        try:
+            os.replace(path, path + ".bad")
+        except OSError:
+            pass
+        return None

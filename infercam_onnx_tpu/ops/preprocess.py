@@ -85,7 +85,11 @@ def preprocess_images(
     x = jnp.einsum("oW,bhWc->bhoc", r_w, x,
                    preferred_element_type=jnp.float32)
     if round_u8:
-        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+        # half-AWAY-from-zero like image-rs' f32::round (and PIL) —
+        # jnp.round's banker's rounding differs by 1 LSB on exact-.5
+        # resample sums, which can flip a detection sitting right at
+        # min_confidence (samples are >= 0 here, so floor(x+0.5) == it)
+        x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
     x = x / 255.0
     x = (x - jnp.asarray(MEAN)) / jnp.asarray(STD)
     return x

@@ -14,6 +14,7 @@ env_logger only). This subsystem adds:
 from __future__ import annotations
 
 import contextlib
+import random
 import threading
 import time
 from collections import defaultdict
@@ -24,8 +25,11 @@ class StageTimer:
 
     def __init__(self, max_samples_per_stage: int = 4096):
         self._samples: dict[str, list[float]] = defaultdict(list)
+        self._totals: dict[str, float] = defaultdict(float)
+        self._counts: dict[str, int] = defaultdict(int)
         self._lock = threading.Lock()
         self._max = max_samples_per_stage
+        self._rng = random.Random(0)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -37,9 +41,18 @@ class StageTimer:
 
     def record(self, name: str, seconds: float) -> None:
         with self._lock:
+            # reservoir sample: keep a uniform subset over the WHOLE
+            # period (keeping only the first N made a mid-period
+            # latency regression invisible), exact count/total always
+            self._counts[name] += 1
+            self._totals[name] += seconds
             samples = self._samples[name]
             if len(samples) < self._max:
                 samples.append(seconds)
+            else:
+                j = self._rng.randrange(self._counts[name])
+                if j < self._max:
+                    samples[j] = seconds
 
     def drain(self) -> dict[str, dict[str, float]]:
         """{stage: {count, p50_ms, p95_ms, p99_ms, total_ms}} and reset."""
@@ -51,13 +64,15 @@ class StageTimer:
                 s = sorted(samples)
                 n = len(s)
                 out[name] = {
-                    "count": n,
+                    "count": self._counts[name],
                     "p50_ms": s[n // 2] * 1e3,
                     "p95_ms": s[min(n - 1, int(n * 0.95))] * 1e3,
                     "p99_ms": s[min(n - 1, int(n * 0.99))] * 1e3,
-                    "total_ms": sum(s) * 1e3,
+                    "total_ms": self._totals[name] * 1e3,
                 }
             self._samples.clear()
+            self._counts.clear()
+            self._totals.clear()
             return out
 
     def format_drain(self) -> str:

@@ -567,3 +567,40 @@ def test_onnx_reader_mutation_fuzz(exports, tmp_path):
             read_onnx_graph(str(path))
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize("fold", [True, False])
+@pytest.mark.parametrize("arch", ["RFB", "slim"])
+def test_structural_conversion_accepts_upstream_interleaved_order(
+        twin, tmp_path, fold, arch):
+    """The GENUINE upstream SSD traces each level's head convs AT its
+    source layer (source_layer_indexes=[8,11,13]), interleaving them
+    with backbone convs — a different node order than the grouped
+    forward every other test exports. The structural converter must
+    load that order too (it is the order the real version-RFB
+    artifacts contain)."""
+    torch.manual_seed(3)
+    if arch == "RFB":
+        inter = UltraFaceTwin(torch.as_tensor(
+            uf.generate_priors(320, 240)), interleaved=True)
+        inter.load_state_dict(twin.state_dict())
+    else:
+        inter = UltraFaceTwin(torch.as_tensor(
+            uf.generate_priors(320, 240)), arch="slim",
+            interleaved=True)
+    inter = inter.eval()
+    path = tmp_path / f"inter_{arch}_{fold}.onnx"
+    _export(inter, path, 320, 240, fold)
+    params = params_from_onnx(str(path))
+    x = np.random.default_rng(7).normal(
+        size=(1, 3, 240, 320)).astype(np.float32)
+    with torch.no_grad():
+        w_scores, w_boxes = inter(torch.from_numpy(x))
+    scores, boxes = uf.forward(
+        params, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)),
+        jnp.asarray(uf.generate_priors(320, 240)),
+        compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(scores), w_scores.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(boxes), w_boxes.numpy(),
+                               atol=2e-5)

@@ -113,8 +113,15 @@ class UltraFaceTwin(nn.Module):
     ``arch="slim"`` uses a plain conv_dw there (upstream Mb_Tiny).
     """
 
-    def __init__(self, priors: torch.Tensor, arch: str = "RFB"):
+    def __init__(self, priors: torch.Tensor, arch: str = "RFB",
+                 interleaved: bool = False):
         super().__init__()
+        # interleaved=True traces each level's heads AT its source
+        # layer like the genuine upstream SSD.forward
+        # (source_layer_indexes=[8, 11, 13]) — the conv ORDER the real
+        # version-RFB ONNX artifacts contain; False groups all heads
+        # after the backbone (the common re-implementation order)
+        self.interleaved = interleaved
         c = BASE
         block7 = (conv_dw(4 * c, 4 * c, 1) if arch == "slim"
                   else BasicRFB(4 * c, 4 * c, stride=1, scale=1.0))
@@ -156,21 +163,31 @@ class UltraFaceTwin(nn.Module):
         self.register_buffer("priors", priors)
 
     def forward(self, x):
-        feats = []
-        for i, layer in enumerate(self.base_net):
-            x = layer(x)
-            if i in (7, 10, 12):
-                feats.append(x)
-        feats.append(self.extras[0](x))
-
-        confs, locs = [], []
-        for level, feat in enumerate(feats):
+        def head(level, feat, confs, locs):
             c = self.classification_headers[level](feat)
             l = self.regression_headers[level](feat)
             b = c.shape[0]
             confs.append(
                 c.permute(0, 2, 3, 1).reshape(b, -1, NUM_CLASSES))
             locs.append(l.permute(0, 2, 3, 1).reshape(b, -1, 4))
+
+        confs, locs = [], []
+        if self.interleaved:
+            attach = {7: 0, 10: 1, 12: 2}
+            for i, layer in enumerate(self.base_net):
+                x = layer(x)
+                if i in attach:
+                    head(attach[i], x, confs, locs)
+            head(3, self.extras[0](x), confs, locs)
+        else:
+            feats = []
+            for i, layer in enumerate(self.base_net):
+                x = layer(x)
+                if i in (7, 10, 12):
+                    feats.append(x)
+            feats.append(self.extras[0](x))
+            for level, feat in enumerate(feats):
+                head(level, feat, confs, locs)
         conf = torch.cat(confs, dim=1)
         loc = torch.cat(locs, dim=1)
 

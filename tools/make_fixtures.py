@@ -115,7 +115,7 @@ def twin_detect(twin, size, frame: np.ndarray) -> list[list[float]]:
     r_w = triangle_resize_matrix(frame.shape[1], mw)
     x = np.einsum("oH,HWc->oWc", r_h, frame.astype(np.float32))
     x = np.einsum("oW,hWc->hoc", r_w, x)
-    x = (np.clip(np.round(x), 0, 255) / 255.0 - MEAN) / STD
+    x = (np.clip(np.floor(x + 0.5), 0, 255) / 255.0 - MEAN) / STD
     with torch.no_grad():
         scores, boxes = twin(torch.from_numpy(
             np.transpose(x[None], (0, 3, 1, 2)).astype(np.float32)))
