@@ -114,6 +114,21 @@ class NativeJpeg:
             ctypes.c_int32, ctypes.c_int32,
         ]
 
+    @staticmethod
+    def _check_claimed_dims(w: int, h: int, slot: int | None = None) -> None:
+        """Reject frames whose HEADER claims more than MAX_FRAME_BYTES.
+
+        A 2 KB JPEG whose SOF marker claims 65500x65500 passes the 8 MiB
+        wire cap (protocol.py) but would otherwise drive a ~12.9 GB
+        allocation per batch slot — an OOM-kill a single crafted frame
+        could inflict on the serving process. ValueError keeps the
+        drop-not-die contract (serving/inferer.py treats it as a corrupt
+        frame); the reference would die here (panic on decode,
+        reference inferer.rs:35-36)."""
+        if w * h * 3 > MAX_FRAME_BYTES:
+            where = "" if slot is None else f" in batch slot {slot}"
+            raise ValueError(f"frame too large{where}: {w}x{h}")
+
     def probe(self, data: bytes, scale: int = 1) -> tuple[int, int]:
         w = ctypes.c_int32()
         h = ctypes.c_int32()
@@ -148,6 +163,8 @@ class NativeJpeg:
             return []
         # probe sizes first so each slot gets a right-sized buffer
         dims = [self.probe(d, scale) for d in datas]
+        for i, (w, h) in enumerate(dims):
+            self._check_claimed_dims(w, h, i)
         max_bytes = max(w * h * 3 for w, h in dims)
         bufs = np.empty((n, max_bytes), np.uint8)
         arr_p = (ctypes.c_char_p * n)(*datas)
@@ -185,6 +202,7 @@ class NativeJpeg:
             raise ValueError("empty batch")
         # capacity bound: padded planes are at most (dim + 2 iMCU) wide
         w0, h0 = self.probe(datas[0], scale)
+        self._check_claimed_dims(w0, h0, 0)
         max_each = 3 * (w0 + 32) * (h0 + 32)
         bufs = np.empty((n, max_each), np.uint8)
         dims = (ctypes.c_int32 * (8 * n))()

@@ -239,3 +239,30 @@ def test_fused_ycbcr_detection_matches_standard(rng):
     fused = unpack_detections(packed)
     report = parity_report(fused, std, iou_thresh=0.8, conf_tol=0.05)
     assert report.box_parity >= 0.9, report.as_dict()
+
+
+def test_huge_claimed_dims_rejected_not_allocated(rng):
+    """A tiny JPEG whose SOF header claims 65500x65500 must raise
+    ValueError (drop-not-die, serving treats it as corrupt) instead of
+    driving a ~12.9 GB per-slot allocation that would OOM-kill the
+    server. The 8 MiB wire cap (protocol.py) does not protect against
+    this: the attack frame is 2 KB."""
+    from infercam_onnx_tpu.native import jpeg as native_jpeg
+
+    native = native_jpeg.load()
+    data = bytearray(_jpeg(rng))
+    # patch the SOF0 frame header dims: FF C0 len(2) prec(1) H(2) W(2)
+    i = data.find(b"\xff\xc0")
+    assert i > 0, "fixture JPEG has no baseline SOF0 marker"
+    data[i + 5:i + 9] = (65500).to_bytes(2, "big") * 2
+    huge = bytes(data)
+
+    with pytest.raises(ValueError, match="too large"):
+        native.decode_rgb(huge)
+    with pytest.raises(ValueError, match="too large"):
+        native.decode_batch([_jpeg(rng), huge])
+    with pytest.raises(ValueError, match="too large"):
+        native.decode_ycbcr_batch([huge])
+    # huge frame NOT in slot 0: caught by the C-side capacity check
+    with pytest.raises(ValueError):
+        native.decode_ycbcr_batch([_jpeg(rng), huge])
