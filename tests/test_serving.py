@@ -65,7 +65,20 @@ async def _start(detector, http_port, sock_port, **engine_kw):
     return server, cfg
 
 
-async def _http_get(port, path, *, read_bytes=0, timeout=10.0):
+def _ndjson_lines(n):
+    """_http_get stop predicate: n complete NDJSON body lines arrived.
+
+    Without a stop, an NDJSON read with a large read_bytes waits out its
+    FULL timeout (a few small records never fill the quota — the
+    detections tests each burned a flat 60 s this way)."""
+    def stop(data):
+        if b"\r\n\r\n" not in data:
+            return False
+        return data.split(b"\r\n\r\n", 1)[1].count(b"\n") >= n
+    return stop
+
+
+async def _http_get(port, path, *, read_bytes=0, timeout=10.0, stop=None):
     reader, writer = await asyncio.open_connection("127.0.0.1", port)
     writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n"
                  "Connection: close\r\n\r\n".encode())
@@ -78,6 +91,8 @@ async def _http_get(port, path, *, read_bytes=0, timeout=10.0):
                 if not chunk:
                     break
                 data += chunk
+                if stop is not None and stop(data):
+                    break
         except asyncio.TimeoutError:
             pass
     else:
@@ -388,7 +403,8 @@ def test_detections_ndjson_endpoint(detector, jpeg_dir):
         try:
             stream_task = asyncio.create_task(
                 _http_get(18318, "/detections?name=d",
-                          read_bytes=8000, timeout=30.0))
+                          read_bytes=8000, timeout=30.0,
+                          stop=_ndjson_lines(2)))
             await _until(
                 lambda: _subscribed(server, "d", "detections"),
                 desc="detections viewer d")
@@ -432,7 +448,8 @@ def test_detections_with_coefficient_mode(detector, tmp_path):
         try:
             stream_task = asyncio.create_task(
                 _http_get(18320, "/detections?name=z",
-                          read_bytes=8000, timeout=60.0))
+                          read_bytes=8000, timeout=60.0,
+                          stop=_ndjson_lines(2)))
             await _until(
                 lambda: _subscribed(server, "z", "detections"),
                 desc="detections viewer z")
@@ -747,7 +764,8 @@ def test_detections_with_ycbcr_mode(detector, tmp_path):
         try:
             stream_task = asyncio.create_task(
                 _http_get(18360, "/detections?name=y",
-                          read_bytes=8000, timeout=60.0))
+                          read_bytes=8000, timeout=60.0,
+                          stop=_ndjson_lines(2)))
             await _until(
                 lambda: _subscribed(server, "y", "detections"),
                 desc="detections viewer y")
