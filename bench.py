@@ -497,8 +497,12 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
     # it); a pathological stall flags the rig as SLOW so sampling trims
     # to fit a bounded wall clock
     latch_s = float(os.environ.get("_BENCH_LATCH_S", "0"))
-    h2d_mbps = float(os.environ.get("_BENCH_H2D_MBPS", "inf"))
-    slow_rig = latch_s > 60.0 or h2d_mbps < 250.0
+    verdict = os.environ.get("_BENCH_SLOW_LINK")
+    if verdict is not None:  # main() already classified the link
+        slow_rig = verdict == "1"
+    else:  # standalone bench_tpu call
+        h2d_mbps = float(os.environ.get("_BENCH_H2D_MBPS", "inf"))
+        slow_rig = latch_s > 60.0 or h2d_mbps < 250.0
 
     n = native_jpeg.load()
 
@@ -883,6 +887,10 @@ def main() -> int:
     h2d_mbps = 4.0 / h2d_best
     os.environ["_BENCH_H2D_MBPS"] = str(h2d_mbps)
     slow_link = latch_s > 60.0 or h2d_mbps < 250.0
+    # single verdict for the whole run: bench_tpu consumes this instead
+    # of re-deriving it from the raw signals (keeps the JSON's
+    # slow_link flag and the sampling trims in agreement)
+    os.environ["_BENCH_SLOW_LINK"] = "1" if slow_link else "0"
     note(f"h2d probe {h2d_mbps:.0f} MB/s"
          f"{' (degraded link: cheap samples first)' if slow_link else ''}")
 
@@ -921,13 +929,18 @@ def main() -> int:
             # on a 45 MB/s day measures the link, not the framework —
             # observed: the lossless window burned 140 s and the JSON
             # came out with zero MFU/latency/tiled/serving samples.
+            # budget reservation: the pre-pass only runs when enough is
+            # left to ALSO cover a cold-cache lossless window afterwards
+            # (cold compiles put MFU at ~100 s and the latency preset at
+            # ~70 s; warm, they cost ~20 s together) — otherwise a
+            # starved budget goes straight to the headline contender
             mfu = {}
-            if slow_link and remaining() > 40:
+            if slow_link and remaining() > 300:
                 mfu = bench_mfu(detector, batch=64)
                 note(f"mfu done ({mfu.get('achieved_tflops')} TFLOP/s"
                      f", {mfu.get('mfu_pct', 'n/a')}% of peak), "
                      f"remaining {remaining():.0f}s")
-            if slow_link and remaining() > 60:
+            if slow_link and remaining() > 240:
                 serving.update(bench_serving_latency(
                     cut_through=True, port=38610))
                 note("latency preset done "
@@ -946,8 +959,8 @@ def main() -> int:
             if remaining() > 60:
                 lossless = bench_serving_throughput(
                     streams=batch, coalesce=False, max_batch=4 * batch,
-                    batch_buckets=(1, batch, 4 * batch) if slow_link
-                    else None,
+                    batch_buckets=(tuple(sorted({1, batch, 4 * batch}))
+                                   if slow_link else None),
                     port_base=38640)
                 lossless["serving_lossless_max_batch"] = 4 * batch
                 note(f"lossless serving done "
@@ -960,8 +973,8 @@ def main() -> int:
                 # budgets the MFU/latency samples matter more
                 second = bench_serving_throughput(
                     streams=batch, coalesce=False, max_batch=2 * batch,
-                    batch_buckets=(1, batch, 2 * batch) if slow_link
-                    else None,
+                    batch_buckets=(tuple(sorted({1, batch, 2 * batch}))
+                                   if slow_link else None),
                     port_base=38680)
                 second["serving_lossless_max_batch"] = 2 * batch
                 if (second["serving_delivered_fps"]
@@ -996,7 +1009,8 @@ def main() -> int:
             def sample_serving_window():
                 if remaining() <= 120:
                     return
-                trim = (1, batch // 2, batch) if slow_link else None
+                trim = (tuple(sorted({1, max(1, batch // 2), batch}))
+                        if slow_link else None)
                 served = bench_serving_throughput(streams=batch,
                                                   batch_buckets=trim)
                 if served["serving_delivered_fps"] <= 0 \

@@ -115,8 +115,9 @@ class NativeJpeg:
         ]
 
     @staticmethod
-    def _check_claimed_dims(w: int, h: int, slot: int | None = None) -> None:
-        """Reject frames whose HEADER claims more than MAX_FRAME_BYTES.
+    def _check_claimed_dims(w: int, h: int, slot: int | None = None,
+                            limit: int = MAX_FRAME_BYTES) -> None:
+        """Reject frames whose HEADER claims more than ``limit`` bytes.
 
         A 2 KB JPEG whose SOF marker claims 65500x65500 passes the 8 MiB
         wire cap (protocol.py) but would otherwise drive a ~12.9 GB
@@ -125,7 +126,7 @@ class NativeJpeg:
         drop-not-die contract (serving/inferer.py treats it as a corrupt
         frame); the reference would die here (panic on decode,
         reference inferer.rs:35-36)."""
-        if w * h * 3 > MAX_FRAME_BYTES:
+        if w * h * 3 > limit:
             where = "" if slot is None else f" in batch slot {slot}"
             raise ValueError(f"frame too large{where}: {w}x{h}")
 
@@ -141,9 +142,8 @@ class NativeJpeg:
 
     def decode_rgb(self, data: bytes, scale: int = 1) -> np.ndarray:
         w, h = self.probe(data, scale)
+        self._check_claimed_dims(w, h)
         need = w * h * 3
-        if need > MAX_FRAME_BYTES:
-            raise ValueError(f"frame too large: {w}x{h}")
         out = np.empty(need, np.uint8)
         ow = ctypes.c_int32()
         oh = ctypes.c_int32()
@@ -200,9 +200,13 @@ class NativeJpeg:
         n = len(datas)
         if n == 0:
             raise ValueError("empty batch")
-        # capacity bound: padded planes are at most (dim + 2 iMCU) wide
+        # capacity bound: padded planes are at most (dim + 2 iMCU) wide.
+        # The claimed-dims clamp is sized to THIS path's allocation
+        # (packed planes, <= ~3 B/px scaffold), i.e. twice the RGB
+        # budget — a 12 MP 4:2:0 frame that fit here before the clamp
+        # still decodes, while a crafted 65500x65500 header is rejected
         w0, h0 = self.probe(datas[0], scale)
-        self._check_claimed_dims(w0, h0, 0)
+        self._check_claimed_dims(w0, h0, 0, limit=2 * MAX_FRAME_BYTES)
         max_each = 3 * (w0 + 32) * (h0 + 32)
         bufs = np.empty((n, max_each), np.uint8)
         dims = (ctypes.c_int32 * (8 * n))()

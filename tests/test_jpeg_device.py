@@ -266,3 +266,13 @@ def test_huge_claimed_dims_rejected_not_allocated(rng):
     # huge frame NOT in slot 0: caught by the C-side capacity check
     with pytest.raises(ValueError):
         native.decode_ycbcr_batch([_jpeg(rng), huge])
+
+    # the ycbcr clamp is sized to its packed-plane allocation (2x the
+    # RGB budget): a real 12 MP 4:2:0 frame still decodes there even
+    # though the RGB path's 4K cap rejects it
+    big = np.full((3024, 4032, 3), 128, np.uint8)
+    big_jpeg = codec.encode_rgb(big, 85, "420")
+    packed, geom = native.decode_ycbcr_batch([big_jpeg])
+    assert (geom["width"], geom["height"]) == (4032, 3024)
+    with pytest.raises(ValueError, match="too large"):
+        native.decode_rgb(big_jpeg)
