@@ -161,6 +161,11 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
 
     n = native_jpeg.load()
     quant = n.quant_tables(quality)
+    # splice block budget: the SERVER's default (EngineConfig), not a
+    # local literal — the bench must measure the same path serve runs
+    from infercam_onnx_tpu.config import EngineConfig
+
+    splice_k = EngineConfig.annotate_splice_blocks
     stop = threading.Event()
     q: pyqueue.Queue = pyqueue.Queue(maxsize=3)
 
@@ -196,7 +201,7 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
             y, cb, cr, qt, wh, samp = arr
             blocks, meta, pdet = (
                 detector.run_device_coefficients_annotated(
-                    y, cb, cr, qt, wh, sampling=samp))
+                    y, cb, cr, qt, wh, sampling=samp, k=splice_k))
             return (blocks, meta, arr), pdet
         return (None, detector.run_device(arr, pack_output=True))
 
@@ -220,7 +225,7 @@ def _annotated_fps(detector, frames: list[bytes], *, mode: str,
                 # budget overflow / mismatched chroma tables pay the
                 # full host decode+draw+encode fallback, so the bench
                 # measures the same work the server would do
-                if (int(meta[i][0]) <= 768
+                if (int(meta[i][0]) <= splice_k
                         and np.array_equal(qt[i][1], qt[i][2])):
                     ys, cbs, crs = splice_blocks(y[i], cb[i], cr[i],
                                                  meta[i], blocks[i])
@@ -724,6 +729,7 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
     from infercam_onnx_tpu.detector import Detector
     from infercam_onnx_tpu.serving.app import start_server
     from infercam_onnx_tpu.serving.meter import METER
+    from infercam_onnx_tpu.utils.profiling import STAGES
 
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
     for i, f in enumerate(_load_frames(8)):
@@ -733,6 +739,18 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
     top = max_batch or streams
     detector = Detector(DetectorConfig(variant="RFB-320"), rng=0)
     detector.warmup(top, 240, 320, pack_output=True)
+
+    # capture per-frame e2e latency (router enqueue -> publish) from the
+    # throughput window itself, so the serving_p50_e2e family is filled
+    # even when the budget can't afford a dedicated latency window
+    # (BENCH_r03 shipped -1.0 placeholders for exactly that reason)
+    e2e_s: list[float] = []
+    orig_record = STAGES.record
+
+    def record(name: str, seconds: float) -> None:
+        if name == "e2e":
+            e2e_s.append(seconds)
+        orig_record(name, seconds)
 
     async def run() -> dict:
         server = await start_server(
@@ -771,6 +789,7 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
                 for k in range(streams)]
             await asyncio.sleep(3.0)  # warm the live-geometry program
             base = dict(METER.totals)
+            base_n = len(e2e_s)  # e2e samples inside the window only
             t0 = time.time()
             await asyncio.sleep(seconds)
             elapsed = time.time() - t0
@@ -783,14 +802,27 @@ def bench_serving_throughput(*, streams: int = 16, seconds: float = 10.0,
             for w, t in viewers:
                 t.cancel()
                 w.close()
-            return {
+            out = {
                 "serving_delivered_fps": round(done / elapsed, 1),
                 "serving_mean_batch": round(done / max(batches, 1), 1),
             }
+            window = sorted(e2e_s[base_n:])
+            if window:
+                m = len(window)
+                out["serving_p50_e2e_ms"] = round(
+                    window[m // 2] * 1e3, 1)
+                out["serving_p95_e2e_ms"] = round(
+                    window[min(m - 1, int(m * 0.95))] * 1e3, 1)
+                out["serving_frames"] = m
+            return out
         finally:
             await server.close()
 
-    return asyncio.run(run())
+    STAGES.record = record  # type: ignore[method-assign]
+    try:
+        return asyncio.run(run())
+    finally:
+        STAGES.record = orig_record  # type: ignore[method-assign]
 
 
 def bench_cpu_baseline(frames: list[bytes], *, max_frames: int = 12) -> dict:
@@ -1031,6 +1063,24 @@ def main() -> int:
                 # transfer-hungry phase (observed 227 s cold), so it
                 # goes last
                 sample_serving_window()
+                if (tpu["fps_annotated_splice_fullres"] <= 0
+                        and remaining() > 130):
+                    # never ship zero placeholders for the full-res
+                    # annotate family (BENCH_r03 did): short windows
+                    # before the transfer-hungriest tiled phase. On a
+                    # degraded link splice largely measures the link —
+                    # a labeled measurement still beats a 0.0 (the
+                    # slow_link flag contextualizes it)
+                    tpu["fps_annotated_splice_fullres"] = _annotated_fps(
+                        detector, frames, mode="splice", batch=batch,
+                        seconds=4.0)
+                    tpu["fps_annotated_host_fullres"] = _annotated_fps(
+                        detector, frames, mode="host", batch=batch,
+                        seconds=4.0, decode_scale=1)
+                    note("fullres annotate sampled (splice "
+                         f"{tpu['fps_annotated_splice_fullres']:.1f} vs "
+                         f"host {tpu['fps_annotated_host_fullres']:.1f} "
+                         f"fps), remaining {remaining():.0f}s")
                 # tiled before the deep-queue latency sample: the tiled
                 # rgb-vs-ycbcr comparison is a recorded acceptance
                 # criterion, while deep-queue latency is mostly

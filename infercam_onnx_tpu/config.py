@@ -83,6 +83,20 @@ class EngineConfig:
     # annotate path (coefficients decode mode) ships back; frames whose
     # overlay touches more blocks fall back to host annotation.
     annotate_splice_blocks: int = 768
+    # Link-adaptive transfer-path selection (serving/link.py): probe
+    # host->device bandwidth at startup (after the warm-up latch trip)
+    # and re-route the transfer-hungry coefficients decode mode onto
+    # packed-YCbCr when the link is degraded — the splice transcode
+    # collapses below the host fallback on a slow link
+    # (docs/PERFORMANCE.md). The decision is exposed in /stats.
+    link_adaptive: bool = True
+    # H2D bandwidth (MB/s) at or above which the link counts as healthy
+    # (bench.py's slow-link threshold; healthy tunnels measure ~1500).
+    link_healthy_h2d_mbps: float = 250.0
+    # Re-probe the link every N seconds and re-apply the policy (0 =
+    # probe once at startup only). Each probe costs <1 s on the device
+    # executor between batches; recovery restores the configured path.
+    link_probe_period_s: float = 0.0
     # Tiled high-res detection (BASELINE config 5): frames with at least
     # this many pixels (post-decode) run through the overlapping tile grid
     # with cross-tile NMS merge instead of a single squashed resize.

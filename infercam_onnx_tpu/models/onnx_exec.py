@@ -155,12 +155,22 @@ def _max_pool_indices(node: OnnxNode, x):
         node, x)
     n = len(ks)
     spatial = [int(s) for s in x.shape[2:]]
-    # pad with -inf so padding never wins the argmax against real data
+    # pad with the dtype's own identity so padding never wins the
+    # argmax — and compare in the INPUT dtype: a float32 downcast would
+    # make values that differ only below f32 precision (float64, large
+    # ints) tie and pick an index disagreeing with the values output
+    xc = jnp.asarray(x)
+    if jnp.issubdtype(xc.dtype, jnp.floating):
+        pad_val = -jnp.inf
+    elif jnp.issubdtype(xc.dtype, jnp.integer):
+        pad_val = jnp.iinfo(xc.dtype).min
+    else:  # bool
+        pad_val = False
     xp = jnp.pad(
-        jnp.asarray(x, jnp.float32),
+        xc,
         ((0, 0), (0, 0)) + tuple(
             (pads[i], pads[i + n] + extra[i]) for i in range(n)),
-        constant_values=-jnp.inf)
+        constant_values=pad_val)
     slabs, flat_pos, valid = [], [], []
     for offs in itertools.product(*(range(k) for k in ks)):
         sl = [slice(None), slice(None)]

@@ -204,9 +204,14 @@ class NativeJpeg:
         # The claimed-dims clamp is sized to THIS path's allocation
         # (packed planes, <= ~3 B/px scaffold), i.e. twice the RGB
         # budget — a 12 MP 4:2:0 frame that fit here before the clamp
-        # still decodes, while a crafted 65500x65500 header is rejected
-        w0, h0 = self.probe(datas[0], scale)
-        self._check_claimed_dims(w0, h0, 0, limit=2 * MAX_FRAME_BYTES)
+        # still decodes, while a crafted 65500x65500 header is rejected.
+        # EVERY slot is probed+clamped (like decode_batch): rejection
+        # must be uniform Python-level, never left to the C shim's
+        # per-slot capacity status with its different error message
+        dims_py = [self.probe(d, scale) for d in datas]
+        for i, (w, h) in enumerate(dims_py):
+            self._check_claimed_dims(w, h, i, limit=2 * MAX_FRAME_BYTES)
+        w0, h0 = dims_py[0]
         max_each = 3 * (w0 + 32) * (h0 + 32)
         bufs = np.empty((n, max_each), np.uint8)
         dims = (ctypes.c_int32 * (8 * n))()

@@ -18,8 +18,13 @@ the same semantics are reformulated:
   stable-ascending-sort + pop-from-back order);
 - a [top_k, top_k] IoU matrix is computed with the reference's exact
   formula;
-- greedy selection runs as a `lax.fori_loop` over candidate rank with a
-  vectorized suppression test per step;
+- greedy selection runs as a parallel fixpoint closure: iterate
+  ``keep <- valid & !(exists kept earlier suppressor)`` with dense
+  batched matvecs on the MXU until the mask stops changing (see
+  ``_greedy_keep_closure`` for the exactness argument) — replacing a
+  top_k-step sequential ``fori_loop`` that dominated the program's
+  fixed on-chip cost (``impl="scan"`` keeps the sequential form for
+  regression comparison);
 - outputs are padded to ``max_detections`` with a valid-count, ordered by
   descending confidence exactly like the reference's return value.
 
@@ -67,16 +72,26 @@ def _select_candidates(
     top_k: int,
 ):
     """Top-k by confidence; ties -> larger prior index first (the
-    reference's ascending stable sort popped from the back)."""
+    reference's ascending stable sort popped from the back).
+
+    Implemented as ``lax.top_k`` over the REVERSED confidence vector:
+    top_k tie-breaks toward the lower index (XLA contract), so on the
+    reversed array a tie selects the higher original index — exactly
+    the reference's pop-from-back order — at partial-sort cost instead
+    of a full 2-key lexsort over all K priors."""
     k = conf.shape[0]
     valid = conf > min_confidence  # strict >, reference nn.rs:127
-    idx = jnp.arange(k)
-    order = jnp.lexsort((-idx, -conf))[:top_k]
+    _, ridx = jax.lax.top_k(conf[::-1], top_k)
+    order = (k - 1) - ridx
     return boxes[order], conf[order], valid[order]
 
 
 def _greedy_keep_xla(cand_boxes, cand_valid, max_iou: float):
-    """[top_k, 4] + [top_k] bool -> keep mask, XLA fori_loop form."""
+    """[top_k, 4] + [top_k] bool -> keep mask, sequential fori_loop form.
+
+    Kept as ``impl="scan"`` for regression comparison against the
+    production closure form; semantics are identical.
+    """
     top_k = cand_boxes.shape[0]
     iou = iou_matrix(cand_boxes, cand_boxes)
     suppress = iou > max_iou  # strict >, reference nn.rs:211
@@ -92,10 +107,59 @@ def _greedy_keep_xla(cand_boxes, cand_valid, max_iou: float):
         0, top_k, body, jnp.zeros((top_k,), dtype=bool))
 
 
+def _greedy_keep_closure(cand_boxes, cand_valid, max_iou: float):
+    """Batched greedy-NMS keep mask via parallel fixpoint closure.
+
+    The greedy recurrence (reference nn.rs:198-224) is
+    ``keep[i] = valid[i] & !any(j < i: keep[j] & suppress[j, i])``.
+    Its unique fixed point is computed by iterating
+    ``x <- f(x) = valid & !(M^T x > 0)`` (M = strictly-lower-triangular
+    suppression matrix in candidate-rank order) from ``x0 = valid``:
+
+    - f is antitone, so the iterates alternate between over- and
+      under-approximations of the greedy solution;
+    - at the earliest index where two consecutive iterates disagree,
+      f depends only on earlier indices where they agree — so that
+      index agrees one step later. The first-disagreement index
+      strictly advances, giving exact convergence in <= top_k steps
+      and, in practice, in the suppression-chain depth (2-5 for real
+      detections).
+
+    Each step is one dense [B, K, K] x [B, K] matvec — MXU work —
+    instead of the K-step sequential scan, cutting the program's fixed
+    on-chip latency. 0/1 values are exact in bf16/f32 matmuls, so the
+    mask is bit-identical to the sequential form.
+
+    Args: cand_boxes [B, top_k, 4], cand_valid [B, top_k] bool.
+    Returns: keep [B, top_k] bool.
+    """
+    top_k = cand_boxes.shape[1]
+    iou = jax.vmap(iou_matrix)(cand_boxes, cand_boxes)  # [B, K, K]
+    rank = jnp.arange(top_k)
+    earlier = rank[:, None] < rank[None, :]
+    # m[b, j, i] = 1 iff candidate j (earlier in rank) suppresses i.
+    m = jnp.where(earlier[None] & (iou > max_iou), 1.0, 0.0)
+    valid_f = cand_valid.astype(jnp.float32)
+
+    def cond(state):
+        _, converged, it = state
+        return (~converged) & (it < top_k + 1)
+
+    def body(state):
+        x, _, it = state
+        hit = jnp.einsum("bji,bj->bi", m, x)  # kept-earlier suppressor mass
+        y = valid_f * (hit < 0.5).astype(jnp.float32)
+        return y, jnp.all(y == x), it + 1
+
+    x, _, _ = jax.lax.while_loop(
+        cond, body, (valid_f, jnp.array(False), jnp.int32(0)))
+    return x > 0.5
+
+
 def _compact(cand_boxes, cand_conf, keep, max_detections: int):
     """Move kept candidates to the front, preserving confidence order."""
-    top_k = keep.shape[0]
-    comp = jnp.lexsort((jnp.arange(top_k), ~keep))[:max_detections]
+    # stable single-key argsort == lexsort((arange, ~keep))
+    comp = jnp.argsort(~keep)[:max_detections]
     out_boxes = jnp.where(keep[comp, None], cand_boxes[comp], 0.0)
     out_conf = jnp.where(keep[comp], cand_conf[comp], 0.0)
     count = jnp.minimum(jnp.sum(keep), max_detections)
@@ -148,9 +212,11 @@ def batched_nms(
     """Filter + greedy NMS over plain confidence vectors (used directly by
     the tiled-detection merge, parallel/tiling.py).
 
-    ``impl``: "xla" (fori_loop HLO), "pallas" (single fused TPU kernel,
-    ops/pallas/nms.py), or "pallas_interpret" (kernel in interpreter
-    mode, for CPU tests). Both implement identical reference semantics.
+    ``impl``: "xla" (parallel fixpoint closure, production default),
+    "scan" (sequential fori_loop HLO, the pre-round-4 form), "pallas"
+    (single fused TPU kernel, ops/pallas/nms.py), or
+    "pallas_interpret" (kernel in interpreter mode, for CPU tests).
+    All implement identical reference semantics.
     """
     k = conf.shape[1]
     top_k = min(top_k, k)
@@ -169,9 +235,11 @@ def batched_nms(
             max_iou=max_iou,
             interpret=(impl == "pallas_interpret"))
         keep = keep_f[:, 0, :] > 0.5
-    else:
+    elif impl == "scan":
         keep = jax.vmap(functools.partial(
             _greedy_keep_xla, max_iou=max_iou))(cand_boxes, cand_valid)
+    else:
+        keep = _greedy_keep_closure(cand_boxes, cand_valid, max_iou)
 
     return jax.vmap(functools.partial(
         _compact, max_detections=max_detections))(

@@ -159,6 +159,23 @@ def tiled_detect_from_ycbcr_program(
         flat_sharding=flat_sharding, pack_output=pack_output)
 
 
+def tiled_detect_from_ycbcr_rows_program(
+    params,
+    priors: jax.Array,
+    rows: tuple,  # B per-frame [n] uint8 packed planes
+    r_h: jax.Array,
+    r_w: jax.Array,
+    **kw,
+):
+    """Chunked-upload variant: the batch arrives as B separate
+    per-frame arrays (each the product of its own async ``device_put``,
+    so uploads amortize the tunnel's fixed per-transfer cost
+    back-to-back instead of paying one large synchronous copy) and is
+    stacked ON DEVICE — an HBM-local copy, free next to the link."""
+    return tiled_detect_from_ycbcr_program(
+        params, priors, jnp.stack(rows), r_h, r_w, **kw)
+
+
 class TiledDetector:
     """High-res detection via tiling, single-chip or mesh-sharded.
 
@@ -225,6 +242,9 @@ class TiledDetector:
         if kind == "ycbcr":
             base = functools.partial(tiled_detect_from_ycbcr_program,
                                      geom_key=geom_key, **self._static)
+        elif kind == "ycbcr_rows":
+            base = functools.partial(tiled_detect_from_ycbcr_rows_program,
+                                     geom_key=geom_key, **self._static)
         else:
             base = functools.partial(tiled_detect_program,
                                      **self._static)
@@ -275,6 +295,31 @@ class TiledDetector:
             for k, v in geom.items()))
         return self._program("ycbcr", pack_output, geom_key)(
             self._params, self._priors, jnp.asarray(packed),
+            self._r_h, self._r_w)
+
+    def run_device_ycbcr_rows(self, rows, geom: dict, *,
+                              pack_output: bool = False):
+        """Chunked-upload packed-plane input: ``rows`` is a sequence of
+        B per-frame [n] arrays, each ideally already the product of its
+        own async ``jax.device_put`` issued back-to-back from the
+        decode thread — on this rig's tunnel that amortizes the fixed
+        per-transfer cost that a single large synchronous batch copy
+        pays in full (CLAUDE.md cost model); the batch is stacked on
+        device. Compiles one program per (row count, geometry)."""
+        if self._batch_sharded_out:
+            raise ValueError("per-row upload is a single-host transfer "
+                             "optimization; lockstep batches use the "
+                             "stacked path")
+        if (geom["width"], geom["height"]) != (self.frame_w,
+                                               self.frame_h):
+            raise ValueError(
+                f"geometry {geom['width']}x{geom['height']} != tiled "
+                f"frame {self.frame_w}x{self.frame_h}")
+        geom_key = tuple(sorted(
+            (k, tuple(v) if isinstance(v, (tuple, list)) else v)
+            for k, v in geom.items()))
+        return self._program("ycbcr_rows", pack_output, geom_key)(
+            self._params, self._priors, tuple(rows),
             self._r_h, self._r_w)
 
     def detect_batch(self, images) -> list[list[tuple[np.ndarray, float]]]:

@@ -13,6 +13,8 @@ Usage::
         [--decode-scale 1|2|4|8] \
         [--decode-mode pixels|coefficients|ycbcr] [--annotate device|host] \
         [--tile-min-pixels N] \
+        [--link-adaptive on|off] [--link-healthy-mbps 250] \
+        [--link-probe-period 0] \
         [--tile-grid 2x2] [--assume-frame-dims 1280x720] \
         [--data-parallel auto|on|off] [--max-rss-mb N] \
         [--onnx model.onnx [--runtime native|graph]] \
@@ -127,6 +129,23 @@ def main(argv: list[str] | None = None) -> int:
                          "overlay-touched 8x8 blocks shipped from the "
                          "device; frames exceeding it fall back to "
                          "host annotation")
+    ap.add_argument("--link-adaptive", default="on",
+                    choices=["on", "off"],
+                    help="probe host->device bandwidth at startup (and "
+                         "optionally on a timer, --link-probe-period) "
+                         "and re-route the transfer-hungry coefficients "
+                         "decode mode onto packed-YCbCr when the link "
+                         "is degraded (the splice transcode collapses "
+                         "on a slow link, docs/PERFORMANCE.md); the "
+                         "decision shows in /stats 'link'. off = always "
+                         "serve exactly the configured path")
+    ap.add_argument("--link-healthy-mbps", type=float, default=250.0,
+                    help="H2D bandwidth (MB/s) at or above which the "
+                         "link counts as healthy")
+    ap.add_argument("--link-probe-period", type=float, default=0.0,
+                    help="re-probe the link every N seconds and "
+                         "re-apply the policy (0 = startup only); "
+                         "recovery restores the configured path")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -276,6 +295,9 @@ def main(argv: list[str] | None = None) -> int:
                     decode_mode=args.decode_mode,
                     annotate_mode=args.annotate,
                     annotate_splice_blocks=args.annotate_splice_blocks,
+                    link_adaptive=args.link_adaptive == "on",
+                    link_healthy_h2d_mbps=args.link_healthy_mbps,
+                    link_probe_period_s=args.link_probe_period,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(
                         int(v) for v in args.tile_grid.split("x"))),

@@ -150,6 +150,14 @@ async def start_server(
 
         try:
             _np.asarray(jax.numpy.zeros((1,), jax.numpy.float32))
+            if engine_config.link_adaptive:
+                # probe the H2D link and pick the effective transfer
+                # path BEFORE compiling programs, so warm-up compiles
+                # the path that will actually serve (serving/link.py)
+                status = worker.probe_and_adapt()
+                log.info("link probe: %.0f MB/s -> decode mode %s (%s)",
+                         status["h2d_mbps"], status["decode_mode"],
+                         status["why"])
             if warmup_resolutions:
                 log.info("warming up device programs for %s",
                          warmup_resolutions)
@@ -199,7 +207,8 @@ async def start_server(
         "detector": type(worker._detector).__name__,
     }
     http = HttpServer(router, topology=topology,
-                      warming=lambda: getattr(worker, "warming", False))
+                      warming=lambda: getattr(worker, "warming", False),
+                      link=lambda: getattr(worker, "link_status", None))
     hhost, hport = _split_addr(server_config.http_address)
     await http.start(hhost, hport)
 
@@ -244,6 +253,20 @@ async def start_server(
     if lockstep_address:
         tasks.append(asyncio.create_task(lockstep_watch(),
                                          name="lockstep-watch"))
+    if engine_config.link_adaptive and engine_config.link_probe_period_s:
+        async def link_reprobe():
+            # periodic re-probe on the device executor (between
+            # dispatches); a recovered link restores the configured
+            # transfer path, a degraded one re-routes it
+            loop = asyncio.get_running_loop()
+            while True:
+                await asyncio.sleep(engine_config.link_probe_period_s)
+                await loop.run_in_executor(
+                    worker._device_exec, worker.probe_and_adapt)
+
+        tasks.append(asyncio.create_task(
+            supervised("link-reprobe", link_reprobe),
+            name="link-reprobe"))
     if server_config.max_rss_mb:
         tasks.append(asyncio.create_task(
             rss_watchdog(server_config.max_rss_mb,

@@ -67,7 +67,7 @@ def _simple_response(status: str, body: bytes,
 class HttpServer:
     def __init__(self, router: FrameRouter, meter: Meter = METER,
                  topology: dict | None = None,
-                 warming=None):
+                 warming=None, link=None):
         self._router = router
         self._meter = meter
         # serving topology (devices/processes/lockstep/runtime) shown
@@ -77,6 +77,9 @@ class HttpServer:
         # on a slow link can take minutes; operators need to tell "not
         # ready yet" apart from "broken")
         self._warming = warming
+        # callable -> dict | None: link probe verdict + the transfer
+        # path actually in effect (serving/link.py adaptivity)
+        self._link = link
         self._server: asyncio.AbstractServer | None = None
 
     async def start(self, host: str, port: int) -> None:
@@ -122,6 +125,7 @@ class HttpServer:
                 version = parts[2] if len(parts) >= 3 else "HTTP/1.0"
                 conn_hdr = ""
                 body_len = 0
+                chunked = False
                 while True:
                     line = await asyncio.wait_for(reader.readline(), 30.0)
                     if line in (b"\r\n", b"\n", b""):
@@ -135,7 +139,13 @@ class HttpServer:
                             body_len = int(line.split(b":", 1)[1])
                         except ValueError:
                             body_len = -1
-                keep = (version == "HTTP/1.1" and conn_hdr != "close")
+                    elif low.startswith(b"transfer-encoding:"):
+                        # a chunked body is not drained here; keeping
+                        # the connection would parse leftover chunk
+                        # data as the next request line
+                        chunked = True
+                keep = (version == "HTTP/1.1" and conn_hdr != "close"
+                        and not chunked)
                 # drain any request body so a keep-alive connection's
                 # next request line is not the leftover body bytes
                 # (bounded: nothing here accepts uploads)
@@ -168,6 +178,10 @@ class HttpServer:
                         payload["topology"] = self._topology
                     if self._warming is not None:
                         payload["warming"] = bool(self._warming())
+                    if self._link is not None:
+                        status = self._link()
+                        if status is not None:
+                            payload["link"] = status
                     body = json.dumps(payload).encode()
                     writer.write(_simple_response(
                         "200 OK", body, "application/json",

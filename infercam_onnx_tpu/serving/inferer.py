@@ -79,6 +79,16 @@ class InferenceWorker:
         self._loop: asyncio.AbstractEventLoop | None = None
         # device warm-up in progress (surfaced as /stats "warming")
         self.warming = False
+        # link-adaptive transfer-path selection (serving/link.py):
+        # the decode mode actually in effect (may differ from the
+        # configured one on a degraded link) + the probe verdict,
+        # surfaced via /stats "link"
+        self._effective_decode_mode = engine_config.decode_mode
+        self.link_status: dict = {
+            "probed": False,
+            "configured_decode_mode": engine_config.decode_mode,
+            "decode_mode": engine_config.decode_mode,
+        }
         # lazily-built tiled detectors per decoded frame size
         # (BASELINE config 5: high-res frames tile across the detector)
         self._tiled: dict[tuple[int, int], object] = {}
@@ -102,6 +112,34 @@ class InferenceWorker:
                     log.warning("annotate=device needs the native JPEG "
                                 "shim (%s); using the host draw path",
                                 e)
+
+    def probe_and_adapt(self, probe=None) -> dict:
+        """Probe H2D bandwidth and (re-)select the effective transfer
+        path (serving/link.py). Call on the DEVICE executor thread so
+        the probe never interleaves with a dispatch. The configured
+        mode is re-evaluated each call, so a recovered link restores
+        the configured path. Returns the updated link status dict."""
+        from infercam_onnx_tpu.serving import link as _link
+
+        if probe is None:
+            probe = _link.probe_h2d_mbps
+        mbps = float(probe())
+        mode, why = _link.decide_decode_mode(
+            self._cfg.decode_mode, mbps, self._cfg.link_healthy_h2d_mbps)
+        if mode != self._effective_decode_mode:
+            log.warning("link-adaptive: decode mode %s -> %s (%s)",
+                        self._effective_decode_mode, mode, why)
+        self._effective_decode_mode = mode
+        self.link_status = {
+            "probed": True,
+            "h2d_mbps": round(mbps, 1),
+            "healthy_mbps": self._cfg.link_healthy_h2d_mbps,
+            "degraded": mbps < self._cfg.link_healthy_h2d_mbps,
+            "configured_decode_mode": self._cfg.decode_mode,
+            "decode_mode": mode,
+            "why": why,
+        }
+        return self.link_status
 
     def _host_quant(self, quality: int):
         """[2, 64] uint16 encode quant tables for the host entropy
@@ -219,8 +257,9 @@ class InferenceWorker:
         host->device transfers (async ``jax.device_put``), so batch
         k+1's upload overlaps batch k's device round-trip — the same
         discipline as bench.py's pipeline."""
-        coef_mode = self._cfg.decode_mode == "coefficients"
-        ycbcr_mode = self._cfg.decode_mode == "ycbcr"
+        decode_mode = self._effective_decode_mode  # one read per batch
+        coef_mode = decode_mode == "coefficients"
+        ycbcr_mode = decode_mode == "ycbcr"
         # annotated viewers in a device-decode-tail mode ride the fused
         # annotate+encode program instead of forcing a host pixel
         # decode. In coefficients mode the SPLICE transcode applies:
@@ -779,7 +818,8 @@ class InferenceWorker:
         for (h, w) in resolutions or [(480, 640)]:
             for b in self._buckets:
                 self._detector.warmup(b, h // s, w // s, pack_output=True)
-            if self._annotate_device and self._cfg.decode_mode == "pixels":
+            if (self._annotate_device
+                    and self._effective_decode_mode == "pixels"):
                 for b in self._buckets:
                     dummy = np.zeros((b, h // s, w // s, 3), np.uint8)
                     _jax.block_until_ready(
@@ -789,7 +829,7 @@ class InferenceWorker:
                             subsampling=self._server_cfg.jpeg_subsampling,
                             disp_dims=self._server_cfg.assume_frame_dims)
                         [0])
-            if self._cfg.decode_mode == "coefficients":
+            if self._effective_decode_mode == "coefficients":
                 import jax
 
                 from infercam_onnx_tpu.ops.jpeg_device import (
@@ -814,7 +854,7 @@ class InferenceWorker:
                                 k=self._cfg.annotate_splice_blocks,
                                 disp_dims=(self._server_cfg
                                            .assume_frame_dims))[0])
-            if self._cfg.decode_mode == "ycbcr":
+            if self._effective_decode_mode == "ycbcr":
                 import jax
 
                 from infercam_onnx_tpu.native import jpeg as native_jpeg

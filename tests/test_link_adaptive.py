@@ -1,0 +1,145 @@
+"""Link-adaptive transfer-path selection (serving/link.py).
+
+The splice transcode (coefficients decode mode + device annotate)
+collapses below the host fallback on a degraded H2D link
+(docs/PERFORMANCE.md); the server must probe the link and re-route to
+the packed-YCbCr path by default, expose the decision in /stats, and
+restore the configured path when a later probe sees recovery.
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from infercam_onnx_tpu import codec
+from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
+from infercam_onnx_tpu.config import (
+    ClientConfig,
+    DetectorConfig,
+    EngineConfig,
+    ServerConfig,
+)
+from infercam_onnx_tpu.detector import Detector
+from infercam_onnx_tpu.serving import link
+from infercam_onnx_tpu.serving.app import start_server
+from infercam_onnx_tpu.serving.inferer import InferenceWorker
+
+
+def test_policy_reroutes_only_coefficients():
+    healthy = 250.0
+    # coefficients collapses on a slow link -> ycbcr
+    mode, why = link.decide_decode_mode("coefficients", 45.0, healthy)
+    assert mode == "ycbcr" and "degraded" in why
+    # healthy link keeps the configured (bit-exact splice) path
+    mode, _ = link.decide_decode_mode("coefficients", 1500.0, healthy)
+    assert mode == "coefficients"
+    # pixels (reference-parity default) and ycbcr are never re-routed
+    for configured in ("pixels", "ycbcr"):
+        for mbps in (45.0, 1500.0):
+            mode, _ = link.decide_decode_mode(configured, mbps, healthy)
+            assert mode == configured
+
+
+def test_worker_adapts_and_recovers():
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+    worker = InferenceWorker(
+        det, EngineConfig(decode_mode="coefficients"))
+    assert worker._effective_decode_mode == "coefficients"
+    assert worker.link_status["probed"] is False
+
+    status = worker.probe_and_adapt(probe=lambda: 40.0)
+    assert status["degraded"] is True
+    assert worker._effective_decode_mode == "ycbcr"
+    assert status["configured_decode_mode"] == "coefficients"
+
+    # recovery restores the configured path
+    status = worker.probe_and_adapt(probe=lambda: 1500.0)
+    assert status["degraded"] is False
+    assert worker._effective_decode_mode == "coefficients"
+
+
+def test_server_flips_path_on_slow_probe(tmp_path, monkeypatch):
+    """A server configured for the splice path on a (faked) slow link
+    must come up serving the ycbcr path, say so in /stats, and still
+    detect (the collapse mode can no longer happen by default)."""
+    monkeypatch.setattr(link, "probe_h2d_mbps", lambda: 42.0)
+
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        frame = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        (tmp_path / f"f{i}.jpg").write_bytes(codec.encode_rgb(frame))
+
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+    det.warmup(1, 48, 64)
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address="127.0.0.1:18460",
+                socket_address="127.0.0.1:18461"),
+            engine_config=EngineConfig(
+                batch_buckets=(1,), decode_mode="coefficients",
+                annotate_mode="device"),
+            detector=det,
+            # warm-up must compile the ADAPTED (ycbcr) programs, not
+            # the configured coefficient ones
+            warmup_resolutions=[(48, 64)],
+            data_parallel="off")
+        try:
+            reader, writer = await asyncio.open_connection(
+                "127.0.0.1", 18460)
+            writer.write(b"GET /stats HTTP/1.1\r\nHost: x\r\n"
+                         b"Connection: close\r\n\r\n")
+            await writer.drain()
+            body = (await asyncio.wait_for(reader.read(), 10.0)
+                    ).split(b"\r\n\r\n", 1)[1]
+            writer.close()
+            stats = json.loads(body)
+            assert stats["link"]["probed"] is True
+            assert stats["link"]["degraded"] is True
+            assert stats["link"]["h2d_mbps"] == 42.0
+            assert stats["link"]["decode_mode"] == "ycbcr"
+            assert (stats["link"]["configured_decode_mode"]
+                    == "coefficients")
+
+            # the re-routed path must actually serve: stream detections
+            async def get_detections():
+                r, w = await asyncio.open_connection("127.0.0.1", 18460)
+                w.write(b"GET /detections?name=s HTTP/1.1\r\nHost: x\r\n"
+                        b"Connection: close\r\n\r\n")
+                await w.drain()
+                data = b""
+                try:
+                    while (b"\r\n\r\n" not in data
+                           or data.split(b"\r\n\r\n", 1)[1].count(b"\n")
+                           < 2):
+                        chunk = await asyncio.wait_for(r.read(4096), 20.0)
+                        if not chunk:
+                            break
+                        data += chunk
+                finally:
+                    w.close()
+                return data
+
+            viewer = asyncio.create_task(get_detections())
+            await asyncio.sleep(0.2)  # let the subscription register
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=30),
+                ClientConfig(address="127.0.0.1:18461", channel="s"),
+                max_frames=60)
+            data = await viewer
+            lines = [ln for ln in
+                     data.split(b"\r\n\r\n", 1)[1].splitlines() if ln]
+            assert lines, "no detections delivered on the adapted path"
+            rec = json.loads(lines[0])
+            assert "detections" in rec and rec["width"] == 64
+        finally:
+            await server.close()
+
+    asyncio.run(run())

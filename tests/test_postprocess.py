@@ -99,6 +99,51 @@ def test_padding_and_count():
     assert np.all(np.asarray(got_b[0])[n:] == 0.0)
 
 
+def test_closure_matches_sequential_scan_fuzz():
+    # The production parallel fixpoint closure must be bit-identical to
+    # the sequential greedy scan on every input (same reference
+    # semantics, different evaluation order).
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        s1, b1 = _random_detections(
+            rng, k=300, n_clusters=rng.integers(2, 20),
+            spread=float(rng.uniform(0.005, 0.1)))
+        s2, b2 = _random_detections(rng, k=300)
+        scores = jnp.asarray(np.stack([s1, s2]))
+        boxes = jnp.asarray(np.stack([b1, b2]))
+        kw = dict(min_confidence=0.1, max_iou=0.3, top_k=256,
+                  max_detections=128)
+        cb, cc, cn = pp.batched_postprocess(scores, boxes, **kw)
+        sb, sc, sn = pp.batched_postprocess(scores, boxes, impl="scan",
+                                            **kw)
+        np.testing.assert_array_equal(np.asarray(cn), np.asarray(sn))
+        np.testing.assert_array_equal(np.asarray(cb), np.asarray(sb))
+        np.testing.assert_array_equal(np.asarray(cc), np.asarray(sc))
+
+
+def test_closure_deep_suppression_chain():
+    # Adversarial worst case for the fixpoint iteration: a chain where
+    # box i overlaps only box i+1 beyond the threshold, confidences
+    # strictly descending by position. Greedy keeps every even index;
+    # the closure needs ~chain-length iterations (first-disagreement
+    # index advances one per step) — this pins that the iteration cap
+    # never truncates convergence.
+    n = 96
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        x0 = i * 0.5  # half-width offset: IoU(i, i+1) = 1/3 > 0.3
+        boxes[i] = [x0, 0.0, x0 + 1.0, 1.0]
+    boxes /= boxes.max()
+    conf = np.linspace(0.95, 0.55, n).astype(np.float32)
+    scores = np.stack([1 - conf, conf], axis=1)
+    (gb, gc, gn), want = _run_both(
+        scores, boxes, min_confidence=0.5, max_iou=0.3,
+        top_k=128, max_detections=128)
+    assert gn == len(want) == (n + 1) // 2
+    for i, (wbox, wconf) in enumerate(want):
+        np.testing.assert_allclose(gb[i], wbox, rtol=1e-6, atol=1e-7)
+
+
 def test_batched_is_per_image_independent():
     rng = np.random.default_rng(2)
     s1, b1 = _random_detections(rng)
