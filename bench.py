@@ -356,6 +356,16 @@ def bench_tiled(detector, *, seconds: float = 6.0,
                     packed, geom = n.decode_ycbcr_batch(datas,
                                                         scale=scale)
                     item = (jax.device_put(packed), geom)
+                elif mode == "ycbcr_rows":
+                    # chunked upload: per-frame async device_puts
+                    # back-to-back amortize the tunnel's fixed
+                    # per-transfer cost that one large stacked copy
+                    # pays in full; stacked on device by the rows
+                    # program (parallel/tiling.py)
+                    packed, geom = n.decode_ycbcr_batch(datas,
+                                                        scale=scale)
+                    item = (tuple(jax.device_put(packed[i])
+                                  for i in range(len(datas))), geom)
                 else:
                     imgs = np.stack(codec.decode_batch(datas,
                                                        scale=scale))
@@ -369,6 +379,9 @@ def bench_tiled(detector, *, seconds: float = 6.0,
         def dispatch(arr, geom):
             if mode == "ycbcr":
                 return t_det.run_device_ycbcr_packed(
+                    arr, geom, pack_output=True)
+            if mode == "ycbcr_rows":
+                return t_det.run_device_ycbcr_rows(
                     arr, geom, pack_output=True)
             return t_det.run_device(arr, pack_output=True)
 
@@ -400,6 +413,9 @@ def bench_tiled(detector, *, seconds: float = 6.0,
     # to the 320x240 model input) at 1/4 the transfer bytes — the
     # serving worker applies --decode-scale to tiled streams already
     fps_ycbcr_s2 = pipeline("ycbcr", scale=2)
+    # the serving worker's default tiled route (ycbcr_tiled_rows units,
+    # serving/inferer.py): same bytes as ycbcr_s2, chunked uploads
+    fps_rows_s2 = pipeline("ycbcr_rows", scale=2)
 
     # device-resident compute ceiling (same batch as the pipelines so
     # the executable is shared)
@@ -415,8 +431,9 @@ def bench_tiled(detector, *, seconds: float = 6.0,
         "tiled_1080p_rgb_fps": round(fps_rgb, 1),
         "tiled_1080p_ycbcr_fps": round(fps_ycbcr, 1),
         "tiled_1080p_ycbcr_scaled_fps": round(fps_ycbcr_s2, 1),
+        "tiled_1080p_ycbcr_rows_fps": round(fps_rows_s2, 1),
         "tiled_1080p_fps": round(max(fps_rgb, fps_ycbcr,
-                                     fps_ycbcr_s2), 1),
+                                     fps_ycbcr_s2, fps_rows_s2), 1),
         "tiled_1080p_batch": batch,
         "tiled_1080p_device_fps": round(batch * 1e3 / device_ms, 1),
     }
@@ -1035,6 +1052,7 @@ def main() -> int:
                     note("tiled done "
                          f"(rgb {tiled['tiled_1080p_rgb_fps']}"
                          f" vs ycbcr {tiled['tiled_1080p_ycbcr_fps']}"
+                         f" vs rows {tiled['tiled_1080p_ycbcr_rows_fps']}"
                          f" fps), remaining {remaining():.0f}s")
                 return tiled
 

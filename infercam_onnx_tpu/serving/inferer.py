@@ -524,6 +524,24 @@ class InferenceWorker:
                     if bucket > len(members):
                         rows.extend([np.zeros_like(rows[0])]
                                     * (bucket - len(members)))
+                    if (kind == "ycbcr_tiled" and self._mesh is None
+                            and not hasattr(self._detector,
+                                            "run_device_tiled_ycbcr")):
+                        # chunked upload for the transfer-heaviest
+                        # units: per-frame async device_puts issued
+                        # back-to-back amortize the tunnel's fixed
+                        # per-transfer cost that one large stacked copy
+                        # pays in full (CLAUDE.md cost model); the
+                        # batch is stacked ON DEVICE (HBM-local)
+                        units.append({
+                            "kind": "ycbcr_tiled_rows",
+                            "members": members[:bucket],
+                            "n": min(len(members), bucket),
+                            "rows": tuple(jax.device_put(r)
+                                          for r in rows),
+                            "geom": geom,
+                        })
+                        continue
                     units.append({
                         "kind": kind,
                         "members": members[:bucket],
@@ -631,6 +649,15 @@ class InferenceWorker:
                             quality=self._server_cfg.jpeg_quality,
                             disp_dims=self._server_cfg.assume_frame_dims))
                 members = [(job, None) for job, _ in unit["members"]]
+            elif unit["kind"] == "ycbcr_tiled_rows":
+                geom = unit["geom"]
+                w, h = geom["width"], geom["height"]
+                with STAGES.stage("device_tiled"):
+                    packed = self._get_tiled(
+                        w, h).run_device_ycbcr_rows(
+                        unit["rows"], geom, pack_output=True)
+                members = [(job, None) for job, _ in unit["members"]]
+                geom = None  # detections only; no encode-tail coefs
             elif unit["kind"] == "ycbcr_tiled":
                 geom = unit["geom"]
                 w, h = geom["width"], geom["height"]

@@ -148,6 +148,37 @@ def test_tiled_ycbcr_input_matches_rgb(detector):
             packed_planes, dict(geom, width=100, height=50))
 
 
+def test_tiled_ycbcr_rows_matches_packed(detector):
+    """The chunked-upload rows program (per-frame device_puts stacked
+    ON DEVICE — the serving worker's single-host tiled route) must be
+    bit-identical to the stacked packed-plane program, and must refuse
+    lockstep-style sharded-out batches (those stay on the stacked
+    path)."""
+    from infercam_onnx_tpu import codec
+
+    native = pytest.importorskip(
+        "infercam_onnx_tpu.native.jpeg").load()
+    rng2 = np.random.default_rng(17)
+    datas = [codec.encode_rgb(
+        rng2.integers(0, 256, size=(270, 480, 3), dtype=np.uint8),
+        92, "420") for _ in range(3)]
+    packed, geom = native.decode_ycbcr_batch(datas)
+
+    t = TiledDetector(detector, (480, 270), grid=(2, 2))
+    want = np.asarray(t.run_device_ycbcr_packed(packed, geom,
+                                                pack_output=True))
+    got = np.asarray(t.run_device_ycbcr_rows(
+        [jax.device_put(packed[i]) for i in range(len(datas))], geom,
+        pack_output=True))
+    np.testing.assert_array_equal(got, want)
+
+    sharded = TiledDetector(detector, (480, 270), grid=(2, 2),
+                            mesh=make_mesh(8), batch_sharded_out=True)
+    with pytest.raises(ValueError, match="single-host"):
+        sharded.run_device_ycbcr_rows(
+            [packed[i] for i in range(len(datas))], geom)
+
+
 def test_tiled_merge_suppresses_duplicates(detector, rng):
     # heavy overlap: every face region is seen by multiple tiles; merged
     # output must not contain near-duplicate boxes (IoU > max_iou)

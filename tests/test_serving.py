@@ -395,6 +395,55 @@ def test_tiled_high_res_serving_path(detector, tmp_path):
     asyncio.run(run())
 
 
+def test_tiled_ycbcr_rows_serving_path(detector, tmp_path):
+    """High-res streams in ycbcr mode take the chunked-row upload route
+    on a single host (ycbcr_tiled_rows units: per-frame async
+    device_puts issued back-to-back, stacked on device) — the tunnel
+    transfer discipline for the most transfer-hungry unit kind."""
+    import json
+
+    rng = np.random.default_rng(21)
+    frame = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    (tmp_path / "big.jpg").write_bytes(
+        codec.encode_rgb(frame, 90, "420"))
+
+    async def run():
+        server, _ = await _start(detector, 18400, 18401,
+                                 decode_mode="ycbcr",
+                                 tile_min_pixels=96 * 128,
+                                 tile_grid=(2, 2))
+        try:
+            kinds: list = []
+            orig = server.worker._device_stage
+
+            def spy(units):
+                kinds.extend(u["kind"] for u in units)
+                return orig(units)
+
+            server.worker._device_stage = spy
+            stream_task = asyncio.create_task(
+                _http_get(18400, "/detections?name=r",
+                          read_bytes=10000, timeout=60.0,
+                          stop=_ndjson_lines(1)))
+            await _until(lambda: _subscribed(server, "r", "detections"),
+                         desc="detections viewer r")
+            await send_stream(
+                ReplaySource(str(tmp_path), fps=10),
+                ClientConfig(address="127.0.0.1:18401", channel="r"),
+                max_frames=6)
+            data = await stream_task
+            body = data.split(b"\r\n\r\n", 1)[1]
+            lines = [ln for ln in body.split(b"\n")[:-1] if ln.strip()]
+            assert lines
+            rec = json.loads(lines[0])
+            assert rec["width"] == 128 and rec["height"] == 96
+            assert "ycbcr_tiled_rows" in kinds, kinds
+        finally:
+            await server.close()
+
+    asyncio.run(run())
+
+
 def test_detections_ndjson_endpoint(detector, jpeg_dir):
     import json
 
