@@ -1853,6 +1853,179 @@ def _argminmax(node: OnnxNode, x, kind: str):
     return out
 
 
+# -- quantized op family -------------------------------------------------
+# int8/uint8 exports are what real edge detectors ship; tract's general
+# "load and run whatever graph the file contains" contract (reference
+# infer_server/src/nn.rs:166-174) therefore includes them. Semantics
+# follow the ONNX spec exactly: round-half-to-even everywhere
+# (jnp.round/np.round are both banker's rounding), saturating casts to
+# the zero-point dtype, int32 accumulation for the integer matmul/conv
+# cores (XLA's preferred_element_type keeps the MXU-friendly int8 x
+# int8 -> int32 form available on TPU).
+
+def _q_info(zp, default=np.uint8):
+    """(numpy dtype, qmin, qmax) for a zero-point tensor (or default)."""
+    dt = np.dtype(default) if zp is None else np.dtype(
+        np.asarray(zp).dtype if _is_concrete(zp) else zp.dtype.name)
+    info = np.iinfo(dt)
+    return dt, info.min, info.max
+
+
+def _q_per_axis(p, ndim: int, axis: int):
+    """Broadcast a quantization parameter: scalars stay scalar, 1-D
+    per-axis tensors reshape to broadcast along `axis`."""
+    xp = _xp(p)
+    arr = xp.asarray(p)
+    if arr.ndim == 0 or arr.size == 1:
+        return arr.reshape(())
+    shape = [1] * ndim
+    shape[axis % ndim] = -1
+    return arr.reshape(shape)
+
+
+def _q_no_blocks(node: OnnxNode):
+    if node.attrs.get("block_size", 0):
+        raise ValueError(
+            f"blocked quantization unsupported ({node.name})")
+
+
+def _quantize_linear(node: OnnxNode, x, scale, zp=None):
+    _q_no_blocks(node)
+    axis = node.attrs.get("axis", 1)
+    dt, lo, hi = _q_info(zp)
+    xp = _xp(x, scale, zp)
+    s = _q_per_axis(scale, np.ndim(x), axis)
+    z = 0 if zp is None else _q_per_axis(zp, np.ndim(x), axis)
+    z = xp.asarray(z, np.float32 if xp is np else jnp.float32)
+    y = xp.clip(xp.round(xp.asarray(x, s.dtype) / s) + z, lo, hi)
+    return y.astype(dt)
+
+
+def _dequantize_linear(node: OnnxNode, x, scale, zp=None):
+    _q_no_blocks(node)
+    axis = node.attrs.get("axis", 1)
+    xp = _xp(x, scale, zp)
+    i32 = np.int32 if xp is np else jnp.int32
+    xi = xp.asarray(x, i32)  # widen BEFORE subtracting (int8 - int8
+    #                          overflows at -255)
+    if zp is not None:
+        xi = xi - xp.asarray(_q_per_axis(zp, np.ndim(x), axis), i32)
+    s = _q_per_axis(scale, np.ndim(x), axis)
+    return xi.astype(s.dtype) * s
+
+
+def _q_requant(acc_i32, multiplier, y_zp, xp):
+    """int32 accumulator -> quantized output: y = saturate(
+    round(acc * m) + y_zp) with banker's rounding, matching the
+    QLinear* output stage."""
+    dt, lo, hi = _q_info(y_zp)
+    f32 = np.float32 if xp is np else jnp.float32
+    y = xp.round(acc_i32.astype(f32) * xp.asarray(multiplier, f32))
+    y = y + xp.asarray(y_zp, f32).reshape(())
+    return xp.clip(y, lo, hi).astype(dt)
+
+
+def _int_conv_core(node: OnnxNode, x, x_zp, w, w_zp):
+    """(x - x_zp) conv (w - w_zp) with exact int32 accumulation.
+    w_zp may be per-output-channel (1-D of size M): subtracting it from
+    w directly is exact because each output channel convolves only its
+    own filters."""
+    strides = node.attrs.get("strides", [1, 1])
+    dilations = node.attrs.get("dilations", [1, 1])
+    group = int(node.attrs.get("group", 1))
+    pads = _auto_pads(node, x.shape[2:], w.shape[2:], strides,
+                      dilations)
+    xi = jnp.asarray(x, jnp.int32)
+    wi = jnp.asarray(w, jnp.int32)
+    if x_zp is not None:
+        xi = xi - jnp.asarray(x_zp, jnp.int32).reshape(())
+    if w_zp is not None:
+        z = jnp.asarray(w_zp, jnp.int32)
+        wi = wi - (z.reshape(()) if z.size == 1
+                   else z.reshape(-1, 1, 1, 1))
+    return jax.lax.conv_general_dilated(
+        xi, wi, window_strides=tuple(strides),
+        padding=((pads[0], pads[2]), (pads[1], pads[3])),
+        rhs_dilation=tuple(dilations),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=group,
+        preferred_element_type=jnp.int32)
+
+
+def _qlinear_conv(node: OnnxNode, x, x_s, x_zp, w, w_s, w_zp,
+                  y_s, y_zp, b=None):
+    acc = _int_conv_core(node, x, x_zp, w, w_zp)
+    if b is not None:  # int32 bias at scale x_s*w_s, zero point 0
+        acc = acc + jnp.asarray(b, jnp.int32).reshape(1, -1, 1, 1)
+    m = (jnp.asarray(x_s, jnp.float32).reshape(())
+         * jnp.asarray(w_s, jnp.float32).reshape(-1)
+         / jnp.asarray(y_s, jnp.float32).reshape(()))
+    m = m.reshape(()) if m.size == 1 else m.reshape(1, -1, 1, 1)
+    return _q_requant(acc, m, y_zp, jnp)
+
+
+def _int_matmul_core(a, a_zp, b, b_zp):
+    ai = jnp.asarray(a, jnp.int32)
+    bi = jnp.asarray(b, jnp.int32)
+    if a_zp is not None:
+        z = jnp.asarray(a_zp, jnp.int32)
+        # per-row a_zp (1-D of size K rows) broadcasts over the last
+        # axis of a's row dimension
+        ai = ai - (z.reshape(()) if z.size == 1 else z.reshape(-1, 1))
+    if b_zp is not None:
+        z = jnp.asarray(b_zp, jnp.int32)
+        bi = bi - (z.reshape(()) if z.size == 1 else z.reshape(1, -1))
+    return ai @ bi
+
+
+def _matmul_integer(node: OnnxNode, a, b, a_zp=None, b_zp=None):
+    return _int_matmul_core(a, a_zp, b, b_zp)
+
+
+def _conv_integer(node: OnnxNode, x, w, x_zp=None, w_zp=None):
+    return _int_conv_core(node, x, x_zp, w, w_zp)
+
+
+def _qlinear_matmul(node: OnnxNode, a, a_s, a_zp, b, b_s, b_zp,
+                    y_s, y_zp):
+    for s in (a_s, b_s, y_s):
+        if np.ndim(s) and np.size(s) > 1:
+            raise ValueError(
+                f"QLinearMatMul per-axis scales unsupported "
+                f"({node.name})")
+    acc = _int_matmul_core(a, a_zp, b, b_zp)
+    m = (jnp.asarray(a_s).reshape(()) * jnp.asarray(b_s).reshape(())
+         / jnp.asarray(y_s).reshape(()))
+    return _q_requant(acc, m, y_zp, jnp)
+
+
+def _dynamic_quantize_linear(node: OnnxNode, x):
+    """DynamicQuantizeLinear: uint8 range [0,255], scale from the
+    zero-including min/max, zero point saturate(round(-xmin/scale))."""
+    xp = _xp(x)
+    f32 = np.float32 if xp is np else jnp.float32
+    xf = xp.asarray(x, f32)
+    xmin = xp.minimum(xp.min(xf), f32(0.0))
+    xmax = xp.maximum(xp.max(xf), f32(0.0))
+    scale = ((xmax - xmin) / f32(255.0)).astype(f32)
+    # all-zero input: scale 0 would divide by zero; the spec's y is
+    # then uniformly the zero point — any nonzero scale yields that
+    safe = xp.where(scale > 0, scale, f32(1.0))
+    zp = xp.clip(xp.round(-xmin / safe), 0, 255)
+    y = xp.clip(xp.round(xf / safe) + zp, 0, 255)
+    u8 = np.uint8 if xp is np else jnp.uint8
+    return y.astype(u8), scale.reshape(()), zp.astype(u8).reshape(())
+
+
+_OPS.update({
+    "QuantizeLinear": _quantize_linear,
+    "DequantizeLinear": _dequantize_linear,
+    "QLinearConv": _qlinear_conv,
+    "QLinearMatMul": _qlinear_matmul,
+    "MatMulInteger": _matmul_integer,
+    "ConvInteger": _conv_integer,
+    "DynamicQuantizeLinear": _dynamic_quantize_linear,
+})
 
 
 class GraphExecutor:

@@ -2125,3 +2125,247 @@ def test_resize_antialias_align_corners_matches_torch():
             torch.from_numpy(x), size=(7, 9), mode=tmode,
             antialias=True, align_corners=True).numpy()
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+# -- quantized op family (int8/uint8 exports) --------------------------
+# Oracles implement the ONNX spec directly in NumPy: banker's rounding
+# (np.round), saturating casts, exact int32 accumulation (via float64
+# conv/matmul, exact below 2**53).
+
+
+def _np_quantize(x, scale, zp, dt, axis=1):
+    s = np.asarray(scale, np.float32)
+    z = np.asarray(zp)
+    if s.size > 1:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        s = s.reshape(shape)
+        z = z.reshape(shape)
+    info = np.iinfo(dt)
+    return np.clip(np.round(x / s) + z.astype(np.float32),
+                   info.min, info.max).astype(dt)
+
+
+def _np_dequantize(x, scale, zp, axis=1):
+    s = np.asarray(scale, np.float32)
+    z = np.asarray(zp, np.int32)
+    if s.size > 1:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        s = s.reshape(shape)
+        z = z.reshape(shape)
+    return (x.astype(np.int32) - z).astype(np.float32) * s
+
+
+def _exact_int_conv(x, w, groups=1, pads=(1, 1), strides=(1, 1)):
+    """int32 conv oracle via float64 torch conv (exact: |acc| << 2^53)."""
+    out = torch.nn.functional.conv2d(
+        torch.from_numpy(x.astype(np.float64)),
+        torch.from_numpy(w.astype(np.float64)),
+        stride=strides, padding=pads, groups=groups)
+    return out.numpy().astype(np.int64)
+
+
+def test_quantize_dequantize_linear_pins():
+    rng = np.random.default_rng(31)
+    x = rng.normal(scale=3.0, size=(2, 4, 5, 5)).astype(np.float32)
+    # force exact .5 boundary values to pin banker's rounding
+    x[0, 0, 0, :4] = np.array([0.05, 0.15, -0.05, -0.15], np.float32)
+
+    # per-tensor uint8
+    got = _OPS["QuantizeLinear"](
+        _node("QuantizeLinear"), x, np.float32(0.1), np.uint8(128))
+    want = _np_quantize(x, 0.1, 128, np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # per-axis int8 (axis=1), then round-trip through Dequantize
+    scale = np.array([0.05, 0.1, 0.2, 0.4], np.float32)
+    zp = np.array([0, 10, -10, 3], np.int8)
+    node = _node("QuantizeLinear", dict(axis=1))
+    q = _OPS["QuantizeLinear"](node, x, scale, zp)
+    np.testing.assert_array_equal(
+        np.asarray(q), _np_quantize(x, scale, zp, np.int8))
+    dq = _OPS["DequantizeLinear"](
+        _node("DequantizeLinear", dict(axis=1)), np.asarray(q),
+        scale, zp)
+    np.testing.assert_allclose(
+        np.asarray(dq), _np_dequantize(np.asarray(q), scale, zp),
+        rtol=1e-6)
+
+    # int8 extremes widen before the zero-point subtraction
+    xi = np.array([-128, 127], np.int8)
+    dq = _OPS["DequantizeLinear"](
+        _node("DequantizeLinear"), xi, np.float32(1.0), np.int8(127))
+    np.testing.assert_array_equal(np.asarray(dq),
+                                  np.array([-255.0, 0.0], np.float32))
+
+    # jit coverage: the quantize/dequantize pair traces and compiles
+    f = jax.jit(lambda v: _OPS["DequantizeLinear"](
+        _node("DequantizeLinear"),
+        _OPS["QuantizeLinear"](
+            _node("QuantizeLinear"), v, np.float32(0.1),
+            np.uint8(128)),
+        np.float32(0.1), np.uint8(128)))
+    np.testing.assert_allclose(
+        np.asarray(f(x)),
+        _np_dequantize(_np_quantize(x, 0.1, 128, np.uint8), 0.1, 128),
+        rtol=1e-6)
+
+
+def test_matmul_integer_and_conv_integer_pins():
+    rng = np.random.default_rng(32)
+    a = rng.integers(0, 256, size=(6, 9)).astype(np.uint8)
+    b = rng.integers(-128, 128, size=(9, 5)).astype(np.int8)
+
+    got = _OPS["MatMulInteger"](_node("MatMulInteger"), a, b,
+                                np.uint8(113), np.int8(-7))
+    want = (a.astype(np.int64) - 113) @ (b.astype(np.int64) + 7)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # zero points omitted -> 0
+    got = _OPS["MatMulInteger"](_node("MatMulInteger"), a, b)
+    np.testing.assert_array_equal(
+        np.asarray(got), a.astype(np.int64) @ b.astype(np.int64))
+
+    x = rng.integers(0, 256, size=(1, 3, 8, 8)).astype(np.uint8)
+    w = rng.integers(-128, 128, size=(4, 3, 3, 3)).astype(np.int8)
+    node = _node("ConvInteger", dict(pads=[1, 1, 1, 1]))
+    got = _OPS["ConvInteger"](node, x, w, np.uint8(100), np.int8(5))
+    want = _exact_int_conv(x.astype(np.int64) - 100,
+                           w.astype(np.int64) - 5)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_qlinear_conv_per_channel_groups_bias_pin():
+    rng = np.random.default_rng(33)
+    x = rng.integers(0, 256, size=(2, 4, 7, 7)).astype(np.uint8)
+    w = rng.integers(-128, 128, size=(6, 2, 3, 3)).astype(np.int8)
+    bias = rng.integers(-2000, 2000, size=(6,)).astype(np.int32)
+    x_s, x_zp = np.float32(0.02), np.uint8(120)
+    w_s = rng.uniform(0.001, 0.01, size=(6,)).astype(np.float32)
+    w_zp = np.zeros((6,), np.int8)
+    y_s, y_zp = np.float32(0.05), np.uint8(20)
+
+    node = _node("QLinearConv", dict(pads=[1, 1, 1, 1], group=2))
+    got = _OPS["QLinearConv"](node, x, x_s, x_zp, w, w_s, w_zp,
+                              y_s, y_zp, bias)
+    acc = _exact_int_conv(x.astype(np.int64) - 120,
+                          w.astype(np.int64), groups=2)
+    acc = acc + bias.reshape(1, -1, 1, 1)
+    m = (np.float32(x_s) * w_s / np.float32(y_s)).astype(np.float32)
+    want = np.clip(
+        np.round(acc.astype(np.float32) * m.reshape(1, -1, 1, 1))
+        + np.float32(y_zp), 0, 255).astype(np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_qlinear_matmul_pin():
+    rng = np.random.default_rng(34)
+    a = rng.integers(0, 256, size=(4, 8)).astype(np.uint8)
+    b = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    a_s, a_zp = np.float32(0.01), np.uint8(130)
+    b_s, b_zp = np.float32(0.02), np.uint8(110)
+    y_s, y_zp = np.float32(0.04), np.uint8(16)
+    got = _OPS["QLinearMatMul"](_node("QLinearMatMul"),
+                                a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp)
+    acc = (a.astype(np.int64) - 130) @ (b.astype(np.int64) - 110)
+    want = np.clip(
+        np.round(acc.astype(np.float32)
+                 * np.float32(a_s * b_s / y_s)) + np.float32(y_zp),
+        0, 255).astype(np.uint8)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_dynamic_quantize_linear_pin():
+    rng = np.random.default_rng(35)
+    for x in (rng.normal(size=(3, 7)).astype(np.float32),     # mixed
+              rng.uniform(0.5, 4.0, size=(5,)).astype(np.float32),
+              rng.uniform(-4.0, -0.5, size=(5,)).astype(np.float32),
+              np.zeros((4,), np.float32)):                    # degenerate
+        y, s, zp = _OPS["DynamicQuantizeLinear"](
+            _node("DynamicQuantizeLinear", n_out=3), x)
+        xmin = min(x.min(), 0.0)
+        xmax = max(x.max(), 0.0)
+        scale = np.float32((xmax - xmin) / 255.0)
+        safe = scale if scale > 0 else np.float32(1.0)
+        wzp = np.uint8(np.clip(np.round(-xmin / safe), 0, 255))
+        np.testing.assert_allclose(float(s), scale, rtol=1e-6)
+        assert np.uint8(np.asarray(zp)) == wzp
+        want = np.clip(np.round(x / safe) + np.float32(wzp),
+                       0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(y), want)
+        # quantization error bounded by half a quantum
+        np.testing.assert_allclose(
+            (np.asarray(y).astype(np.float32) - np.float32(wzp))
+            * scale, x, atol=float(safe) / 2 + 1e-7)
+
+
+class _QuantizedNet(torch.nn.Module):
+    """Small static-quantized convnet (QuantStub -> conv/relu stack ->
+    depthwise conv -> fc -> DeQuantStub): its ONNX export is a full
+    QDQ graph (QuantizeLinear / DequantizeLinear incl. per-channel
+    weight dequant, axis=0) — the int8 export style real edge
+    detectors ship."""
+
+    def __init__(self):
+        super().__init__()
+        self.quant = torch.ao.quantization.QuantStub()
+        self.conv1 = torch.nn.Conv2d(3, 8, 3, padding=1)
+        self.relu1 = torch.nn.ReLU()
+        self.conv2 = torch.nn.Conv2d(8, 8, 3, padding=1, groups=8)
+        self.relu2 = torch.nn.ReLU()
+        self.pool = torch.nn.AdaptiveAvgPool2d(1)
+        self.fc = torch.nn.Linear(8, 4)
+        self.dequant = torch.ao.quantization.DeQuantStub()
+
+    def forward(self, x):
+        x = self.quant(x)
+        x = self.relu1(self.conv1(x))
+        x = self.relu2(self.conv2(x))
+        x = self.pool(x).flatten(1)
+        return self.dequant(self.fc(x))
+
+
+def test_quantized_model_qdq_export_parity(tmp_path):
+    """Model-scale quantized parity: calibrate + convert a real torch
+    static-quantized net, export to ONNX (QDQ form), execute with the
+    graph executor, and compare against the torch quantized forward.
+    Torch runs integer fbgemm kernels while the QDQ graph simulates
+    them in float; they agree to within one quantum of the final
+    output scale."""
+    import warnings
+
+    torch.manual_seed(5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        m = _QuantizedNet().eval()
+        m.qconfig = torch.ao.quantization.get_default_qconfig("fbgemm")
+        torch.ao.quantization.prepare(m, inplace=True)
+        for _ in range(4):  # calibrate observers
+            m(torch.randn(2, 3, 16, 16))
+        torch.ao.quantization.convert(m, inplace=True)
+
+        x = np.random.default_rng(36).normal(
+            size=(2, 3, 16, 16)).astype(np.float32)
+        path = tmp_path / "q.onnx"
+        _export(m, path, torch.from_numpy(x), opset=13)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+
+    g = read_onnx_graph(str(path))
+    ops = {n.op_type for n in g.nodes}
+    assert {"QuantizeLinear", "DequantizeLinear"} <= ops, ops
+    ex = GraphExecutor(g)
+    got = np.asarray(ex(x)[0])
+    assert got.shape == want.shape
+    # one-quantum agreement at the network's output scale
+    out_scale = float(m.fc.scale) if hasattr(m.fc, "scale") else 0.1
+    np.testing.assert_allclose(got, want, atol=out_scale * 1.001)
+    # and the jitted interpreter agrees with the eager one exactly
+    np.testing.assert_allclose(np.asarray(jax.jit(ex)(x)[0]), got,
+                               atol=1e-6)
