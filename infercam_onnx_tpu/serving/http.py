@@ -262,7 +262,15 @@ class HttpServer:
                 await writer.drain()
                 if not keep:
                     return
-        except (asyncio.TimeoutError, ConnectionError):
+        except (asyncio.TimeoutError, ConnectionError,
+                asyncio.IncompleteReadError, ValueError):
+            # ValueError is the parse-failure bucket for hostile input:
+            # readline() raises it for header lines over the stream
+            # limit (64 KiB), urlsplit for malformed bracket hosts;
+            # IncompleteReadError is a body truncated mid-drain. All
+            # are client misbehavior -> drop the connection, no stack
+            # trace (the catch-all below is for OUR bugs, and the fuzz
+            # suite asserts hostile bytes never reach it)
             pass
         except Exception:
             log.exception("HTTP handler error")
