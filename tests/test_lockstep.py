@@ -537,3 +537,112 @@ def test_lockstep_session_end_is_terminal_for_server():
             await server.close()
 
     asyncio.run(run())
+
+
+@pytest.mark.slow
+def test_supervised_cluster_restart_streams_resume(tmp_path):
+    """Kill one host -> the supervisor re-forms the WHOLE cluster as a
+    new incarnation -> senders reconnect (reference 3 s retry contract,
+    cam_sender/src/bin/socket_sender.rs:53-59) -> annotated streams
+    resume. This is the lockstep rejoin story: jax.distributed cannot
+    re-admit a process mid-incarnation, so recovery == supervised full
+    re-formation (tools/cluster_launch.py)."""
+    rng = np.random.default_rng(9)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    (frames / "f.jpg").write_bytes(codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = ""
+
+    # cluster_launch derives all serve ports from http_base; pick a
+    # quiet base (collision just fails fast and loudly)
+    base = 25820
+    coord, lockstep = _free_port(), _free_port()
+    state = tmp_path / "state.json"
+    log = open(tmp_path / "supervisor.log", "wb")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sup = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tools", "cluster_launch.py"),
+         "--hosts", "2", "--cpu", "--http-base", str(base),
+         "--coordinator-port", str(coord),
+         "--lockstep-port", str(lockstep),
+         "--state-file", str(state), "--max-restarts", "2",
+         "--", "--max-batch", "2", "--decode-scale", "1",
+         "--batch-window-ms", "20"],
+        env=env, stdout=log, stderr=log)
+    senders = []
+
+    def read_state():
+        try:
+            return json.loads(state.read_text())
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def wait_incarnation(n, timeout):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            st = read_state()
+            if st and st["incarnation"] >= n:
+                return st
+            time.sleep(0.5)
+        return None
+
+    try:
+        st = wait_incarnation(1, 60)
+        assert st, "supervisor never wrote its state file"
+        for pid in range(2):
+            assert _wait_port(base + 10 * pid), \
+                f"host {pid} HTTP port never opened"
+        for pid in range(2):
+            senders.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "infercam_onnx_tpu.client.sender",
+                 "--address", f"127.0.0.1:{base + 10 * pid + 1}",
+                 "--channel", f"cam{pid}",
+                 "--replay-dir", str(frames), "--fps", "10"],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL))
+
+        deadline = time.time() + 240
+        got = 0
+        while time.time() < deadline and not got:
+            got = _http_get(base, "/face_stream?name=cam0",
+                            timeout=15.0, stop_after_frames=1
+                            ).count(b"--frame\r\nContent-Type")
+        assert got, "no annotated frames before the kill"
+
+        # hard-kill member 1 by pid (from the state file — no process
+        # pattern matching)
+        os.kill(st["pids"][1], signal.SIGKILL)
+
+        st2 = wait_incarnation(2, 180)
+        assert st2, "supervisor never re-formed the cluster"
+        assert st2["pids"] != st["pids"]
+        for pid in range(2):
+            assert _wait_port(base + 10 * pid), \
+                f"host {pid} HTTP port never reopened"
+
+        # the still-running senders must have reconnected on their own;
+        # annotated frames flow again in the new incarnation
+        deadline = time.time() + 240
+        got = 0
+        while time.time() < deadline and not got:
+            got = _http_get(base, "/face_stream?name=cam0",
+                            timeout=15.0, stop_after_frames=1
+                            ).count(b"--frame\r\nContent-Type")
+        assert got, "streams did not resume after the restart"
+        assert sup.poll() is None, "supervisor died during recovery"
+    finally:
+        for p in senders:
+            p.send_signal(signal.SIGINT)
+        sup.send_signal(signal.SIGTERM)
+        for p in senders + [sup]:
+            try:
+                p.wait(30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        log.close()

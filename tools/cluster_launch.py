@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Dev harness: bring up an N-process lockstep serving cluster locally.
+"""Dev harness + supervisor: an N-process lockstep serving cluster.
 
 One command spawns N `infercam_onnx_tpu.serve` processes joined through
 `jax.distributed` (localhost coordinator) and the lockstep dispatch tier
@@ -15,6 +15,27 @@ works) and watch its own /face_stream. Ctrl-C tears the cluster down.
 development topology; on real pod-slice hosts run one serve per host
 with the same flags instead, see docs/OPERATIONS.md).
 
+**Supervision (the lockstep rejoin story).** The lockstep session is
+fail-stop by design: `jax.distributed` cannot re-admit a process into a
+running incarnation, so when one member dies every survivor exits
+non-zero promptly (parallel/lockstep.py `LockstepSessionEnded`). The
+supervisor turns that contract into recovery: it detects the first
+member exit, tears the remaining members down, and respawns the WHOLE
+cluster as a fresh incarnation on the same ports. Edge senders keep
+their reconnect-forever loop (the reference's 3 s retry contract,
+reference cam_sender/src/bin/socket_sender.rs:53-59) and resume
+streaming into the new incarnation; viewers re-fetch their streams.
+`--max-restarts` bounds the loop (exponential backoff between
+incarnations); `--no-supervise` restores single-shot behavior.
+
+`--state-file` writes one JSON object per cluster (re)start::
+
+    {"incarnation": 1, "pids": [123, 124],
+     "endpoints": [[0, 3000, 3001], [1, 3010, 3011]]}
+
+so external tooling (and the restart test) can watch incarnations and
+address individual members without process-name matching.
+
 Extra arguments after `--` pass through to every serve process::
 
     python tools/cluster_launch.py --hosts 2 --cpu -- --decode-mode ycbcr
@@ -23,11 +44,63 @@ Extra arguments after `--` pass through to every serve process::
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import signal
 import subprocess
 import sys
 import time
+
+
+def _spawn_cluster(args, passthrough, env):
+    """Start all N serve processes; returns (procs, endpoints)."""
+    procs: list[subprocess.Popen] = []
+    endpoints = []
+    for pid in range(args.hosts):
+        http = args.http_base + 10 * pid
+        ingest = http + 1
+        endpoints.append((pid, http, ingest))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "infercam_onnx_tpu.serve",
+             "--server-address", f"127.0.0.1:{http}",
+             "--socket-address", f"127.0.0.1:{ingest}",
+             "--distributed",
+             f"127.0.0.1:{args.coordinator_port},"
+             f"num_processes={args.hosts},process_id={pid}",
+             "--lockstep-address",
+             f"127.0.0.1:{args.lockstep_port}",
+             "--data-parallel", "on",
+             *passthrough],
+            env=env))
+    return procs, endpoints
+
+
+def _teardown(procs: list[subprocess.Popen], grace_s: float = 15.0):
+    """SIGTERM every live member, escalate to SIGKILL after a grace."""
+    for p in procs:
+        if p.poll() is None:
+            p.send_signal(signal.SIGTERM)
+    deadline = time.time() + grace_s
+    for p in procs:
+        try:
+            p.wait(max(0.1, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            p.kill()
+            try:
+                p.wait(5)
+            except subprocess.TimeoutExpired:
+                pass
+
+
+def _write_state(path, incarnation, procs, endpoints):
+    if not path:
+        return
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"incarnation": incarnation,
+                   "pids": [p.pid for p in procs],
+                   "endpoints": [list(e) for e in endpoints]}, f)
+    os.replace(tmp, path)  # atomic: readers never see a partial file
 
 
 def main(argv=None) -> int:
@@ -48,6 +121,16 @@ def main(argv=None) -> int:
     ap.add_argument("--lockstep-port", type=int, default=3998)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (local dev topology)")
+    ap.add_argument("--max-restarts", type=int, default=5,
+                    help="whole-cluster restarts after a member dies "
+                         "(default 5; the lockstep session is fail-stop,"
+                         " so recovery is always a full re-formation)")
+    ap.add_argument("--no-supervise", action="store_true",
+                    help="exit on the first member death instead of "
+                         "restarting the cluster")
+    ap.add_argument("--state-file", default="",
+                    help="write {incarnation, pids, endpoints} JSON "
+                         "here on every (re)start")
     args = ap.parse_args(argv)
 
     env = dict(os.environ)
@@ -56,49 +139,57 @@ def main(argv=None) -> int:
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["XLA_FLAGS"] = ""
 
+    def _sigterm(*_):
+        # external supervisors stop us with SIGTERM; route it through
+        # the KeyboardInterrupt path so the cluster is torn down too
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
+
+    restarts = 0
+    incarnation = 0
     procs: list[subprocess.Popen] = []
-    endpoints = []
     try:
-        for pid in range(args.hosts):
-            http = args.http_base + 10 * pid
-            ingest = http + 1
-            endpoints.append((pid, http, ingest))
-            procs.append(subprocess.Popen(
-                [sys.executable, "-m", "infercam_onnx_tpu.serve",
-                 "--server-address", f"127.0.0.1:{http}",
-                 "--socket-address", f"127.0.0.1:{ingest}",
-                 "--distributed",
-                 f"127.0.0.1:{args.coordinator_port},"
-                 f"num_processes={args.hosts},process_id={pid}",
-                 "--lockstep-address",
-                 f"127.0.0.1:{args.lockstep_port}",
-                 "--data-parallel", "on",
-                 *passthrough],
-                env=env))
-        for pid, http, ingest in endpoints:
-            print(f"host {pid}: http://127.0.0.1:{http}  "
-                  f"ingest 127.0.0.1:{ingest}")
-        print("Ctrl-C stops the cluster.", flush=True)
         while True:
-            for p in procs:
-                code = p.poll()
-                if code is not None:
-                    print(f"a member exited with code {code}; "
-                          "stopping the cluster", file=sys.stderr)
-                    return code or 1
-            time.sleep(1.0)
+            incarnation += 1
+            procs, endpoints = _spawn_cluster(args, passthrough, env)
+            _write_state(args.state_file, incarnation, procs, endpoints)
+            for pid, http, ingest in endpoints:
+                print(f"host {pid}: http://127.0.0.1:{http}  "
+                      f"ingest 127.0.0.1:{ingest}")
+            print(f"incarnation {incarnation} up; Ctrl-C stops the "
+                  "cluster.", flush=True)
+
+            dead = None
+            while dead is None:
+                for p in procs:
+                    code = p.poll()
+                    if code is not None:
+                        dead = (p.pid, code)
+                        break
+                else:
+                    time.sleep(0.5)
+            print(f"member pid {dead[0]} exited with code {dead[1]}",
+                  file=sys.stderr, flush=True)
+            # the session is cluster-wide: survivors are already
+            # exiting via LockstepSessionEnded — collect them all
+            _teardown(procs)
+            if args.no_supervise or restarts >= args.max_restarts:
+                print("not restarting "
+                      f"(restarts used: {restarts}/{args.max_restarts})",
+                      file=sys.stderr)
+                return dead[1] or 1
+            backoff = min(1.0 * (2 ** restarts), 10.0)
+            restarts += 1
+            print(f"restarting cluster as incarnation "
+                  f"{incarnation + 1} in {backoff:.0f}s "
+                  f"(restart {restarts}/{args.max_restarts})",
+                  file=sys.stderr, flush=True)
+            time.sleep(backoff)
     except KeyboardInterrupt:
         return 0
     finally:
-        for p in procs:
-            if p.poll() is None:
-                p.send_signal(signal.SIGTERM)
-        deadline = time.time() + 15
-        for p in procs:
-            try:
-                p.wait(max(0.1, deadline - time.time()))
-            except subprocess.TimeoutExpired:
-                p.kill()
+        _teardown(procs)
 
 
 if __name__ == "__main__":
