@@ -1917,7 +1917,22 @@ def _dequantize_linear(node: OnnxNode, x, scale, zp=None):
 def _q_requant(acc_i32, multiplier, y_zp, xp):
     """int32 accumulator -> quantized output: y = saturate(
     round(acc * m) + y_zp) with banker's rounding, matching the
-    QLinear* output stage."""
+    QLinear* output stage.
+
+    Precision envelope: the accumulator is cast to float32 before
+    scaling (the same float requant path onnxruntime's reference
+    QLinear* kernels use), so accumulators whose magnitude exceeds
+    2^24 lose low bits in the cast and the requantized value can land
+    ±1 output quantum away from integer-exact requantization. Reaching
+    2^24 needs a fan-in x max|x-x_zp| x max|w-w_zp| product above
+    ~16.7M (e.g. 3x3x512 int8 channels near full scale) — real
+    QDQ-quantized conv nets sit orders of magnitude below it on
+    typical activations. The envelope is characterized by a pinned
+    test against a float64 oracle
+    (tests/test_onnx_exec.py::test_q_requant_large_accumulator_envelope).
+    TPU has no native f64, so computing the scale in f64 would fall
+    back to emulation; the ±1-quantum f32 path is the deliberate
+    trade."""
     dt, lo, hi = _q_info(y_zp)
     f32 = np.float32 if xp is np else jnp.float32
     y = xp.round(acc_i32.astype(f32) * xp.asarray(multiplier, f32))

@@ -89,9 +89,17 @@ def main(argv: list[str] | None = None) -> int:
                          "(reference cap 10, lib.rs:37). Raise to >= "
                          "max-batch for full batches under load")
     ap.add_argument("--max-rss-mb", type=int, default=0,
-                    help="self-recycle (re-exec) the server when RSS "
-                         "exceeds this many MiB (0 = off) — mitigation "
-                         "for leaky runtime deps; clients reconnect")
+                    help="self-recycle the server when RSS exceeds "
+                         "this many MiB (0 = off) — mitigation for "
+                         "leaky runtime deps; clients reconnect. "
+                         "Standalone servers re-exec in place; a "
+                         "lockstep member instead exits with code 17 "
+                         "so the cluster supervisor "
+                         "(tools/cluster_launch.py) re-forms the whole "
+                         "cluster (see docs/OPERATIONS.md)")
+    ap.add_argument("--rss-check-period", type=float, default=10.0,
+                    help="seconds between RSS watchdog checks "
+                         "(default 10)")
     ap.add_argument("--no-coalesce", action="store_true",
                     help="process EVERY queued frame instead of "
                          "keeping only the newest per stream: several "
@@ -234,13 +242,11 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--lockstep-address does not support tiling")
         if args.runtime != "native":
             ap.error("--lockstep-address requires --runtime native")
-        if args.max_rss_mb:
-            # a recycling member would end the lockstep session for the
-            # WHOLE cluster with no rejoin path (jax.distributed cannot
-            # re-admit a restarted process mid-incarnation)
-            ap.error("--max-rss-mb cannot be combined with "
-                     "--lockstep-address; restart the full cluster "
-                     "instead")
+        # --max-rss-mb IS allowed under lockstep: a breach exits the
+        # member with RSS_RECYCLE_EXIT_CODE instead of re-execing (a
+        # restarted process cannot rejoin the jax.distributed
+        # incarnation); the cluster supervisor re-forms the whole
+        # cluster and streams resume (serving/app.py, docs/OPERATIONS.md)
     if args.distributed:
         from infercam_onnx_tpu.parallel.multihost import initialize
 
@@ -283,7 +289,8 @@ def main(argv: list[str] | None = None) -> int:
                     http_address=args.server_address,
                     socket_address=args.socket_address,
                     assume_frame_dims=assume_dims,
-                    max_rss_mb=args.max_rss_mb),
+                    max_rss_mb=args.max_rss_mb,
+                    rss_check_period_s=args.rss_check_period),
                 detector_config=detector_config,
                 detector=detector,
                 engine_config=EngineConfig(

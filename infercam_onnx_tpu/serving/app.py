@@ -268,9 +268,19 @@ async def start_server(
             supervised("link-reprobe", link_reprobe),
             name="link-reprobe"))
     if server_config.max_rss_mb:
+        # breach action depends on the dispatch tier: a lockstep member
+        # cannot re-exec in place (jax.distributed cannot re-admit a
+        # restarted process mid-incarnation) — it exits with a distinct
+        # code so the cluster supervisor (tools/cluster_launch.py)
+        # re-forms the WHOLE cluster; a standalone server re-execs
+        # itself and clients ride their reconnect loop
+        is_lockstep = bool(lockstep_address) or hasattr(
+            worker._detector, "session_ended")
         tasks.append(asyncio.create_task(
             rss_watchdog(server_config.max_rss_mb,
-                         server_config.rss_check_period_s),
+                         server_config.rss_check_period_s,
+                         on_breach=(_exit_for_supervisor if is_lockstep
+                                    else _reexec)),
             name="rss-watchdog"))
     return InferServer(router=router, worker=worker, http=http,
                        ingest_queue=queue, tasks=tasks,
@@ -299,6 +309,27 @@ def _reexec() -> None:
     argv = [sys.executable] + list(sys.orig_argv[1:])
     log.warning("re-executing: %s", argv)
     os.execv(argv[0], argv)
+
+
+# distinct from ordinary failures so supervisors/operators can tell an
+# intentional RSS recycle from a crash in logs and state files
+RSS_RECYCLE_EXIT_CODE = 17
+
+
+def _exit_for_supervisor() -> None:
+    """Lockstep-mode RSS-breach action: exit promptly with a distinct
+    code. Survivors observe the death (parallel/lockstep.py
+    LockstepSessionEnded) and exit too; the cluster supervisor
+    (tools/cluster_launch.py) re-forms the whole cluster as a fresh
+    incarnation and edge senders ride their reconnect-forever loop
+    (reference cam_sender/src/bin/socket_sender.rs:53-59). os._exit is
+    deliberate: the leaking runtime dependency this guard mitigates can
+    SIGABRT during interpreter teardown, masking the intended code."""
+    import os
+
+    log.warning("exiting for cluster supervisor re-formation "
+                "(exit code %d)", RSS_RECYCLE_EXIT_CODE)
+    os._exit(RSS_RECYCLE_EXIT_CODE)
 
 
 async def rss_watchdog(max_rss_mb: int, period_s: float = 10.0,

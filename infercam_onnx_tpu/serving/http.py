@@ -112,52 +112,69 @@ class HttpServer:
         connection until the client disconnects, then close."""
         try:
             while True:
-                request_line = await asyncio.wait_for(
-                    reader.readline(), 30.0)
-                if not request_line:
-                    return
-                parts = request_line.decode("latin-1").split()
-                if len(parts) < 2:
-                    writer.write(_simple_response("400 Bad Request",
-                                                  b"bad"))
-                    return
-                method, target = parts[0], parts[1]
-                version = parts[2] if len(parts) >= 3 else "HTTP/1.0"
-                conn_hdr = ""
-                body_len = 0
-                chunked = False
-                while True:
-                    line = await asyncio.wait_for(reader.readline(), 30.0)
-                    if line in (b"\r\n", b"\n", b""):
-                        break
-                    low = line.lower()
-                    if low.startswith(b"connection:"):
-                        conn_hdr = line.split(b":", 1)[1].strip(
-                        ).decode("latin-1").lower()
-                    elif low.startswith(b"content-length:"):
-                        try:
-                            body_len = int(line.split(b":", 1)[1])
-                        except ValueError:
-                            body_len = -1
-                    elif low.startswith(b"transfer-encoding:"):
-                        # a chunked body is not drained here; keeping
-                        # the connection would parse leftover chunk
-                        # data as the next request line
-                        chunked = True
-                keep = (version == "HTTP/1.1" and conn_hdr != "close"
-                        and not chunked)
-                # drain any request body so a keep-alive connection's
-                # next request line is not the leftover body bytes
-                # (bounded: nothing here accepts uploads)
-                if body_len < 0 or body_len > 1 << 20:
-                    keep = False
-                elif body_len:
-                    await asyncio.wait_for(
-                        reader.readexactly(body_len), 30.0)
+                # the request/header PARSE section has its own
+                # ValueError scope: readline() raises it for header
+                # lines over the stream limit (64 KiB), urlsplit for
+                # malformed bracket hosts. Those are hostile input ->
+                # drop the connection quietly. A ValueError raised by
+                # endpoint/stream logic below must NOT be swallowed by
+                # this bucket — it is OUR bug and belongs to the logged
+                # catch-all (the fuzz suite relies on the distinction).
+                try:
+                    request_line = await asyncio.wait_for(
+                        reader.readline(), 30.0)
+                    if not request_line:
+                        return
+                    parts = request_line.decode("latin-1").split()
+                    if len(parts) < 2:
+                        writer.write(_simple_response("400 Bad Request",
+                                                      b"bad"))
+                        return
+                    method, target = parts[0], parts[1]
+                    version = (parts[2] if len(parts) >= 3
+                               else "HTTP/1.0")
+                    conn_hdr = ""
+                    body_len = 0
+                    chunked = False
+                    while True:
+                        line = await asyncio.wait_for(
+                            reader.readline(), 30.0)
+                        if line in (b"\r\n", b"\n", b""):
+                            break
+                        low = line.lower()
+                        if low.startswith(b"connection:"):
+                            conn_hdr = line.split(b":", 1)[1].strip(
+                            ).decode("latin-1").lower()
+                        elif low.startswith(b"content-length:"):
+                            try:
+                                body_len = int(line.split(b":", 1)[1])
+                            except ValueError:
+                                body_len = -1
+                        elif low.startswith(b"transfer-encoding:"):
+                            # a chunked body is not drained here;
+                            # keeping the connection would parse
+                            # leftover chunk data as the next request
+                            # line
+                            chunked = True
+                    keep = (version == "HTTP/1.1" and conn_hdr != "close"
+                            and not chunked)
+                    # drain any request body so a keep-alive
+                    # connection's next request line is not the
+                    # leftover body bytes (bounded: nothing here
+                    # accepts uploads)
+                    if body_len < 0 or body_len > 1 << 20:
+                        keep = False
+                    elif body_len:
+                        await asyncio.wait_for(
+                            reader.readexactly(body_len), 30.0)
 
-                url = urllib.parse.urlsplit(target)
-                query = urllib.parse.parse_qs(url.query)
-                name = query.get("name", ["unknown"])[0]
+                    url = urllib.parse.urlsplit(target)
+                    query = urllib.parse.parse_qs(url.query)
+                    name = query.get("name", ["unknown"])[0]
+                except ValueError as e:
+                    log.debug("dropping connection on unparseable "
+                              "request: %s", e)
+                    return
 
                 if method != "GET":
                     writer.write(_simple_response(
@@ -263,14 +280,14 @@ class HttpServer:
                 if not keep:
                     return
         except (asyncio.TimeoutError, ConnectionError,
-                asyncio.IncompleteReadError, ValueError):
-            # ValueError is the parse-failure bucket for hostile input:
-            # readline() raises it for header lines over the stream
-            # limit (64 KiB), urlsplit for malformed bracket hosts;
-            # IncompleteReadError is a body truncated mid-drain. All
-            # are client misbehavior -> drop the connection, no stack
-            # trace (the catch-all below is for OUR bugs, and the fuzz
-            # suite asserts hostile bytes never reach it)
+                asyncio.IncompleteReadError):
+            # transport-level client misbehavior: a stalled/broken
+            # socket or a body truncated mid-drain -> drop the
+            # connection, no stack trace. Parse-phase ValueErrors are
+            # scoped to the parse section above; a ValueError escaping
+            # endpoint/stream logic reaches the logged catch-all below
+            # (it is OUR bug, and the fuzz suite asserts hostile bytes
+            # never get that far)
             pass
         except Exception:
             log.exception("HTTP handler error")

@@ -646,3 +646,123 @@ def test_supervised_cluster_restart_streams_resume(tmp_path):
             except subprocess.TimeoutExpired:
                 p.kill()
         log.close()
+
+
+@pytest.mark.slow
+def test_lockstep_member_rss_recycle_cluster_reforms(tmp_path):
+    """--max-rss-mb under lockstep (allowed since round 5): a member
+    crossing the RSS cap exits with the distinct recycle code 17
+    (serving/app.py _exit_for_supervisor) instead of re-execing — the
+    supervisor re-forms the WHOLE cluster, still-running senders
+    reconnect (reference 3 s retry contract, socket_sender.rs:53-59),
+    and annotated streams resume in the new incarnation. This is the
+    leak-mitigation story for clusters on rigs whose runtime deps leak
+    (docs/OPERATIONS.md). Cap 1 MiB = every member breaches ~20 s after
+    start, so the cluster recycles continuously; --stable-uptime 5
+    keeps the restart budget replenished throughout."""
+    rng = np.random.default_rng(11)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    (frames / "f.jpg").write_bytes(codec.encode_rgb(
+        rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = ""
+
+    base = 25920
+    coord, lockstep = _free_port(), _free_port()
+    state = tmp_path / "state.json"
+    log_path = tmp_path / "supervisor.log"
+    log = open(log_path, "wb")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sup = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "tools", "cluster_launch.py"),
+         "--hosts", "2", "--cpu", "--http-base", str(base),
+         "--coordinator-port", str(coord),
+         "--lockstep-port", str(lockstep),
+         "--state-file", str(state), "--max-restarts", "3",
+         "--stable-uptime", "5",
+         "--", "--max-batch", "2", "--decode-scale", "1",
+         "--batch-window-ms", "20",
+         "--max-rss-mb", "1", "--rss-check-period", "20"],
+        env=env, stdout=log, stderr=log)
+    senders = []
+
+    def read_state():
+        try:
+            return json.loads(state.read_text())
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def wait_incarnation(n, timeout):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            st = read_state()
+            if st and st["incarnation"] >= n:
+                return st
+            time.sleep(0.5)
+        return None
+
+    def frames_flow(deadline_s):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            try:
+                got = _http_get(base, "/face_stream?name=cam0",
+                                timeout=10.0, stop_after_frames=1
+                                ).count(b"--frame\r\nContent-Type")
+            except OSError:  # mid-recycle: port momentarily closed
+                got = 0
+                time.sleep(1.0)
+            if got:
+                return True
+        return False
+
+    try:
+        st = wait_incarnation(1, 60)
+        assert st, "supervisor never wrote its state file"
+        for pid in range(2):
+            assert _wait_port(base + 10 * pid), \
+                f"host {pid} HTTP port never opened"
+        for pid in range(2):
+            senders.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "infercam_onnx_tpu.client.sender",
+                 "--address", f"127.0.0.1:{base + 10 * pid + 1}",
+                 "--channel", f"cam{pid}",
+                 "--replay-dir", str(frames), "--fps", "10"],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL))
+
+        assert frames_flow(240), "no annotated frames in incarnation 1"
+
+        # the RSS cap fires on its own (~20 s after member start); the
+        # supervisor must observe the DISTINCT recycle code and re-form
+        deadline = time.time() + 240
+        recycled = False
+        while time.time() < deadline and not recycled:
+            recycled = b"exited with code 17" in log_path.read_bytes()
+            time.sleep(1.0)
+        assert recycled, \
+            "no member exited with the RSS recycle code (17)"
+
+        st2 = wait_incarnation(st["incarnation"] + 1, 180)
+        assert st2, "supervisor never re-formed the cluster"
+        assert st2["pids"] != st["pids"]
+
+        # streams resume in a later incarnation (senders reconnect on
+        # their own); tolerate further recycles during observation
+        assert frames_flow(300), \
+            "streams did not resume after the RSS recycle"
+        assert sup.poll() is None, "supervisor died during recovery"
+    finally:
+        for p in senders:
+            p.send_signal(signal.SIGINT)
+        sup.send_signal(signal.SIGTERM)
+        for p in senders + [sup]:
+            try:
+                p.wait(30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        log.close()

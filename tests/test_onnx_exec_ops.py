@@ -2263,6 +2263,43 @@ def test_qlinear_conv_per_channel_groups_bias_pin():
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_q_requant_large_accumulator_envelope():
+    """Characterize the float32 requant precision envelope documented
+    on onnx_exec._q_requant: accumulators beyond 2^24 lose low bits in
+    the int32->float32 cast, so requantized outputs may land at most
+    ±1 output quantum away from a float64 oracle — and the vast
+    majority still match exactly (the cast error is ~ulp(acc) * m,
+    orders of magnitude below half a quantum; only values razor-close
+    to a rounding boundary can flip)."""
+    rng = np.random.default_rng(36)
+    # fan-in 512*3*3 with same-sign near-full-scale operands pushes
+    # every accumulator far past 2^24 (~4.6e7 .. 1.5e8)
+    x = rng.integers(100, 256, size=(1, 512, 3, 3)).astype(np.uint8)
+    w = rng.integers(100, 128, size=(8, 512, 3, 3)).astype(np.int8)
+    x_s, x_zp = np.float32(0.02), np.uint8(0)
+    w_s, w_zp = np.float32(0.002), np.int8(0)
+    # output scale chosen so acc*m lands inside (0, 255): the clip
+    # must not mask the rounding deviation under test
+    y_s, y_zp = np.float32(25.0), np.uint8(0)
+
+    node = _node("QLinearConv", dict(pads=[0, 0, 0, 0]))
+    got = np.asarray(_OPS["QLinearConv"](
+        node, x, x_s, x_zp, w, w_s, w_zp, y_s, y_zp))
+    acc = _exact_int_conv(x.astype(np.int64), w.astype(np.int64),
+                          pads=(0, 0))
+    assert int(np.abs(acc).min()) > 2 ** 24  # the regime under test
+
+    m64 = np.float64(x_s) * np.float64(w_s) / np.float64(y_s)
+    y64 = acc.astype(np.float64) * m64 + np.float64(y_zp)
+    assert 0.0 < y64.min() and y64.max() < 255.0  # clip inactive
+    want64 = np.clip(np.rint(y64), 0, 255).astype(np.uint8)
+
+    dev = got.astype(np.int32) - want64.astype(np.int32)
+    assert int(np.abs(dev).max()) <= 1  # the documented envelope
+    # deviations are the exception, not the rule
+    assert (dev == 0).mean() > 0.99
+
+
 def test_qlinear_matmul_pin():
     rng = np.random.default_rng(34)
     a = rng.integers(0, 256, size=(4, 8)).astype(np.uint8)

@@ -1185,6 +1185,54 @@ def test_rss_watchdog_quiet_below_cap():
     assert fired == []
 
 
+def test_rss_breach_action_lockstep_exits_not_reexec(detector,
+                                                     monkeypatch):
+    """Under lockstep the RSS watchdog must NOT re-exec in place —
+    jax.distributed cannot re-admit a restarted process into a running
+    incarnation — so a breach exits the member (distinct code 17) for
+    the cluster supervisor to re-form the whole cluster
+    (serving/app.py _exit_for_supervisor, tools/cluster_launch.py)."""
+    from infercam_onnx_tpu.serving import app as app_mod
+
+    calls: list[str] = []
+    monkeypatch.setattr(app_mod, "_reexec",
+                        lambda: calls.append("reexec"))
+    monkeypatch.setattr(app_mod, "_exit_for_supervisor",
+                        lambda: calls.append("exit"))
+
+    async def run(server_cfg):
+        server = await start_server(
+            server_config=server_cfg,
+            engine_config=EngineConfig(batch_buckets=(1,),
+                                       annotate_mode="host"),
+            detector=detector, data_parallel="off")
+        try:
+            # real /proc RSS is far above the 1 MiB cap: the watchdog
+            # breaches on its first 10 ms check
+            await asyncio.sleep(0.5)
+        finally:
+            await server.close()
+
+    # lockstep-shaped detector (session_ended is the lockstep marker)
+    detector.session_ended = False
+    try:
+        asyncio.run(run(ServerConfig(
+            http_address="127.0.0.1:18481",
+            socket_address="127.0.0.1:18482",
+            max_rss_mb=1, rss_check_period_s=0.01)))
+    finally:
+        del detector.session_ended
+    assert calls == ["exit"]
+
+    # standalone server: same breach re-execs in place instead
+    calls.clear()
+    asyncio.run(run(ServerConfig(
+        http_address="127.0.0.1:18483",
+        socket_address="127.0.0.1:18484",
+        max_rss_mb=1, rss_check_period_s=0.01)))
+    assert calls == ["reexec"]
+
+
 def test_warmup_async_listeners_open_before_warm(detector, jpeg_dir):
     """--warmup-async: the HTTP listener answers while the device
     warm-up is still running, and inference works once warm."""

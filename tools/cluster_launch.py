@@ -125,6 +125,13 @@ def main(argv=None) -> int:
                     help="whole-cluster restarts after a member dies "
                          "(default 5; the lockstep session is fail-stop,"
                          " so recovery is always a full re-formation)")
+    ap.add_argument("--stable-uptime", type=float, default=60.0,
+                    help="an incarnation that stays healthy this many "
+                         "seconds replenishes the restart budget and "
+                         "resets the backoff (default 60; a long-lived "
+                         "cluster absorbing occasional member deaths — "
+                         "e.g. --max-rss-mb recycles on a leaky rig — "
+                         "never exhausts the budget)")
     ap.add_argument("--no-supervise", action="store_true",
                     help="exit on the first member death instead of "
                          "restarting the cluster")
@@ -139,10 +146,15 @@ def main(argv=None) -> int:
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["XLA_FLAGS"] = ""
 
+    # SIGTERM sets a flag instead of raising: an exception injected
+    # mid-_teardown (inside p.wait) would unwind past the
+    # SIGTERM->SIGKILL escalation and could orphan a hung member. The
+    # poll/backoff loops check the flag at their next iteration.
+    stop_requested = False
+
     def _sigterm(*_):
-        # external supervisors stop us with SIGTERM; route it through
-        # the KeyboardInterrupt path so the cluster is torn down too
-        raise KeyboardInterrupt
+        nonlocal stop_requested
+        stop_requested = True
 
     signal.signal(signal.SIGTERM, _sigterm)
 
@@ -150,9 +162,10 @@ def main(argv=None) -> int:
     incarnation = 0
     procs: list[subprocess.Popen] = []
     try:
-        while True:
+        while not stop_requested:
             incarnation += 1
             procs, endpoints = _spawn_cluster(args, passthrough, env)
+            started = time.time()
             _write_state(args.state_file, incarnation, procs, endpoints)
             for pid, http, ingest in endpoints:
                 print(f"host {pid}: http://127.0.0.1:{http}  "
@@ -161,7 +174,7 @@ def main(argv=None) -> int:
                   "cluster.", flush=True)
 
             dead = None
-            while dead is None:
+            while dead is None and not stop_requested:
                 for p in procs:
                     code = p.poll()
                     if code is not None:
@@ -169,8 +182,18 @@ def main(argv=None) -> int:
                         break
                 else:
                     time.sleep(0.5)
+            if dead is None:  # stop requested while healthy
+                return 0
             print(f"member pid {dead[0]} exited with code {dead[1]}",
                   file=sys.stderr, flush=True)
+            # a healthy run replenishes the budget: only *rapid* crash
+            # loops should exhaust it, not occasional member deaths
+            # spread over a long uptime (e.g. --max-rss-mb recycles)
+            if restarts and time.time() - started >= args.stable_uptime:
+                print(f"incarnation {incarnation} was healthy for "
+                      f">{args.stable_uptime:.0f}s; restart budget "
+                      "replenished", file=sys.stderr, flush=True)
+                restarts = 0
             # the session is cluster-wide: survivors are already
             # exiting via LockstepSessionEnded — collect them all
             _teardown(procs)
@@ -185,10 +208,17 @@ def main(argv=None) -> int:
                   f"{incarnation + 1} in {backoff:.0f}s "
                   f"(restart {restarts}/{args.max_restarts})",
                   file=sys.stderr, flush=True)
-            time.sleep(backoff)
+            deadline = time.time() + backoff
+            while time.time() < deadline and not stop_requested:
+                time.sleep(0.2)
+        return 0
     except KeyboardInterrupt:
         return 0
     finally:
+        # shield the final teardown: a second Ctrl-C or a late SIGTERM
+        # must not interrupt the SIGTERM->SIGKILL escalation loop
+        signal.signal(signal.SIGTERM, signal.SIG_IGN)
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
         _teardown(procs)
 
 
