@@ -97,6 +97,23 @@ class EngineConfig:
     # probe once at startup only). Each probe costs <1 s on the device
     # executor between batches; recovery restores the configured path.
     link_probe_period_s: float = 0.0
+    # H2D bandwidth (MB/s) below which device-annotated output re-routes
+    # to the reference-style host draw path. The device annotate tail
+    # stays faster than host annotation deep into degraded territory
+    # (measured 69.9 vs 55.5 fps at 38 MB/s, 97.3 vs 58.4 at 47 —
+    # docs/PERFORMANCE.md), so this floor only covers collapse-grade
+    # links where the coefficient readback dominates everything.
+    link_annotate_floor_mbps: float = 10.0
+    # Upload route for tiled high-res packed-plane batches on a single
+    # chip. "stacked": one large device_put of the stacked batch (fewer
+    # transfer calls; best on healthy DMA links). "rows": per-frame
+    # async device_puts issued back-to-back, stacked ON device (
+    # amortizes a tunnel's fixed per-transfer cost; best on degraded
+    # links — CLAUDE.md cost model). "auto": link-adaptive — the probe
+    # picks rows when degraded, stacked when healthy (rows until the
+    # first probe). Meshed/lockstep detectors always use their own
+    # stacked dispatch.
+    tiled_upload: str = "auto"
     # Tiled high-res detection (BASELINE config 5): frames with at least
     # this many pixels (post-decode) run through the overlapping tile grid
     # with cross-tile NMS merge instead of a single squashed resize.

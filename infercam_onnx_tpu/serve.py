@@ -154,6 +154,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-probe the link every N seconds and "
                          "re-apply the policy (0 = startup only); "
                          "recovery restores the configured path")
+    ap.add_argument("--link-annotate-floor-mbps", type=float,
+                    default=10.0,
+                    help="H2D bandwidth (MB/s) below which device-"
+                         "annotated output re-routes to host drawing "
+                         "(device annotate measured faster down to "
+                         "~38 MB/s; the floor covers collapse-grade "
+                         "links only)")
+    ap.add_argument("--tiled-upload", default="auto",
+                    choices=["auto", "rows", "stacked"],
+                    help="upload route for tiled high-res batches on "
+                         "one chip: stacked = one large copy (healthy "
+                         "DMA links), rows = per-frame async puts "
+                         "stacked on device (amortizes a degraded "
+                         "tunnel's per-transfer cost), auto = probe-"
+                         "driven")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -305,6 +320,9 @@ def main(argv: list[str] | None = None) -> int:
                     link_adaptive=args.link_adaptive == "on",
                     link_healthy_h2d_mbps=args.link_healthy_mbps,
                     link_probe_period_s=args.link_probe_period,
+                    link_annotate_floor_mbps=(
+                        args.link_annotate_floor_mbps),
+                    tiled_upload=args.tiled_upload,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(
                         int(v) for v in args.tile_grid.split("x"))),

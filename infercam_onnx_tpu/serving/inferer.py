@@ -80,10 +80,17 @@ class InferenceWorker:
         # device warm-up in progress (surfaced as /stats "warming")
         self.warming = False
         # link-adaptive transfer-path selection (serving/link.py):
-        # the decode mode actually in effect (may differ from the
-        # configured one on a degraded link) + the probe verdict,
-        # surfaced via /stats "link"
+        # the paths actually in effect (may differ from the configured
+        # ones on a degraded link) + the probe verdict, surfaced via
+        # /stats "link". Pre-probe defaults: decode/annotate as
+        # configured; tiled_upload "auto" resolves to "rows" (this
+        # development rig's tunnel is usually degraded — one probe
+        # flips it to "stacked" on a healthy link).
         self._effective_decode_mode = engine_config.decode_mode
+        self._effective_annotate_mode = engine_config.annotate_mode
+        self._effective_tiled_route = (
+            "rows" if engine_config.tiled_upload == "auto"
+            else engine_config.tiled_upload)
         self.link_status: dict = {
             "probed": False,
             "configured_decode_mode": engine_config.decode_mode,
@@ -114,32 +121,52 @@ class InferenceWorker:
                                 e)
 
     def probe_and_adapt(self, probe=None) -> dict:
-        """Probe H2D bandwidth and (re-)select the effective transfer
-        path (serving/link.py). Call on the DEVICE executor thread so
-        the probe never interleaves with a dispatch. The configured
-        mode is re-evaluated each call, so a recovered link restores
-        the configured path. Returns the updated link status dict."""
+        """Probe H2D bandwidth and (re-)select every transfer-sensitive
+        serving path (serving/link.py decision table: decode mode,
+        tiled upload route, annotate mode). Call on the DEVICE executor
+        thread so the probe never interleaves with a dispatch. Each
+        configured choice is re-evaluated every call, so a recovered
+        link restores the configured paths. Returns the updated link
+        status dict (what /stats exposes)."""
         from infercam_onnx_tpu.serving import link as _link
 
         if probe is None:
             probe = _link.probe_h2d_mbps
         mbps = float(probe())
-        mode, why = _link.decide_decode_mode(
-            self._cfg.decode_mode, mbps, self._cfg.link_healthy_h2d_mbps)
-        if mode != self._effective_decode_mode:
-            log.warning("link-adaptive: decode mode %s -> %s (%s)",
-                        self._effective_decode_mode, mode, why)
-        self._effective_decode_mode = mode
+        decisions = _link.decide(self._cfg, mbps)
+        changes = (
+            ("decode mode", "_effective_decode_mode", "decode_mode"),
+            ("tiled upload", "_effective_tiled_route", "tiled_upload"),
+            ("annotate mode", "_effective_annotate_mode",
+             "annotate_mode"),
+        )
+        for label, attr, key in changes:
+            new = decisions[key]["effective"]
+            if new != getattr(self, attr):
+                log.warning("link-adaptive: %s %s -> %s (%s)", label,
+                            getattr(self, attr), new,
+                            decisions[key]["why"])
+            setattr(self, attr, new)
         self.link_status = {
             "probed": True,
             "h2d_mbps": round(mbps, 1),
             "healthy_mbps": self._cfg.link_healthy_h2d_mbps,
             "degraded": mbps < self._cfg.link_healthy_h2d_mbps,
+            # kept for compatibility with existing consumers/tests
             "configured_decode_mode": self._cfg.decode_mode,
-            "decode_mode": mode,
-            "why": why,
+            "decode_mode": decisions["decode_mode"]["effective"],
+            "why": decisions["decode_mode"]["why"],
+            "decisions": decisions,
         }
         return self.link_status
+
+    @property
+    def _annotate_device_active(self) -> bool:
+        """Device-annotate capability AND the link-effective mode: a
+        collapse-grade link re-routes annotated output to the host
+        draw path (serving/link.py decide_annotate_mode)."""
+        return (self._annotate_device
+                and self._effective_annotate_mode == "device")
 
     def _host_quant(self, quality: int):
         """[2, 64] uint16 encode quant tables for the host entropy
@@ -265,12 +292,12 @@ class InferenceWorker:
         # decode. In coefficients mode the SPLICE transcode applies:
         # blocks up, only overlay-touched blocks down, host splices
         # them into its original arrays (bit-exact elsewhere).
-        splice_mode = (coef_mode and self._annotate_device
+        splice_mode = (coef_mode and self._annotate_device_active
                        and hasattr(self._detector,
                                    "run_device_coefficients_annotated"))
         device_annot_ids = {
             id(j) for j in jobs
-            if j.reply is not None and self._annotate_device
+            if j.reply is not None and self._annotate_device_active
             and (coef_mode or ycbcr_mode)}
         # in coefficients mode every device-annotated job takes the
         # splice transcode; otherwise they take the ycbcr annotate tail
@@ -429,7 +456,7 @@ class InferenceWorker:
             # another stream in the batch has a viewer
             by_shape: dict[tuple, list] = {}
             for job, frame in frames:
-                needs_annot = bool(self._annotate_device
+                needs_annot = bool(self._annotate_device_active
                                    and job.reply is not None)
                 by_shape.setdefault(
                     (frame.shape[:2], needs_annot), []).append(
@@ -525,6 +552,7 @@ class InferenceWorker:
                         rows.extend([np.zeros_like(rows[0])]
                                     * (bucket - len(members)))
                     if (kind == "ycbcr_tiled" and self._mesh is None
+                            and self._effective_tiled_route == "rows"
                             and not hasattr(self._detector,
                                             "run_device_tiled_ycbcr")):
                         # chunked upload for the transfer-heaviest
@@ -532,7 +560,9 @@ class InferenceWorker:
                         # back-to-back amortize the tunnel's fixed
                         # per-transfer cost that one large stacked copy
                         # pays in full (CLAUDE.md cost model); the
-                        # batch is stacked ON DEVICE (HBM-local)
+                        # batch is stacked ON DEVICE (HBM-local).
+                        # Route is link-adaptive (tiled_upload "auto":
+                        # rows on degraded links, stacked on healthy)
                         units.append({
                             "kind": "ycbcr_tiled_rows",
                             "members": members[:bucket],
@@ -845,7 +875,7 @@ class InferenceWorker:
         for (h, w) in resolutions or [(480, 640)]:
             for b in self._buckets:
                 self._detector.warmup(b, h // s, w // s, pack_output=True)
-            if (self._annotate_device
+            if (self._annotate_device_active
                     and self._effective_decode_mode == "pixels"):
                 for b in self._buckets:
                     dummy = np.zeros((b, h // s, w // s, 3), np.uint8)
@@ -871,7 +901,7 @@ class InferenceWorker:
                         self._detector.run_device_coefficients_arrays(
                             y, cb, cr, q, wh, sampling=samp,
                             pack_output=True))
-                    if self._annotate_device and hasattr(
+                    if self._annotate_device_active and hasattr(
                             self._detector,
                             "run_device_coefficients_annotated"):
                         jax.block_until_ready(
@@ -894,7 +924,7 @@ class InferenceWorker:
                     jax.block_until_ready(
                         self._detector.run_device_ycbcr_packed(
                             packed, geom, pack_output=True))
-                    if self._annotate_device:
+                    if self._annotate_device_active:
                         jax.block_until_ready(
                             self._detector.run_device_ycbcr_annotated(
                                 packed, geom,

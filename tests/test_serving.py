@@ -408,10 +408,14 @@ def test_tiled_ycbcr_rows_serving_path(detector, tmp_path):
         codec.encode_rgb(frame, 90, "420"))
 
     async def run():
+        # tiled_upload pinned to "rows": under "auto" the startup probe
+        # on the CPU backend measures a healthy link and picks the
+        # stacked route (that flip is covered by test_link_adaptive.py)
         server, _ = await _start(detector, 18400, 18401,
                                  decode_mode="ycbcr",
                                  tile_min_pixels=96 * 128,
-                                 tile_grid=(2, 2))
+                                 tile_grid=(2, 2),
+                                 tiled_upload="rows")
         try:
             kinds: list = []
             orig = server.worker._device_stage
