@@ -18,6 +18,14 @@ Also reported: the plain host-RGB-decode path, device-only throughput,
 single-stream serving e2e latency through the REAL server (BASELINE
 config 2), and 1080p tiled detection (config 5, single-chip slice).
 
+Sampling is driven by a starvation-proof phase planner (``_Plan``):
+every recorded metric family is a MUST phase that always runs (cheap
+families first, with in-run measured cost scaling and a hard wall), so
+a slow-link day trims windows instead of zeroing whole families. A
+fixed cross-round anchor triplet (``bench_anchor``) is recorded early
+in every run and appended to docs/anchors.jsonl + the anchor table in
+docs/PERFORMANCE.md, separating tunnel drift from code regressions.
+
 Prints ONE JSON line:
   {"metric": ..., "value": fps_per_chip, "unit": "frames/s",
    "vs_baseline": fps / cpu_baseline_fps, ...extras}
@@ -320,13 +328,18 @@ def _hd_frames(count: int = 4) -> list[bytes]:
 
 
 def bench_tiled(detector, *, seconds: float = 6.0,
-                batch: int = 4) -> dict:
+                batch: int = 4, full: bool = True) -> dict:
     """1080p tiled detection (BASELINE config 5) with REAL per-frame
-    transfers, both input routes in one window: 6 MB RGB vs ~3 MB
-    packed 4:2:0 planes (the round-3 transfer diet), plus the
-    device-resident compute ceiling. ``batch`` concurrent 1080p
-    streams share each dispatch (exactly what the serving worker does),
-    amortizing the tunnel's flat per-execution cost."""
+    transfers. MUST-fill core (always runs): the serving worker's two
+    scaled-decode upload routes — "stacked" (one large device_put) vs
+    "rows" (per-frame chunked async puts, the round-4 path that had no
+    real-chip number — VERDICT r04 item 3) — plus the same-geometry
+    device-resident ceiling for the delivered/ceiling ratio.
+    ``full=True`` adds the full-resolution RGB (6 MB/frame) and packed
+    4:2:0 (~3 MB) windows and the 1080p device ceiling. ``batch``
+    concurrent 1080p streams share each dispatch (exactly what the
+    serving worker does), amortizing the tunnel's flat per-execution
+    cost."""
     import threading
     import queue as pyqueue
 
@@ -406,37 +419,55 @@ def bench_tiled(detector, *, seconds: float = 6.0,
         stop.set()
         return done / (time.perf_counter() - t0)
 
-    fps_rgb = pipeline("rgb")
-    fps_ycbcr = pipeline("ycbcr")
-    # scaled-IDCT decode: the same trade the plain 640x480 path makes
-    # by default (detections are relative coords; tiles still downscale
-    # to the 320x240 model input) at 1/4 the transfer bytes — the
-    # serving worker applies --decode-scale to tiled streams already
-    fps_ycbcr_s2 = pipeline("ycbcr", scale=2)
-    # the serving worker's default tiled route (ycbcr_tiled_rows units,
-    # serving/inferer.py): same bytes as ycbcr_s2, chunked uploads
+    # MUST-fill core: the serving worker's scaled-decode routes. The
+    # rows (chunked-upload) route goes FIRST — it is the round-4 path
+    # whose real-chip number two driver artifacts starved out.
     fps_rows_s2 = pipeline("ycbcr_rows", scale=2)
+    # "stacked": one large device_put of the same bytes — the
+    # link-adaptive alternative (serving/link.py decide_tiled_route)
+    fps_ycbcr_s2 = pipeline("ycbcr", scale=2)
 
-    # device-resident compute ceiling (same batch as the pipelines so
-    # the executable is shared)
-    frame_hd = jax.device_put(
-        np.zeros((batch, 1080, 1920, 3), np.uint8))
-    jax.block_until_ready(tiled.run_device(frame_hd, pack_output=True))
-    t0 = time.perf_counter()
-    outs = [tiled.run_device(frame_hd, pack_output=True)
-            for _ in range(20)]
-    jax.block_until_ready(outs[-1])
-    device_ms = (time.perf_counter() - t0) / 20 * 1e3
-    return {
-        "tiled_1080p_rgb_fps": round(fps_rgb, 1),
-        "tiled_1080p_ycbcr_fps": round(fps_ycbcr, 1),
+    def ceiling(t_det, h, w) -> float:
+        """Device-resident compute ceiling, fps (same batch as the
+        pipelines so the executable is shared with the rgb mode)."""
+        frame = jax.device_put(
+            np.zeros((batch, h, w, 3), np.uint8))
+        jax.block_until_ready(t_det.run_device(frame, pack_output=True))
+        t0 = time.perf_counter()
+        outs = [t_det.run_device(frame, pack_output=True)
+                for _ in range(20)]
+        jax.block_until_ready(outs[-1])
+        return batch * 1e3 / ((time.perf_counter() - t0) / 20 * 1e3)
+
+    # same-geometry ceiling as the two core windows, for the
+    # delivered/ceiling ratio (VERDICT r04 item 3 done-criterion)
+    dev_s2_fps = ceiling(tiled_s2, 540, 960)
+    # scaled RGB window: completes the rows-vs-stacked-vs-rgb
+    # comparison at the same geometry (2x the packed-plane bytes);
+    # shares its device program with the ceiling above
+    fps_rgb_s2 = pipeline("rgb", scale=2)
+
+    out = {
+        "tiled_1080p_rgb_scaled_fps": round(fps_rgb_s2, 1),
         "tiled_1080p_ycbcr_scaled_fps": round(fps_ycbcr_s2, 1),
         "tiled_1080p_ycbcr_rows_fps": round(fps_rows_s2, 1),
-        "tiled_1080p_fps": round(max(fps_rgb, fps_ycbcr,
-                                     fps_ycbcr_s2, fps_rows_s2), 1),
         "tiled_1080p_batch": batch,
-        "tiled_1080p_device_fps": round(batch * 1e3 / device_ms, 1),
+        "tiled_1080p_device_scaled_fps": round(dev_s2_fps, 1),
+        "tiled_delivered_vs_ceiling": round(
+            max(fps_rows_s2, fps_ycbcr_s2) / max(dev_s2_fps, 1e-9), 3),
     }
+    best = max(fps_rows_s2, fps_ycbcr_s2, fps_rgb_s2)
+    if full:
+        # full-resolution transfer windows + the 1080p ceiling
+        fps_rgb = pipeline("rgb")
+        fps_ycbcr = pipeline("ycbcr")
+        out["tiled_1080p_rgb_fps"] = round(fps_rgb, 1)
+        out["tiled_1080p_ycbcr_fps"] = round(fps_ycbcr, 1)
+        out["tiled_1080p_device_fps"] = round(ceiling(tiled, 1080,
+                                                      1920), 1)
+        best = max(best, fps_rgb, fps_ycbcr)
+    out["tiled_1080p_fps"] = round(best, 1)
+    return out
 
 
 def bench_mfu(detector, *, batch: int = 64, iters: int = 30) -> dict:
@@ -507,11 +538,62 @@ def bench_mfu(detector, *, batch: int = 64, iters: int = 30) -> dict:
     return out
 
 
-def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
-              batch: int = 16, decode_scale: int = 2,
-              remaining=None) -> dict:
+def bench_anchor(detector, *, batch: int = 16,
+                 decode_scale: int = 2) -> dict:
+    """Fixed cross-round anchor family (VERDICT r04 item 2): an
+    IDENTICAL cheap measurement triplet recorded EARLY in every bench
+    run, so tunnel drift is separable from dispatch-path regressions
+    across rounds. Three layers, three failure domains:
+
+    - ``onchip_ms_per_batch`` (batch 64, in-executable fori loop —
+      tools/microbench.py method): pure device time, immune to tunnel
+      state. Moves only when the COMPUTE path changes.
+    - ``device_only_fps`` (batch 16, resident input, 50 pipelined
+      dispatches, block once): adds the dispatch path + the tunnel's
+      flat per-execution cost. ``anchor_dispatch_ms`` is the residual
+      (per-program wall minus the on-chip share) — the tunnel tax.
+    - ``h2d_probe_mbps`` (probed in main()): the transfer layer.
+
+    onchip flat + device_only down  => tunnel drift (not our code);
+    onchip up                       => compute regression;
+    h2d down                        => transfer-path days, compare
+                                       within-run paths only.
+    main() appends the triplet as a dated row to docs/anchors.jsonl
+    (and the anchor table in docs/PERFORMANCE.md)."""
     import jax
     import numpy as np
+
+    mfu = bench_mfu(detector, batch=64)
+
+    # device-compute-only figure (input resident, pipelined dispatch,
+    # block once): the chip's intrinsic throughput through the real
+    # dispatch path, excluding transfer costs
+    h0, w0 = 480 // decode_scale, 640 // decode_scale
+    resident = jax.device_put(
+        np.zeros((batch, h0, w0, 3), np.uint8))
+    jax.block_until_ready(detector.run_device(resident, pack_output=True))
+    n_pipe = 50
+    t0 = time.perf_counter()
+    outs = [detector.run_device(resident, pack_output=True)
+            for _ in range(n_pipe)]
+    jax.block_until_ready(outs[-1])
+    device_ms = (time.perf_counter() - t0) / n_pipe * 1e3
+
+    onchip_b = mfu["onchip_ms_per_batch"] * (batch / mfu["mfu_batch"])
+    return {
+        **mfu,
+        "device_compute_ms_per_batch": round(device_ms, 2),
+        "device_only_fps": round(batch / (device_ms / 1e3), 1),
+        # per-program dispatch overhead: wall per batch-16 program minus
+        # its on-chip share — on this rig, the tunnel's flat
+        # per-execution cost (r01-r04: 33→73 ms while on-chip improved)
+        "anchor_dispatch_ms": round(device_ms - onchip_b, 2),
+    }
+
+
+def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
+              batch: int = 16, decode_scale: int = 2) -> dict:
+    import jax
 
     from infercam_onnx_tpu.native import jpeg as native_jpeg
 
@@ -542,20 +624,6 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
         lat.append(time.perf_counter() - t0)
     lat.sort()
 
-    # device-compute-only figure (input resident, pipelined dispatch,
-    # block once): the chip's intrinsic throughput, excluding this rig's
-    # tunnel transfer costs and per-call round-trips
-    h0, w0 = 480 // decode_scale, 640 // decode_scale
-    resident = jax.device_put(
-        np.zeros((batch, h0, w0, 3), np.uint8))
-    jax.block_until_ready(detector.run_device(resident, pack_output=True))
-    n_pipe = 50
-    t0 = time.perf_counter()
-    outs = [detector.run_device(resident, pack_output=True)
-            for _ in range(n_pipe)]
-    jax.block_until_ready(outs[-1])
-    device_ms = (time.perf_counter() - t0) / n_pipe * 1e3
-
     # throughput: best of N windows per mode (this rig's transfer
     # bandwidth fluctuates run to run; repeated identical windows are a
     # legitimate way to sample the faster mode)
@@ -571,28 +639,14 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
     # annotated-output paths in the SAME window set (/face_stream e2e:
     # a finished annotated JPEG per frame). Round-3 done-criterion:
     # device mode within ~1.5x of the detection-only ycbcr path.
+    # (The FULL-resolution annotated family — splice transcode vs host
+    # draw — is its own MUST-fill phase in main(): bench_annotate_fullres.)
     fps_annot_dev = _annotated_fps(
         detector, frames, mode="device", batch=batch,
         seconds=seconds, decode_scale=decode_scale)
     fps_annot_host = _annotated_fps(
         detector, frames, mode="host", batch=batch,
         seconds=seconds, decode_scale=decode_scale)
-    # the splice transcode serves FULL-resolution annotated output
-    # (coefficient mode has no IDCT scaling); its fair host comparison
-    # is full-res host annotate. These are the SECONDARY annotated
-    # numbers: on a starved budget OR a degraded link they yield — a
-    # splice window on a 45 MB/s day measures the link, not the path
-    # (observed 1.0 fps vs 41.9 on a healthy window) and costs ~70 s
-    # of compiles the MFU/latency samples need.
-    if not slow_rig and (remaining is None or remaining() > 150):
-        fps_annot_splice = _annotated_fps(
-            detector, frames, mode="splice", batch=batch,
-            seconds=seconds)
-        fps_annot_host_full = _annotated_fps(
-            detector, frames, mode="host", batch=batch,
-            seconds=seconds, decode_scale=1)
-    else:
-        fps_annot_splice = fps_annot_host_full = 0.0
 
     return {
         "fps": max(fps_ycbcr, fps_pixels),
@@ -600,20 +654,38 @@ def bench_tpu(detector, frames: list[bytes], *, seconds: float = 8.0,
         "fps_pixels": fps_pixels,
         "fps_annotated_device": fps_annot_dev,
         "fps_annotated_host": fps_annot_host,
-        "fps_annotated_splice_fullres": fps_annot_splice,
-        "fps_annotated_host_fullres": fps_annot_host_full,
         "latch_s": round(latch_s, 1),
         "slow_rig": slow_rig,
         "p50_batch_ms": lat[len(lat) // 2] * 1e3,
         "p50_frame_ms": lat[len(lat) // 2] * 1e3 / batch,
-        "device_compute_ms_per_batch": device_ms,
-        "device_only_fps": batch / (device_ms / 1e3),
+    }
+
+
+def bench_annotate_fullres(detector, frames: list[bytes], *,
+                           batch: int = 16,
+                           seconds: float = 4.0) -> dict:
+    """FULL-resolution annotated family (must-fill: BENCH_r02-r04
+    shipped 0.0 placeholders three rounds running — VERDICT r04 item 1).
+    The splice transcode serves full-res annotated output (coefficient
+    mode has no IDCT scaling); its fair host comparison is full-res
+    host annotate. On a degraded link a splice window largely measures
+    the link (observed 1.0 fps vs 41.9 healthy) — a labeled measurement
+    still beats a 0.0; the JSON's slow_link flag contextualizes it."""
+    fps_splice = _annotated_fps(
+        detector, frames, mode="splice", batch=batch, seconds=seconds)
+    fps_host_full = _annotated_fps(
+        detector, frames, mode="host", batch=batch, seconds=seconds,
+        decode_scale=1)
+    return {
+        "fps_annotated_splice_fullres": fps_splice,
+        "fps_annotated_host_fullres": fps_host_full,
     }
 
 
 def bench_serving_latency(*, frames_count: int = 40,
                           fps_in: float = 5.0,
                           cut_through: bool = False,
+                          trim: bool = False,
                           port: int = 38600) -> dict:
     """BASELINE config 2: single live stream through the REAL server
     (TCP ingest -> router -> micro-batcher -> device -> annotate ->
@@ -626,7 +698,19 @@ def bench_serving_latency(*, frames_count: int = 40,
     reported as ``serving_latency_*`` alongside the throughput-tuned
     numbers. The reference claims ~15 ms/frame end-to-end on desktop
     hardware (reference README.md:62-64); on this rig the tunnel alone
-    costs ~70 ms fixed per round-trip (docs/PERFORMANCE.md)."""
+    costs ~70 ms fixed per round-trip (docs/PERFORMANCE.md).
+
+    ``trim``: bucket ladder (1,) instead of the preset's (1, 2) —
+    behaviorally identical at this input rate (5 fps against a
+    ~100 ms dispatch never queues two frames, so bucket 2 is never
+    hit) but HALF the warmup compiles; this is what let r04's preset
+    overrun its estimate 3x on a cold cache (VERDICT r04 items 1/4).
+
+    Tail diagnosis (VERDICT r04 item 4: an unexplained 845 ms p95):
+    every StageTimer record inside the window is captured, and the
+    output includes per-stage p95s plus the top e2e samples with their
+    arrival index — so a tail can be ATTRIBUTED (early-sample warmup
+    residue vs a mid-window device/tunnel stall vs host encode)."""
     import asyncio
 
     from infercam_onnx_tpu.client.sender import ReplaySource, send_stream
@@ -651,26 +735,30 @@ def bench_serving_latency(*, frames_count: int = 40,
     detector.warmup(1, 480, 640, pack_output=True)
     detector.warmup(2, 480, 640, pack_output=True)
 
-    # the meter task drains STAGES every 2 s, so collect the e2e samples
-    # (router enqueue -> MJPEG publish per frame) directly as they are
-    # recorded
+    # the meter task drains STAGES every 2 s, so collect EVERY stage
+    # sample (e2e = router enqueue -> MJPEG publish per frame, plus
+    # decode/upload/device*/draw/encode batch stages) directly as they
+    # are recorded — the per-stage view is what attributes a tail
+    stage_s: dict[str, list[float]] = {}
     e2e_s: list[float] = []
     orig_record = STAGES.record
 
     def record(name: str, seconds: float) -> None:
         if name == "e2e":
             e2e_s.append(seconds)
+        stage_s.setdefault(name, []).append(seconds)
         orig_record(name, seconds)
 
     STAGES.record = record  # type: ignore[method-assign]
 
+    buckets = (1,) if trim else (1, 2)
     if cut_through:
         # mirror serve.py's --preset latency bundle
-        engine = EngineConfig(batch_buckets=(1, 2),
+        engine = EngineConfig(batch_buckets=buckets,
                               batch_window_ms=0.0, queue_capacity=4,
                               decode_mode="ycbcr", decode_scale=1)
     else:
-        engine = EngineConfig(batch_buckets=(1, 2), batch_window_ms=4.0)
+        engine = EngineConfig(batch_buckets=buckets, batch_window_ms=4.0)
 
     async def run():
         server = await start_server(
@@ -707,16 +795,32 @@ def bench_serving_latency(*, frames_count: int = 40,
         asyncio.run(run())
     finally:
         STAGES.record = orig_record  # type: ignore[method-assign]
-    e2e_s.sort()
     pre = "serving_latency_" if cut_through else "serving_"
     if not e2e_s:
         return {f"{pre}p50_e2e_ms": -1.0, f"{pre}frames": 0}
-    n = len(e2e_s)
+    # tail attribution: the worst e2e samples WITH their arrival index
+    # (index 0-2 = residual warmup; mid-window = a stall) + per-stage
+    # p95s over the same window
+    order = sorted(range(len(e2e_s)), key=lambda i: e2e_s[i],
+                   reverse=True)
+    tail = [{"i": i, "ms": round(e2e_s[i] * 1e3, 1)}
+            for i in order[:3]]
+    stage_p95 = {}
+    for name, vals in stage_s.items():
+        if name == "e2e" or not vals:
+            continue
+        v = sorted(vals)
+        stage_p95[name] = round(
+            v[min(len(v) - 1, int(len(v) * 0.95))] * 1e3, 1)
+    e2e_sorted = sorted(e2e_s)
+    n = len(e2e_sorted)
     return {
-        f"{pre}p50_e2e_ms": round(e2e_s[n // 2] * 1e3, 1),
+        f"{pre}p50_e2e_ms": round(e2e_sorted[n // 2] * 1e3, 1),
         f"{pre}p95_e2e_ms": round(
-            e2e_s[min(n - 1, int(n * 0.95))] * 1e3, 1),
+            e2e_sorted[min(n - 1, int(n * 0.95))] * 1e3, 1),
         f"{pre}frames": n,
+        f"{pre}tail": tail,
+        f"{pre}stage_p95_ms": stage_p95,
     }
 
 
@@ -894,6 +998,116 @@ def bench_cpu_baseline(frames: list[bytes], *, max_frames: int = 12) -> dict:
     return {"fps": n / elapsed, "ms_per_frame": elapsed / n * 1e3}
 
 
+class _Plan:
+    """Starvation-proof phase scheduler (VERDICT r04 item 1).
+
+    Round-4 failure mode: hard-coded phase-cost estimates plus a fixed
+    phase order let one overrunning phase (the latency preset: ~210 s
+    against a ~70 s estimate on a cold compile cache) starve every
+    later must-fill family to 0.0 in the driver artifact. Fixes:
+
+    - MUST phases (every recorded metric family) always run, cheap
+      families first; they are skipped only at the HARD wall — the
+      driver's external timeout must still see ONE JSON line, so a
+      skipped-but-labeled family beats a killed process.
+    - OPTIONAL phases run only when the remaining budget covers their
+      estimate scaled by the run's OWN measured cost factor AND the
+      not-yet-run must phases' reserve.
+    - the cost factor is measured in-run: after each phase,
+      ``scale`` blends toward actual/estimate, so a cold cache or a
+      sick tunnel inflates later estimates instead of surprising them.
+    - every phase's actual cost lands in the JSON (``phase_s`` /
+      ``skipped_phases``) so a starved family is visible in the
+      artifact itself.
+    """
+
+    def __init__(self, budget_s: float, hard_wall_s: float, note):
+        self.t0 = time.time()
+        self.budget_s = budget_s
+        self.hard_wall_s = hard_wall_s
+        self._note = note
+        self.scale = 1.0
+        self.phase_s: dict[str, float] = {}
+        self.skipped: list[str] = []
+        self._musts: dict[str, float] = {}
+
+    def declare_musts(self, **est_s: float) -> None:
+        self._musts = dict(est_s)
+
+    def remaining(self) -> float:
+        return self.budget_s - (time.time() - self.t0)
+
+    def wall_left(self) -> float:
+        return self.hard_wall_s - (time.time() - self.t0)
+
+    def reserve(self) -> float:
+        """Budget still owed to not-yet-run MUST phases."""
+        return sum(self._musts.values()) * self.scale
+
+    def run(self, name: str, fn, *, est_s: float, must: bool = False,
+            default=None):
+        est = est_s * self.scale
+        if must:
+            self._musts.pop(name, None)
+            if self.wall_left() < 15.0:
+                self._note(f"{name} SKIPPED at hard wall "
+                           f"(wall_left {self.wall_left():.0f}s)")
+                self.skipped.append(name)
+                return default
+        elif (self.remaining() < est + self.reserve()
+                or self.wall_left() < est + 15.0):
+            self._note(f"{name} skipped (est {est:.0f}s, remaining "
+                       f"{self.remaining():.0f}s, must-reserve "
+                       f"{self.reserve():.0f}s)")
+            self.skipped.append(name)
+            return default
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        self.phase_s[name] = round(dt, 1)
+        ratio = dt / max(est_s, 1e-9)
+        self.scale = min(6.0, max(0.5, 0.7 * self.scale + 0.3 * ratio))
+        return out
+
+
+def _append_anchor(result: dict) -> None:
+    """Persist the fixed cross-round anchor triplet (VERDICT r04
+    item 2): a dated row appended to docs/anchors.jsonl and the anchor
+    table in docs/PERFORMANCE.md. Best-effort — a docs failure never
+    costs the JSON line."""
+    import datetime
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    row = {
+        "date": datetime.date.today().isoformat(),
+        "latch_s": result.get("latch_s"),
+        "h2d_probe_mbps": result.get("h2d_probe_mbps"),
+        "onchip_ms_per_batch": result.get("onchip_ms_per_batch"),
+        "device_only_fps": result.get("device_only_fps"),
+        "anchor_dispatch_ms": result.get("anchor_dispatch_ms"),
+        "headline_fps": result.get("value"),
+    }
+    try:
+        with open(os.path.join(root, "docs", "anchors.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(row) + "\n")
+        perf = os.path.join(root, "docs", "PERFORMANCE.md")
+        marker = "<!-- anchor-rows:end -->"
+        with open(perf) as f:
+            text = f.read()
+        if marker in text:
+            cells = {k: ("—" if v is None else v)
+                     for k, v in row.items()}
+            md = ("| {date} | {latch_s} | {h2d_probe_mbps} | "
+                  "{onchip_ms_per_batch} | {device_only_fps} | "
+                  "{anchor_dispatch_ms} | {headline_fps} |\n"
+                  ).format(**cells)
+            with open(perf, "w") as f:
+                f.write(text.replace(marker, md + marker))
+    except OSError:
+        pass
+
+
 def main() -> int:
     from infercam_onnx_tpu.utils.cache import enable_compilation_cache
 
@@ -944,187 +1158,194 @@ def main() -> int:
          f"{' (degraded link: cheap samples first)' if slow_link else ''}")
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    t_start = time.time()
+    # hard wall (post-latch): past this even MUST phases are skipped —
+    # one labeled-partial JSON line beats a driver-timeout kill
+    hard_wall_s = float(os.environ.get("BENCH_HARD_WALL_S", "900"))
+    plan = _Plan(budget_s, hard_wall_s, note)
+    # every recorded metric family is a MUST phase (VERDICT r04 item 1
+    # done-criterion: nonzero serving/tiled/full-res-annotate records
+    # even on a >=120 s-latch day); estimates are warm-cache costs —
+    # the in-run scale factor absorbs cold-cache / sick-tunnel days
+    plan.declare_musts(
+        cpu_baseline=12, detector_init=10, anchor=35, pipeline=95,
+        annotate_fullres=35, serving_window=60, tiled_core=60,
+        latency_preset=50, lossless=60)
 
-    def remaining() -> float:
-        return budget_s - (time.time() - t_start)
+    def retry(fn, tries: int = 3):
+        # the tunnel occasionally throws one-off FAILED_PRECONDITION
+        # backend errors; retry per phase rather than losing the run
+        last = None
+        for k in range(tries):
+            try:
+                return fn()
+            except Exception as e:  # pragma: no cover - flaky rig
+                last = e
+                note(f"phase attempt {k + 1} failed: {e!r}")
+                time.sleep(5)
+        raise last
 
     frames = _load_frames(batch)
-    cpu = bench_cpu_baseline(frames)
+    cpu = plan.run("cpu_baseline", lambda: bench_cpu_baseline(frames),
+                   est_s=12, must=True,
+                   default={"fps": 1.0, "ms_per_frame": 0.0})
     note(f"cpu baseline done ({cpu['fps']:.2f} fps)")
-    # the TPU tunnel occasionally throws one-off FAILED_PRECONDITION
-    # backend errors; retry rather than losing the whole bench run
-    last_err = None
-    for _ in range(3):
-        try:
-            from infercam_onnx_tpu.config import DetectorConfig
-            from infercam_onnx_tpu.detector import Detector
 
-            detector = Detector(DetectorConfig(variant="RFB-320"),
-                                rng=0)
-            tpu = bench_tpu(detector, frames, seconds=seconds,
-                            batch=batch, remaining=remaining)
-            note(f"tpu pipeline done ({tpu['fps']:.1f} fps, annotated "
-                 f"dev {tpu['fps_annotated_device']:.1f} vs host "
-                 f"{tpu['fps_annotated_host']:.1f}), "
-                 f"remaining budget {remaining():.0f}s")
-            serving = {"serving_p50_e2e_ms": -1.0, "serving_frames": 0,
-                       "serving_delivered_fps": 0.0,
-                       "serving_mean_batch": 0.0,
-                       "serving_latency_p50_e2e_ms": -1.0}
-            # On a DEGRADED link the cheap one-compile samples run
-            # FIRST: MFU is device-only and the latency preset is a
-            # single stream with tiny transfers, while a serving window
-            # on a 45 MB/s day measures the link, not the framework —
-            # observed: the lossless window burned 140 s and the JSON
-            # came out with zero MFU/latency/tiled/serving samples.
-            # budget reservation: the pre-pass only runs when enough is
-            # left to ALSO cover a cold-cache lossless window afterwards
-            # (cold compiles put MFU at ~100 s and the latency preset at
-            # ~70 s; warm, they cost ~20 s together) — otherwise a
-            # starved budget goes straight to the headline contender
-            mfu = {}
-            if slow_link and remaining() > 300:
-                mfu = bench_mfu(detector, batch=64)
-                note(f"mfu done ({mfu.get('achieved_tflops')} TFLOP/s"
-                     f", {mfu.get('mfu_pct', 'n/a')}% of peak), "
-                     f"remaining {remaining():.0f}s")
-            if slow_link and remaining() > 240:
-                serving.update(bench_serving_latency(
-                    cut_through=True, port=38610))
-                note("latency preset done "
-                     f"(p50 {serving['serving_latency_p50_e2e_ms']}"
-                     f" ms), remaining {remaining():.0f}s")
-            # the LOSSLESS serving configuration is usually the best
-            # path (headline contender) — on a healthy link sample it
-            # FIRST so a slow-rig budget never drops it; the tunnel's
-            # bandwidth drifts between windows, so sample two batch
-            # depths and keep the better (a zero reading = stalled
-            # window; the deeper batch amortizes the flat per-execution
-            # cost harder on slow-link days)
-            lossless = {"serving_delivered_fps": 0.0,
-                        "serving_mean_batch": 0.0,
-                        "serving_lossless_max_batch": 0}
-            if remaining() > 60:
-                lossless = bench_serving_throughput(
-                    streams=batch, coalesce=False, max_batch=4 * batch,
-                    batch_buckets=(tuple(sorted({1, batch, 4 * batch}))
-                                   if slow_link else None),
-                    port_base=38640)
-                lossless["serving_lossless_max_batch"] = 4 * batch
-                note(f"lossless serving done "
-                     f"({lossless['serving_delivered_fps']} fps), "
-                     f"remaining {remaining():.0f}s")
-            if (remaining() > 240
-                    or (lossless["serving_delivered_fps"] <= 0
-                        and remaining() > 60)):
-                # the second batch depth is a refinement; on tight
-                # budgets the MFU/latency samples matter more
-                second = bench_serving_throughput(
-                    streams=batch, coalesce=False, max_batch=2 * batch,
-                    batch_buckets=(tuple(sorted({1, batch, 2 * batch}))
-                                   if slow_link else None),
-                    port_base=38680)
-                second["serving_lossless_max_batch"] = 2 * batch
-                if (second["serving_delivered_fps"]
-                        > lossless["serving_delivered_fps"]):
-                    lossless = second
-            # evidence-priority order on starved budgets: MFU and the
-            # latency preset are cheap (one compile + short runs) and
-            # each anchors a recorded metric family, so they come
-            # before the transfer-hungry tiled windows (on a degraded
-            # link they already ran above)
-            if not mfu and remaining() > 40:
-                mfu = bench_mfu(detector, batch=64)
-                note(f"mfu done ({mfu.get('achieved_tflops')} TFLOP/s"
-                     f", {mfu.get('mfu_pct', 'n/a')}% of peak), "
-                     f"remaining {remaining():.0f}s")
-            if serving["serving_latency_p50_e2e_ms"] < 0 \
-                    and remaining() > 60:
-                serving.update(bench_serving_latency(
-                    cut_through=True, port=38610))
-                note("latency preset done "
-                     f"(p50 {serving['serving_latency_p50_e2e_ms']}"
-                     f" ms), remaining {remaining():.0f}s")
-            def sample_tiled(tiled):
-                if remaining() > 100:
-                    tiled = bench_tiled(detector)
-                    note("tiled done "
-                         f"(rgb {tiled['tiled_1080p_rgb_fps']}"
-                         f" vs ycbcr {tiled['tiled_1080p_ycbcr_fps']}"
-                         f" vs rows {tiled['tiled_1080p_ycbcr_rows_fps']}"
-                         f" fps), remaining {remaining():.0f}s")
-                return tiled
+    def init_detector():
+        from infercam_onnx_tpu.config import DetectorConfig
+        from infercam_onnx_tpu.detector import Detector
 
-            def sample_serving_window():
-                if remaining() <= 120:
-                    return
-                trim = (tuple(sorted({1, max(1, batch // 2), batch}))
-                        if slow_link else None)
-                served = bench_serving_throughput(streams=batch,
-                                                  batch_buckets=trim)
-                if served["serving_delivered_fps"] <= 0 \
-                        and remaining() > 120:  # stalled window
-                    served = bench_serving_throughput(streams=batch,
-                                                      batch_buckets=trim,
-                                                      port_base=38660)
-                serving.update(served)
-                note("serving window done "
-                     f"({served['serving_delivered_fps']} fps), "
-                     f"remaining {remaining():.0f}s")
+        return Detector(DetectorConfig(variant="RFB-320"), rng=0)
 
-            tiled = {"tiled_1080p_fps": 0.0}
-            if slow_link:
-                # the coalesced serving window anchors the
-                # serving_delivered/p50_e2e family the tiled windows
-                # can't; tiled on a degraded link is the single most
-                # transfer-hungry phase (observed 227 s cold), so it
-                # goes last
-                sample_serving_window()
-                if (tpu["fps_annotated_splice_fullres"] <= 0
-                        and remaining() > 130):
-                    # never ship zero placeholders for the full-res
-                    # annotate family (BENCH_r03 did): short windows
-                    # before the transfer-hungriest tiled phase. On a
-                    # degraded link splice largely measures the link —
-                    # a labeled measurement still beats a 0.0 (the
-                    # slow_link flag contextualizes it)
-                    tpu["fps_annotated_splice_fullres"] = _annotated_fps(
-                        detector, frames, mode="splice", batch=batch,
-                        seconds=4.0)
-                    tpu["fps_annotated_host_fullres"] = _annotated_fps(
-                        detector, frames, mode="host", batch=batch,
-                        seconds=4.0, decode_scale=1)
-                    note("fullres annotate sampled (splice "
-                         f"{tpu['fps_annotated_splice_fullres']:.1f} vs "
-                         f"host {tpu['fps_annotated_host_fullres']:.1f} "
-                         f"fps), remaining {remaining():.0f}s")
-                # tiled before the deep-queue latency sample: the tiled
-                # rgb-vs-ycbcr comparison is a recorded acceptance
-                # criterion, while deep-queue latency is mostly
-                # redundant with the latency preset + p50_batch_ms
-                tiled = sample_tiled(tiled)
-                if remaining() > 90:
-                    serving.update(bench_serving_latency())
-            else:
-                tiled = sample_tiled(tiled)
-                if remaining() > 120:
-                    serving.update(bench_serving_latency())
-                sample_serving_window()
-            serving["serving_lossless_fps"] = (
-                lossless["serving_delivered_fps"])
-            serving["serving_lossless_mean_batch"] = (
-                lossless["serving_mean_batch"])
-            serving["serving_lossless_max_batch"] = (
-                lossless["serving_lossless_max_batch"])
-            serving["bench_wall_s"] = round(time.time() - t_start, 1)
-            note("serving measurements done")
-            break
-        except Exception as e:  # pragma: no cover - flaky-rig guard
-            last_err = e
-            time.sleep(5)
-    else:
-        raise last_err
+    detector = plan.run("detector_init",
+                        lambda: retry(init_detector),
+                        est_s=10, must=True)
+
+    # --- fixed cross-round ANCHOR family, before everything else ---
+    anchor = plan.run(
+        "anchor",
+        lambda: retry(lambda: bench_anchor(detector, batch=batch)),
+        est_s=35, must=True, default={})
+    if anchor:
+        note(f"anchor done (onchip {anchor['onchip_ms_per_batch']} ms"
+             f"/b64, device-only {anchor['device_only_fps']:.0f} fps, "
+             f"dispatch tax {anchor['anchor_dispatch_ms']} ms/exec, "
+             f"{anchor.get('mfu_pct', 'n/a')}% MFU)")
+
+    # --- headline pipeline windows ---
+    tpu = plan.run(
+        "pipeline",
+        lambda: retry(lambda: bench_tpu(detector, frames,
+                                        seconds=seconds, batch=batch)),
+        est_s=95, must=True,
+        default={"fps": 0.0, "fps_ycbcr": 0.0, "fps_pixels": 0.0,
+                 "fps_annotated_device": 0.0,
+                 "fps_annotated_host": 0.0, "latch_s": latch_s,
+                 "slow_rig": slow_link, "p50_batch_ms": -1.0,
+                 "p50_frame_ms": -1.0})
+    note(f"tpu pipeline done ({tpu['fps']:.1f} fps, annotated "
+         f"dev {tpu['fps_annotated_device']:.1f} vs host "
+         f"{tpu['fps_annotated_host']:.1f}), "
+         f"remaining budget {plan.remaining():.0f}s")
+
+    # --- must-fill cheap families, BEFORE any long window ---
+    fullres = plan.run(
+        "annotate_fullres",
+        lambda: retry(lambda: bench_annotate_fullres(
+            detector, frames, batch=batch,
+            seconds=4.0 if slow_link else float(seconds))),
+        est_s=35, must=True,
+        default={"fps_annotated_splice_fullres": 0.0,
+                 "fps_annotated_host_fullres": 0.0})
+    note("fullres annotate done (splice "
+         f"{fullres['fps_annotated_splice_fullres']:.1f} vs host "
+         f"{fullres['fps_annotated_host_fullres']:.1f} fps), "
+         f"remaining {plan.remaining():.0f}s")
+
+    serving = {"serving_p50_e2e_ms": -1.0, "serving_frames": 0,
+               "serving_delivered_fps": 0.0, "serving_mean_batch": 0.0,
+               "serving_latency_p50_e2e_ms": -1.0}
+
+    def serving_window():
+        trim = (tuple(sorted({1, max(1, batch // 2), batch}))
+                if slow_link else None)
+        secs = 8.0 if slow_link else 10.0
+        out = bench_serving_throughput(streams=batch, seconds=secs,
+                                       batch_buckets=trim)
+        if (out["serving_delivered_fps"] <= 0
+                and plan.wall_left() > 90):  # stalled window: once more
+            out = bench_serving_throughput(streams=batch, seconds=secs,
+                                           batch_buckets=trim,
+                                           port_base=38660)
+        return out
+
+    served = plan.run("serving_window",
+                      lambda: retry(serving_window, tries=2),
+                      est_s=60, must=True, default={})
+    if served:
+        serving.update(served)
+        note(f"serving window done "
+             f"({served['serving_delivered_fps']} fps), "
+             f"remaining {plan.remaining():.0f}s")
+
+    def tiled_core():
+        # full-res windows ride along only when the budget after the
+        # remaining musts still covers them
+        full = (not slow_link) or (
+            plan.remaining() - plan.reserve() > 120)
+        return bench_tiled(detector,
+                           seconds=4.0 if slow_link else 6.0,
+                           full=full)
+
+    tiled = plan.run("tiled_core", lambda: retry(tiled_core, tries=2),
+                     est_s=60, must=True,
+                     default={"tiled_1080p_fps": 0.0})
+    if tiled.get("tiled_1080p_fps"):
+        note("tiled done (rows "
+             f"{tiled['tiled_1080p_ycbcr_rows_fps']} vs stacked "
+             f"{tiled['tiled_1080p_ycbcr_scaled_fps']} vs rgb "
+             f"{tiled['tiled_1080p_rgb_scaled_fps']} fps, ceiling "
+             f"{tiled['tiled_1080p_device_scaled_fps']}), "
+             f"remaining {plan.remaining():.0f}s")
+
+    latency = plan.run(
+        "latency_preset",
+        lambda: retry(lambda: bench_serving_latency(
+            cut_through=True, trim=slow_link, port=38610), tries=2),
+        est_s=50, must=True, default={})
+    if latency:
+        serving.update(latency)
+        note("latency preset done "
+             f"(p50 {serving['serving_latency_p50_e2e_ms']} ms, p95 "
+             f"{serving.get('serving_latency_p95_e2e_ms', 'n/a')} ms), "
+             f"remaining {plan.remaining():.0f}s")
+
+    # the LOSSLESS serving configuration is usually the headline
+    # contender; one deep-batch window is a MUST, the second depth is
+    # a refinement
+    lossless = {"serving_delivered_fps": 0.0, "serving_mean_batch": 0.0,
+                "serving_lossless_max_batch": 0}
+
+    def lossless_window(depth: int, port_base: int):
+        def go():
+            out = bench_serving_throughput(
+                streams=batch, coalesce=False, max_batch=depth * batch,
+                batch_buckets=(
+                    tuple(sorted({1, batch, depth * batch}))
+                    if slow_link else None),
+                port_base=port_base)
+            out["serving_lossless_max_batch"] = depth * batch
+            return out
+        return go
+
+    first = plan.run("lossless", lambda: retry(
+        lossless_window(4, 38640), tries=2),
+        est_s=60, must=True, default=None)
+    if first:
+        lossless = first
+        note(f"lossless serving done "
+             f"({lossless['serving_delivered_fps']} fps), "
+             f"remaining {plan.remaining():.0f}s")
+
+    # --- optional refinements, budget permitting ---
+    second = plan.run("lossless_depth2",
+                      lossless_window(2, 38680), est_s=55)
+    if second and (second["serving_delivered_fps"]
+                   > lossless["serving_delivered_fps"]):
+        lossless = second
+    deep = plan.run("deep_queue_latency",
+                    lambda: bench_serving_latency(trim=slow_link),
+                    est_s=45)
+    if deep:
+        serving.update(deep)
+
+    serving["serving_lossless_fps"] = lossless["serving_delivered_fps"]
+    serving["serving_lossless_mean_batch"] = (
+        lossless["serving_mean_batch"])
+    serving["serving_lossless_max_batch"] = (
+        lossless["serving_lossless_max_batch"])
+    serving["bench_wall_s"] = round(time.time() - plan.t0, 1)
+    note("all phases done; skipped: "
+         f"{plan.skipped if plan.skipped else 'none'}")
 
     import jax
 
@@ -1150,18 +1371,20 @@ def main() -> int:
         "fps_annotated_device": round(tpu["fps_annotated_device"], 1),
         "fps_annotated_host": round(tpu["fps_annotated_host"], 1),
         "fps_annotated_splice_fullres": round(
-            tpu["fps_annotated_splice_fullres"], 1),
+            fullres["fps_annotated_splice_fullres"], 1),
         "fps_annotated_host_fullres": round(
-            tpu["fps_annotated_host_fullres"], 1),
-        "device_only_fps": round(tpu["device_only_fps"], 1),
+            fullres["fps_annotated_host_fullres"], 1),
+        **anchor,
         **tiled,
-        **mfu,
         **serving,
         "latch_s": round(latch_s, 1),
         "h2d_probe_mbps": round(h2d_mbps, 1),
         "slow_link": slow_link,
+        "phase_s": plan.phase_s,
+        "skipped_phases": plan.skipped,
         "device": str(jax.devices()[0]),
     }
+    _append_anchor(result)
     print(json.dumps(result))
     sys.stdout.flush()
     # the tunnel runtime's interpreter-teardown occasionally SIGABRTs
