@@ -1062,7 +1062,20 @@ class _Plan:
             self.skipped.append(name)
             return default
         t0 = time.time()
-        out = fn()
+        try:
+            out = fn()
+        except Exception as e:
+            # A phase that dies even after its own retries must not take
+            # the whole run (and the single JSON line) with it — record
+            # the failure in the artifact and fall back to the default,
+            # UNLESS nothing downstream can work without it (no default).
+            if default is None and must:
+                raise
+            dt = time.time() - t0
+            self.phase_s[name] = round(dt, 1)
+            self._note(f"{name} FAILED after {dt:.0f}s: {e!r}")
+            self.skipped.append(f"{name}:failed")
+            return default
         dt = time.time() - t0
         self.phase_s[name] = round(dt, 1)
         ratio = dt / max(est_s, 1e-9)
@@ -1319,7 +1332,7 @@ def main() -> int:
 
     first = plan.run("lossless", lambda: retry(
         lossless_window(4, 38640), tries=2),
-        est_s=60, must=True, default=None)
+        est_s=60, must=True, default={})
     if first:
         lossless = first
         note(f"lossless serving done "

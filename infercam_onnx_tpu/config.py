@@ -104,6 +104,12 @@ class EngineConfig:
     # docs/PERFORMANCE.md), so this floor only covers collapse-grade
     # links where the coefficient readback dominates everything.
     link_annotate_floor_mbps: float = 10.0
+    # Measured crossover for the tiled upload route (two same-day
+    # round-5 bench windows, docs/PERFORMANCE.md): per-frame chunked
+    # uploads won at 30 MB/s (20.6 vs 13.8 fps) and a single stacked
+    # copy already won at 49 MB/s (40.9 vs 37.3) — the flip sits
+    # between, so only links below this go "rows" under "auto".
+    link_tiled_rows_below_mbps: float = 40.0
     # Upload route for tiled high-res packed-plane batches on a single
     # chip. "stacked": one large device_put of the stacked batch (fewer
     # transfer calls; best on healthy DMA links). "rows": per-frame

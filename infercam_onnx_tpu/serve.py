@@ -169,6 +169,12 @@ def main(argv: list[str] | None = None) -> int:
                          "stacked on device (amortizes a degraded "
                          "tunnel's per-transfer cost), auto = probe-"
                          "driven")
+    ap.add_argument("--link-tiled-crossover-mbps", type=float,
+                    default=40.0,
+                    help="measured rows/stacked crossover for "
+                         "--tiled-upload auto: links below this go "
+                         "rows (measured: rows won at 30 MB/s, stacked "
+                         "at 49 — docs/PERFORMANCE.md)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -322,6 +328,8 @@ def main(argv: list[str] | None = None) -> int:
                     link_probe_period_s=args.link_probe_period,
                     link_annotate_floor_mbps=(
                         args.link_annotate_floor_mbps),
+                    link_tiled_rows_below_mbps=(
+                        args.link_tiled_crossover_mbps),
                     tiled_upload=args.tiled_upload,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(

@@ -17,9 +17,9 @@ transfer-sensitive serving choice:
   packed-YCbCr path (~half the upload bytes, scaled-decode capable —
   the measured-best degraded-link path, BENCH_r03:
   annotated-device-ycbcr 97.3 fps vs host 58.4 on a 47 MB/s link);
-- tiled upload route: stacked single-copy uploads on healthy DMA
-  links vs per-frame chunked async uploads that amortize a tunnel's
-  fixed per-transfer cost (decide_tiled_route);
+- tiled upload route: stacked single-copy uploads vs per-frame
+  chunked async uploads that amortize a tunnel's fixed per-transfer
+  cost, split at a MEASURED crossover (~40 MB/s; decide_tiled_route);
 - annotate mode: device-annotated output falls back to the host draw
   path only on collapse-grade links (decide_annotate_mode).
 
@@ -82,29 +82,33 @@ def decide_decode_mode(configured_mode: str, h2d_mbps: float,
 
 
 def decide_tiled_route(configured: str, h2d_mbps: float,
-                       healthy_mbps: float) -> tuple[str, str]:
+                       rows_below_mbps: float) -> tuple[str, str]:
     """Upload route for tiled high-res packed-plane batches on a
     single chip; returns (route, why) where route is "rows" or
     "stacked".
 
     "stacked" ships the whole batch in ONE device_put — fewest
-    transfer calls, best when DMA bandwidth dominates (healthy link).
-    "rows" issues per-frame async device_puts back-to-back and stacks
-    on device — amortizes a degraded tunnel's fixed per-transfer cost
-    (CLAUDE.md cost model: back-to-back async puts ~15 ms/1.8 MB vs
-    ~25 ms fixed each sync). An explicit configuration wins; "auto"
-    follows the probe.
+    transfer calls, best when DMA bandwidth dominates. "rows" issues
+    per-frame async device_puts back-to-back and stacks on device —
+    amortizes a degraded tunnel's fixed per-transfer cost (CLAUDE.md
+    cost model: back-to-back async puts ~15 ms/1.8 MB vs ~25 ms fixed
+    each sync). The crossover is MEASURED, not the generic healthy
+    threshold: two same-day round-5 bench windows put it between 30
+    MB/s (rows won, 20.6 vs 13.8 fps) and 49 MB/s (stacked won, 40.9
+    vs 37.3 — docs/PERFORMANCE.md), so "auto" picks rows only below
+    ``rows_below_mbps`` (default 40). An explicit configuration wins.
     """
     if configured in ("rows", "stacked"):
         return configured, "configured route kept"
-    if h2d_mbps >= healthy_mbps:
+    if h2d_mbps >= rows_below_mbps:
         return "stacked", (
-            f"link healthy ({h2d_mbps:.0f} >= {healthy_mbps:.0f} MB/s):"
-            " one large copy beats per-frame transfer overhead")
+            f"link at/above the measured crossover ({h2d_mbps:.0f} >= "
+            f"{rows_below_mbps:.0f} MB/s): one large copy beats "
+            "per-frame transfer overhead")
     return "rows", (
-        f"H2D degraded ({h2d_mbps:.0f} < {healthy_mbps:.0f} MB/s): "
-        "chunked per-frame async uploads amortize the fixed "
-        "per-transfer cost")
+        f"H2D below the measured crossover ({h2d_mbps:.0f} < "
+        f"{rows_below_mbps:.0f} MB/s): chunked per-frame async uploads "
+        "amortize the fixed per-transfer cost")
 
 
 def decide_annotate_mode(configured: str, h2d_mbps: float,
@@ -139,7 +143,8 @@ def decide(engine_config, h2d_mbps: float) -> dict:
     mode, mode_why = decide_decode_mode(
         engine_config.decode_mode, h2d_mbps, healthy)
     route, route_why = decide_tiled_route(
-        engine_config.tiled_upload, h2d_mbps, healthy)
+        engine_config.tiled_upload, h2d_mbps,
+        engine_config.link_tiled_rows_below_mbps)
     annot, annot_why = decide_annotate_mode(
         engine_config.annotate_mode, h2d_mbps,
         engine_config.link_annotate_floor_mbps)

@@ -43,16 +43,21 @@ def test_policy_reroutes_only_coefficients():
 
 
 def test_policy_tiled_route():
-    healthy = 250.0
-    # auto follows the probe
-    route, why = link.decide_tiled_route("auto", 45.0, healthy)
-    assert route == "rows" and "degraded" in why
-    route, why = link.decide_tiled_route("auto", 1500.0, healthy)
-    assert route == "stacked" and "healthy" in why
+    # the crossover is MEASURED (two same-day round-5 bench windows,
+    # docs/PERFORMANCE.md): rows won at 30 MB/s, stacked already won
+    # at 49 MB/s — so "auto" keys on the crossover (default 40), NOT
+    # the generic healthy threshold (250)
+    crossover = 40.0
+    route, why = link.decide_tiled_route("auto", 30.0, crossover)
+    assert route == "rows" and "crossover" in why
+    for mbps in (49.0, 1500.0):
+        route, why = link.decide_tiled_route("auto", mbps, crossover)
+        assert route == "stacked" and "one large copy" in why
     # explicit configuration always wins
     for configured in ("rows", "stacked"):
-        for mbps in (45.0, 1500.0):
-            route, _ = link.decide_tiled_route(configured, mbps, healthy)
+        for mbps in (30.0, 1500.0):
+            route, _ = link.decide_tiled_route(configured, mbps,
+                                               crossover)
             assert route == configured
 
 
