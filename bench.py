@@ -419,6 +419,16 @@ def bench_tiled(detector, *, seconds: float = 6.0,
         stop.set()
         return done / (time.perf_counter() - t0)
 
+    # A/B route probe (serving/link.py probe_tiled_route_ms): the same
+    # measurement the link-adaptive server keys "auto" on, taken HERE
+    # so the artifact validates the decision logic against the two
+    # full measured windows below (tiled_route_ab_correct).
+    from infercam_onnx_tpu.serving import link as _link
+
+    ab_stacked_ms, ab_rows_ms = _link.probe_tiled_route_ms()
+    ab_pick, _ = _link.decide_tiled_route(
+        "auto", 0.0, 0.0, ab_ms=(ab_stacked_ms, ab_rows_ms))
+
     # MUST-fill core: the serving worker's scaled-decode routes. The
     # rows (chunked-upload) route goes FIRST — it is the round-4 path
     # whose real-chip number two driver artifacts starved out.
@@ -455,6 +465,13 @@ def bench_tiled(detector, *, seconds: float = 6.0,
         "tiled_1080p_device_scaled_fps": round(dev_s2_fps, 1),
         "tiled_delivered_vs_ceiling": round(
             max(fps_rows_s2, fps_ycbcr_s2) / max(dev_s2_fps, 1e-9), 3),
+        "tiled_route_ab_stacked_ms": round(ab_stacked_ms, 1),
+        "tiled_route_ab_rows_ms": round(ab_rows_ms, 1),
+        "tiled_route_ab_pick": ab_pick,
+        "tiled_route_measured_winner": (
+            "rows" if fps_rows_s2 > fps_ycbcr_s2 else "stacked"),
+        "tiled_route_ab_correct": ab_pick == (
+            "rows" if fps_rows_s2 > fps_ycbcr_s2 else "stacked"),
     }
     best = max(fps_rows_s2, fps_ycbcr_s2, fps_rgb_s2)
     if full:

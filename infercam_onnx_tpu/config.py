@@ -110,6 +110,15 @@ class EngineConfig:
     # copy already won at 49 MB/s (40.9 vs 37.3) — the flip sits
     # between, so only links below this go "rows" under "auto".
     link_tiled_rows_below_mbps: float = 40.0
+    # Measure the tiled upload route directly: each link probe also
+    # times BOTH routes with the canonical tiled geometry (~12 MB,
+    # <0.5 s; serving/link.py probe_tiled_route_ms) and "auto" picks
+    # the measured winner. Round-5 bench windows proved bandwidth alone
+    # cannot predict the winner (rows won at 30 AND 61-72 MB/s probes,
+    # stacked at 49 — the fixed per-transfer cost drifts independently
+    # of bulk bandwidth). False = threshold fallback
+    # (link_tiled_rows_below_mbps).
+    link_tiled_ab_probe: bool = True
     # Upload route for tiled high-res packed-plane batches on a single
     # chip. "stacked": one large device_put of the stacked batch (fewer
     # transfer calls; best on healthy DMA links). "rows": per-frame

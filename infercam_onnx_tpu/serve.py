@@ -171,10 +171,20 @@ def main(argv: list[str] | None = None) -> int:
                          "driven")
     ap.add_argument("--link-tiled-crossover-mbps", type=float,
                     default=40.0,
-                    help="measured rows/stacked crossover for "
-                         "--tiled-upload auto: links below this go "
-                         "rows (measured: rows won at 30 MB/s, stacked "
-                         "at 49 — docs/PERFORMANCE.md)")
+                    help="fallback rows/stacked crossover for "
+                         "--tiled-upload auto when the A/B probe is "
+                         "off: links below this go rows (measured: "
+                         "rows won at 30 MB/s, stacked at 49 — "
+                         "docs/PERFORMANCE.md)")
+    ap.add_argument("--link-tiled-ab", default="on",
+                    choices=["on", "off"],
+                    help="measure both tiled upload routes directly on "
+                         "each link probe (~12 MB, <0.5 s) and let "
+                         "--tiled-upload auto pick the measured winner "
+                         "— bandwidth alone cannot predict it (rows "
+                         "won at 30 AND 61-72 MB/s probes, stacked at "
+                         "49; docs/PERFORMANCE.md). off = threshold "
+                         "fallback (--link-tiled-crossover-mbps)")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -330,6 +340,7 @@ def main(argv: list[str] | None = None) -> int:
                         args.link_annotate_floor_mbps),
                     link_tiled_rows_below_mbps=(
                         args.link_tiled_crossover_mbps),
+                    link_tiled_ab_probe=args.link_tiled_ab == "on",
                     tiled_upload=args.tiled_upload,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(

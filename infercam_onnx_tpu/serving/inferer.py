@@ -120,20 +120,37 @@ class InferenceWorker:
                                 "shim (%s); using the host draw path",
                                 e)
 
-    def probe_and_adapt(self, probe=None) -> dict:
+    def probe_and_adapt(self, probe=None, probe_tiled=None) -> dict:
         """Probe H2D bandwidth and (re-)select every transfer-sensitive
         serving path (serving/link.py decision table: decode mode,
         tiled upload route, annotate mode). Call on the DEVICE executor
         thread so the probe never interleaves with a dispatch. Each
         configured choice is re-evaluated every call, so a recovered
         link restores the configured paths. Returns the updated link
-        status dict (what /stats exposes)."""
+        status dict (what /stats exposes).
+
+        The tiled route additionally gets a direct A/B measurement of
+        both upload patterns (``probe_tiled``, default
+        link.probe_tiled_route_ms) when the route is "auto" and
+        ``link_tiled_ab_probe`` is on — bandwidth alone cannot predict
+        that winner (see probe_tiled_route_ms). An injected fake
+        bandwidth ``probe`` without a matching ``probe_tiled`` skips
+        the A/B (threshold fallback) so tests faking only bandwidth
+        stay meaningful."""
         from infercam_onnx_tpu.serving import link as _link
 
         if probe is None:
             probe = _link.probe_h2d_mbps
+            if probe_tiled is None:
+                probe_tiled = _link.probe_tiled_route_ms
         mbps = float(probe())
-        decisions = _link.decide(self._cfg, mbps)
+        ab = None
+        if (probe_tiled is not None
+                and self._cfg.tiled_upload == "auto"
+                and self._cfg.link_tiled_ab_probe):
+            stacked_ms, rows_ms = probe_tiled()
+            ab = (float(stacked_ms), float(rows_ms))
+        decisions = _link.decide(self._cfg, mbps, tiled_ab_ms=ab)
         changes = (
             ("decode mode", "_effective_decode_mode", "decode_mode"),
             ("tiled upload", "_effective_tiled_route", "tiled_upload"),
@@ -157,6 +174,9 @@ class InferenceWorker:
             "decode_mode": decisions["decode_mode"]["effective"],
             "why": decisions["decode_mode"]["why"],
             "decisions": decisions,
+            "tiled_ab_ms": (None if ab is None else
+                            {"stacked": round(ab[0], 1),
+                             "rows": round(ab[1], 1)}),
         }
         return self.link_status
 

@@ -60,6 +60,43 @@ def probe_h2d_mbps(size_mb: float = 4.0, trials: int = 3) -> float:
     return size_mb / best
 
 
+def probe_tiled_route_ms(frames: int = 4, mb_per_frame: float = 0.78,
+                         trials: int = 2) -> tuple[float, float]:
+    """Measure BOTH tiled upload routes directly; returns
+    (stacked_ms, rows_ms) per batch, best-of-``trials`` each,
+    interleaved so link drift mid-probe cannot bias one route.
+
+    Why measured instead of a bandwidth threshold: three round-5 bench
+    windows proved the rows/stacked winner is NOT monotonic in probed
+    bandwidth — rows won at 30 MB/s (20.6 vs 13.8 fps) AND at a 61-72
+    MB/s probe (35.3 vs 21.0), while stacked won at 49 (40.9 vs 37.3)
+    — because the tunnel's fixed per-transfer cost drifts
+    independently of bulk bandwidth (CLAUDE.md cost model). So "auto"
+    times the two routes with the canonical tiled geometry (batch 4 ×
+    ~0.78 MB packed 4:2:0 planes of a 960×540 scaled 1080p frame,
+    matching bench.py/serving defaults) and picks the faster. The
+    transfer patterns mirror serving/inferer.py exactly: one stacked
+    ``device_put`` of the whole batch vs per-frame async puts blocked
+    together. Costs ~12 MB of transfer (<0.5 s on the worst observed
+    link state).
+    """
+    import jax
+    import numpy as np
+
+    per = np.zeros((int(mb_per_frame * 1024 * 1024),), np.uint8)
+    whole = np.zeros((frames, per.size), np.uint8)
+    stacked = rows = float("inf")
+    for _ in range(max(1, trials)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(whole))
+        stacked = min(stacked, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        bufs = [jax.device_put(per) for _ in range(frames)]
+        jax.block_until_ready(bufs)
+        rows = min(rows, time.perf_counter() - t0)
+    return stacked * 1e3, rows * 1e3
+
+
 def decide_decode_mode(configured_mode: str, h2d_mbps: float,
                        healthy_mbps: float) -> tuple[str, str]:
     """Effective decode mode for a measured link; returns (mode, why).
@@ -82,7 +119,9 @@ def decide_decode_mode(configured_mode: str, h2d_mbps: float,
 
 
 def decide_tiled_route(configured: str, h2d_mbps: float,
-                       rows_below_mbps: float) -> tuple[str, str]:
+                       rows_below_mbps: float,
+                       ab_ms: tuple[float, float] | None = None,
+                       ) -> tuple[str, str]:
     """Upload route for tiled high-res packed-plane batches on a
     single chip; returns (route, why) where route is "rows" or
     "stacked".
@@ -92,14 +131,28 @@ def decide_tiled_route(configured: str, h2d_mbps: float,
     per-frame async device_puts back-to-back and stacks on device —
     amortizes a degraded tunnel's fixed per-transfer cost (CLAUDE.md
     cost model: back-to-back async puts ~15 ms/1.8 MB vs ~25 ms fixed
-    each sync). The crossover is MEASURED, not the generic healthy
-    threshold: two same-day round-5 bench windows put it between 30
-    MB/s (rows won, 20.6 vs 13.8 fps) and 49 MB/s (stacked won, 40.9
-    vs 37.3 — docs/PERFORMANCE.md), so "auto" picks rows only below
-    ``rows_below_mbps`` (default 40). An explicit configuration wins.
+    each sync). When ``ab_ms`` (stacked_ms, rows_ms) from
+    ``probe_tiled_route_ms`` is available, "auto" picks the MEASURED
+    winner — round-5 bench windows proved bandwidth alone cannot
+    predict it (rows won at 30 and 61-72 MB/s probes, stacked at 49:
+    the fixed per-transfer cost drifts independently). Without an A/B
+    measurement (probe disabled, or a bandwidth-only probe injected),
+    the historical crossover threshold ``rows_below_mbps`` (default
+    40) is the fallback. An explicit configuration always wins.
     """
     if configured in ("rows", "stacked"):
         return configured, "configured route kept"
+    if ab_ms is not None:
+        stacked_ms, rows_ms = ab_ms
+        if rows_ms < stacked_ms:
+            return "rows", (
+                f"measured A/B: rows {rows_ms:.1f} ms vs stacked "
+                f"{stacked_ms:.1f} ms per batch — chunked per-frame "
+                "async uploads win on this link state")
+        return "stacked", (
+            f"measured A/B: stacked {stacked_ms:.1f} ms vs rows "
+            f"{rows_ms:.1f} ms per batch — one large copy wins on "
+            "this link state")
     if h2d_mbps >= rows_below_mbps:
         return "stacked", (
             f"link at/above the measured crossover ({h2d_mbps:.0f} >= "
@@ -135,16 +188,20 @@ def decide_annotate_mode(configured: str, h2d_mbps: float,
         "a probe sees recovery")
 
 
-def decide(engine_config, h2d_mbps: float) -> dict:
+def decide(engine_config, h2d_mbps: float,
+           tiled_ab_ms: tuple[float, float] | None = None) -> dict:
     """Full decision table for one probe: every transfer-sensitive
     serving choice, each entry {configured, effective, why}. This is
-    what /stats exposes under link.decisions."""
+    what /stats exposes under link.decisions. ``tiled_ab_ms`` is the
+    optional (stacked_ms, rows_ms) A/B measurement from
+    ``probe_tiled_route_ms``; without it the tiled route falls back to
+    the bandwidth-crossover threshold."""
     healthy = engine_config.link_healthy_h2d_mbps
     mode, mode_why = decide_decode_mode(
         engine_config.decode_mode, h2d_mbps, healthy)
     route, route_why = decide_tiled_route(
         engine_config.tiled_upload, h2d_mbps,
-        engine_config.link_tiled_rows_below_mbps)
+        engine_config.link_tiled_rows_below_mbps, ab_ms=tiled_ab_ms)
     annot, annot_why = decide_annotate_mode(
         engine_config.annotate_mode, h2d_mbps,
         engine_config.link_annotate_floor_mbps)

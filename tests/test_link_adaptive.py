@@ -43,10 +43,9 @@ def test_policy_reroutes_only_coefficients():
 
 
 def test_policy_tiled_route():
-    # the crossover is MEASURED (two same-day round-5 bench windows,
-    # docs/PERFORMANCE.md): rows won at 30 MB/s, stacked already won
-    # at 49 MB/s — so "auto" keys on the crossover (default 40), NOT
-    # the generic healthy threshold (250)
+    # without an A/B measurement, "auto" falls back to the historical
+    # crossover threshold (rows won at 30 MB/s, stacked at 49 —
+    # docs/PERFORMANCE.md), NOT the generic healthy threshold (250)
     crossover = 40.0
     route, why = link.decide_tiled_route("auto", 30.0, crossover)
     assert route == "rows" and "crossover" in why
@@ -59,6 +58,31 @@ def test_policy_tiled_route():
             route, _ = link.decide_tiled_route(configured, mbps,
                                                crossover)
             assert route == configured
+
+
+def test_policy_tiled_route_measured_ab():
+    """With an A/B measurement the route follows the measured winner
+    and IGNORES the bandwidth threshold — round-5 bench windows proved
+    bandwidth cannot predict it (rows won at a 61-72 MB/s probe, 35.3
+    vs 21.0 fps, where the 40 MB/s crossover mis-routed to stacked)."""
+    crossover = 40.0
+    # rows measured faster on a probe ABOVE the crossover: rows wins
+    route, why = link.decide_tiled_route("auto", 70.0, crossover,
+                                         ab_ms=(120.0, 80.0))
+    assert route == "rows" and "measured A/B" in why
+    assert "80.0" in why and "120.0" in why
+    # stacked measured faster on a probe BELOW the crossover
+    route, why = link.decide_tiled_route("auto", 30.0, crossover,
+                                         ab_ms=(50.0, 90.0))
+    assert route == "stacked" and "measured A/B" in why
+    # tie goes to stacked (fewer transfer calls)
+    route, _ = link.decide_tiled_route("auto", 30.0, crossover,
+                                       ab_ms=(60.0, 60.0))
+    assert route == "stacked"
+    # explicit configuration still wins over a measurement
+    route, _ = link.decide_tiled_route("rows", 70.0, crossover,
+                                       ab_ms=(50.0, 90.0))
+    assert route == "rows"
 
 
 def test_policy_annotate_floor():
@@ -119,6 +143,57 @@ def test_worker_adapts_all_choices_and_recovers():
     assert worker._effective_tiled_route == "stacked"
     assert worker._effective_annotate_mode == "device"
     assert worker._annotate_device_active is worker._annotate_device
+    # a fake bandwidth probe without a fake A/B probe means NO A/B ran
+    assert worker.link_status["tiled_ab_ms"] is None
+
+
+def test_worker_tiled_route_follows_measured_ab():
+    """The A/B measurement overrides the bandwidth threshold in both
+    directions, and /stats exposes the measured pair (the round-5
+    mis-route: probe 61-72 MB/s >= crossover 40 picked stacked while
+    rows measured 35.3 vs 21.0 fps)."""
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+    worker = InferenceWorker(
+        det, EngineConfig(tiled_upload="auto"))
+
+    # healthy-looking bandwidth, but rows measures faster -> rows
+    worker.probe_and_adapt(probe=lambda: 70.0,
+                           probe_tiled=lambda: (120.0, 80.0))
+    assert worker._effective_tiled_route == "rows"
+    assert worker.link_status["tiled_ab_ms"] == {"stacked": 120.0,
+                                                 "rows": 80.0}
+    assert "measured A/B" in (
+        worker.link_status["decisions"]["tiled_upload"]["why"])
+
+    # degraded-looking bandwidth, but stacked measures faster
+    worker.probe_and_adapt(probe=lambda: 20.0,
+                           probe_tiled=lambda: (50.0, 90.0))
+    assert worker._effective_tiled_route == "stacked"
+
+    # probe disabled by config: threshold fallback even with a fake
+    worker_off = InferenceWorker(
+        det, EngineConfig(tiled_upload="auto",
+                          link_tiled_ab_probe=False))
+    worker_off.probe_and_adapt(probe=lambda: 70.0,
+                               probe_tiled=lambda: (120.0, 80.0))
+    assert worker_off._effective_tiled_route == "stacked"
+    assert worker_off.link_status["tiled_ab_ms"] is None
+
+    # explicit route: the A/B is not even probed
+    calls = []
+
+    def counting_ab():
+        calls.append(1)
+        return (120.0, 80.0)
+
+    worker_rows = InferenceWorker(
+        det, EngineConfig(tiled_upload="stacked"))
+    worker_rows.probe_and_adapt(probe=lambda: 20.0,
+                                probe_tiled=counting_ab)
+    assert worker_rows._effective_tiled_route == "stacked"
+    assert not calls
 
 
 def test_worker_adapts_and_recovers():
@@ -149,6 +224,13 @@ def test_timer_reprobe_flips_paths_both_directions(monkeypatch):
     reading = {"mbps": 5.0}
     monkeypatch.setattr(link, "probe_h2d_mbps",
                         lambda: reading["mbps"])
+    # the timer path (probe=None) also runs the tiled A/B probe; fake
+    # it consistently with the bandwidth reading so the tiled decision
+    # flips with the link state like the other two choices
+    monkeypatch.setattr(
+        link, "probe_tiled_route_ms",
+        lambda *a, **k: ((120.0, 80.0) if reading["mbps"] < 250.0
+                         else (50.0, 90.0)))
 
     det = Detector(
         DetectorConfig(variant="RFB-320", compute_dtype="float32"),
