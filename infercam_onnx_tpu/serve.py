@@ -9,7 +9,7 @@ Usage::
         [--min-confidence 0.5] [--max-iou 0.5] [--top-k 256] \
         [--max-detections 64] [--max-batch 16] [--batch-window-ms 4] \
         [--queue-capacity 10] [--no-coalesce] \
-        [--warmup 640x480,1280x720] [--warmup-async] \
+        [--warmup 640x480,1280x720] [--warmup-sync] \
         [--decode-scale 1|2|4|8] \
         [--decode-mode pixels|coefficients|ycbcr] [--annotate device|host] \
         [--tile-min-pixels N] \
@@ -108,10 +108,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warmup", default="",
                     help="comma-separated WxH input resolutions to "
                          "pre-compile, e.g. 640x480,1280x720")
-    ap.add_argument("--warmup-async", action="store_true",
+    ap.add_argument("--warmup-async", dest="warmup_async",
+                    action="store_true", default=True,
                     help="open listeners immediately and warm the "
-                         "device in the background (fast restarts: raw "
-                         "streams flow at once, inference when warm)")
+                         "device in the background (the default: raw "
+                         "streams flow at once, inference when warm — "
+                         "matches the reference, whose HTTP listener "
+                         "never waits for model load, "
+                         "infer_server.rs:48-68; on this rig's tunnel "
+                         "the warm-up latch read alone can stall "
+                         "minutes, during which a sync server answers "
+                         "nothing, not even /healthcheck)")
+    ap.add_argument("--warmup-sync", dest="warmup_async",
+                    action="store_false",
+                    help="block the listeners until device warm-up "
+                         "(latch-trip read, link probe, program "
+                         "compiles) completes; /healthcheck then "
+                         "implies fully warm")
     ap.add_argument("--decode-mode", default="pixels",
                     choices=["pixels", "coefficients", "ycbcr"],
                     help="coefficients: detection-only frames skip host "
