@@ -408,7 +408,12 @@ def test_annotated_serving_e2e_splice(native, detector, tmp_path):
             server_config=cfg,
             engine_config=EngineConfig(batch_buckets=(1,),
                                        decode_mode="coefficients",
-                                       annotate_mode="device"),
+                                       annotate_mode="device",
+                                       # pinned path under test: a loaded
+                                       # CPU can probe "degraded" and the
+                                       # adaptive router would silently
+                                       # re-route coefficients -> ycbcr
+                                       link_adaptive=False),
             detector=detector, data_parallel="off")
         try:
             viewer = asyncio.create_task(_read_stream(
@@ -457,7 +462,8 @@ def test_annotated_serving_splice_overflow_falls_back(native, detector,
             engine_config=EngineConfig(batch_buckets=(1,),
                                        decode_mode="coefficients",
                                        annotate_mode="device",
-                                       annotate_splice_blocks=8),
+                                       annotate_splice_blocks=8,
+                                       link_adaptive=False),
             detector=detector, data_parallel="off")
         try:
             viewer = asyncio.create_task(_read_stream(
@@ -504,7 +510,8 @@ def test_annotated_serving_e2e_device(native, detector, tmp_path,
             server_config=cfg,
             engine_config=EngineConfig(batch_buckets=(1,),
                                        decode_mode=decode_mode,
-                                       annotate_mode="device"),
+                                       annotate_mode="device",
+                                       link_adaptive=False),
             detector=detector, data_parallel="off")
         assert server.worker._annotate_device
         try:

@@ -496,8 +496,12 @@ def test_detections_with_coefficient_mode(detector, tmp_path):
     (tmp_path / "c.jpg").write_bytes(codec.encode_rgb(frame, 90, "420"))
 
     async def run():
+        # link_adaptive off: this test exists to exercise the
+        # coefficients serving path; a loaded-CPU probe reading
+        # "degraded" would silently re-route it to ycbcr
         server, _ = await _start(detector, 18320, 18321,
-                                 decode_mode="coefficients")
+                                 decode_mode="coefficients",
+                                 link_adaptive=False)
         try:
             stream_task = asyncio.create_task(
                 _http_get(18320, "/detections?name=z",
