@@ -242,8 +242,17 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.preset:
         tokens = argv if argv is not None else sys.argv[1:]
-        passed = {t.split("=", 1)[0][2:].replace("-", "_")
-                  for t in tokens if t.startswith("--")}
+        # map flag spellings to their argparse dests so aliases count
+        # as the same setting (--warmup-sync and --warmup-async share
+        # dest warmup_async: either one passed means the user chose,
+        # and the preset must not override it)
+        flag_dest = {opt[2:].replace("-", "_"): action.dest
+                     for action in ap._actions
+                     for opt in action.option_strings
+                     if opt.startswith("--")}
+        passed = {flag_dest.get(name, name) for name in
+                  (t.split("=", 1)[0][2:].replace("-", "_")
+                   for t in tokens if t.startswith("--"))}
         for key, value in PRESETS[args.preset].items():
             if key not in passed:  # explicitly-passed flags win
                 setattr(args, key, value)

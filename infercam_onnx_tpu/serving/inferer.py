@@ -83,14 +83,19 @@ class InferenceWorker:
         # the paths actually in effect (may differ from the configured
         # ones on a degraded link) + the probe verdict, surfaced via
         # /stats "link". Pre-probe defaults: decode/annotate as
-        # configured; tiled_upload "auto" resolves to "rows" (this
-        # development rig's tunnel is usually degraded — one probe
-        # flips it to "stacked" on a healthy link).
+        # configured; tiled_upload "auto" resolves to "rows" only when
+        # a probe WILL run to re-decide it (this development rig's
+        # tunnel is usually degraded — one probe flips it to "stacked"
+        # on a healthy link). With link_adaptive off no probe ever
+        # runs, so "auto" must resolve to the healthy-link default.
         self._effective_decode_mode = engine_config.decode_mode
         self._effective_annotate_mode = engine_config.annotate_mode
-        self._effective_tiled_route = (
-            "rows" if engine_config.tiled_upload == "auto"
-            else engine_config.tiled_upload)
+        if engine_config.tiled_upload != "auto":
+            self._effective_tiled_route = engine_config.tiled_upload
+        elif engine_config.link_adaptive:
+            self._effective_tiled_route = "rows"
+        else:
+            self._effective_tiled_route = "stacked"
         self.link_status: dict = {
             "probed": False,
             "configured_decode_mode": engine_config.decode_mode,
@@ -147,7 +152,10 @@ class InferenceWorker:
         ab = None
         if (probe_tiled is not None
                 and self._cfg.tiled_upload == "auto"
-                and self._cfg.link_tiled_ab_probe):
+                and self._cfg.link_tiled_ab_probe
+                and self._cfg.tile_min_pixels):
+            # the ~12 MB A/B transfer is only worth paying when tiling
+            # can actually be exercised (tile_min_pixels=0 disables it)
             stacked_ms, rows_ms = probe_tiled()
             ab = (float(stacked_ms), float(rows_ms))
         decisions = _link.decide(self._cfg, mbps, tiled_ab_ms=ab)

@@ -105,3 +105,21 @@ def test_scale_adapts_to_observed_cost():
              must=True, default=0)
     assert plan.scale > 1.0
     assert plan.scale <= 6.0
+
+
+def test_append_anchor_never_costs_the_json_line(tmp_path, monkeypatch):
+    """_append_anchor is best-effort by contract: ANY docs failure
+    (here an undecodable PERFORMANCE.md -> UnicodeDecodeError, which is
+    not an OSError) must be swallowed, because it runs after all
+    measurement and before the single JSON line is printed."""
+    from bench import _append_anchor
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "PERFORMANCE.md").write_bytes(
+        b"\xff\xfe garbage <!-- anchor-rows:end -->")
+    monkeypatch.setattr("bench.os.path.dirname",
+                        lambda p: str(tmp_path))
+    _append_anchor({"latch_s": 1.0, "value": 2.0})  # must not raise
+    # the jsonl row (written before the doc read) still landed
+    assert (docs / "anchors.jsonl").read_text().strip()

@@ -86,6 +86,13 @@ def test_preset_flag_bundles(monkeypatch):
     ec = captured["engine_config"]
     assert ec.decode_mode == "ycbcr" and ec.annotate_mode == "host"
 
+    # flag ALIASES count as explicitly passed: --warmup-sync shares
+    # dest warmup_async with --warmup-async, and the throughput preset
+    # sets warmup_async=True — the user's sync choice must survive
+    captured.clear()
+    assert serve.main(["--preset", "throughput", "--warmup-sync"]) == 0
+    assert captured["warmup_async"] is False
+
 
 @pytest.mark.slow
 def test_two_process_deployment(tmp_path):

@@ -156,7 +156,8 @@ def test_worker_tiled_route_follows_measured_ab():
         DetectorConfig(variant="RFB-320", compute_dtype="float32"),
         rng=0)
     worker = InferenceWorker(
-        det, EngineConfig(tiled_upload="auto"))
+        det, EngineConfig(tiled_upload="auto",
+                          tile_min_pixels=500_000))
 
     # healthy-looking bandwidth, but rows measures faster -> rows
     worker.probe_and_adapt(probe=lambda: 70.0,
@@ -194,6 +195,31 @@ def test_worker_tiled_route_follows_measured_ab():
                                 probe_tiled=counting_ab)
     assert worker_rows._effective_tiled_route == "stacked"
     assert not calls
+
+    # tiling disabled (tile_min_pixels=0, the default): the ~12 MB A/B
+    # transfer is never paid for a route that can't be exercised
+    worker_notile = InferenceWorker(
+        det, EngineConfig(tiled_upload="auto"))
+    worker_notile.probe_and_adapt(probe=lambda: 20.0,
+                                  probe_tiled=counting_ab)
+    assert not calls
+    assert worker_notile.link_status["tiled_ab_ms"] is None
+
+
+def test_tiled_auto_without_adaptivity_defaults_healthy():
+    """With link_adaptive off no probe ever runs, so tiled_upload
+    "auto" must resolve to the healthy-link default (stacked), not the
+    degraded-rig pre-probe default (rows) that a probe would correct."""
+    det = Detector(
+        DetectorConfig(variant="RFB-320", compute_dtype="float32"),
+        rng=0)
+    worker = InferenceWorker(
+        det, EngineConfig(tiled_upload="auto", link_adaptive=False))
+    assert worker._effective_tiled_route == "stacked"
+    # adaptive on: pre-probe rows, awaiting the warm-up probe
+    worker_on = InferenceWorker(
+        det, EngineConfig(tiled_upload="auto", link_adaptive=True))
+    assert worker_on._effective_tiled_route == "rows"
 
 
 def test_worker_adapts_and_recovers():
