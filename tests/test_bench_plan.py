@@ -107,6 +107,38 @@ def test_scale_adapts_to_observed_cost():
     assert plan.scale <= 6.0
 
 
+def test_sigterm_emits_partial_json_line(tmp_path):
+    """If the driver's external timeout SIGTERMs the bench mid-phase
+    (observed once: killed during the final optional phase, the whole
+    run's record lost), the signal handler must emit the snapshot of
+    everything measured so far as the one JSON line and exit 0."""
+    import json
+    import subprocess
+
+    script = tmp_path / "drive.py"
+    script.write_text(
+        "import os, signal, sys\n"
+        f"sys.path.insert(0, {str(Path(__file__).parents[1])!r})\n"
+        "import bench\n"
+        "bench._PARTIAL = {'metric': 'm', 'value': 3.5, 'unit': 'f/s',\n"
+        "                  'vs_baseline': 2.0, 'partial_at': 'tiled',\n"
+        "                  'phase_s': {'anchor': 1.0},\n"
+        "                  'skipped_phases': []}\n"
+        "signal.signal(signal.SIGTERM, bench._emit_partial_and_exit)\n"
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+        "signal.pause()\n")
+    proc = subprocess.run([sys.executable, str(script)],
+                          capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 0
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    row = json.loads(lines[0])
+    assert row["partial"] is True
+    assert row["value"] == 3.5 and row["vs_baseline"] == 2.0
+    assert row["partial_at"] == "tiled"
+    assert "killed_by" in row
+
+
 def test_append_anchor_never_costs_the_json_line(tmp_path, monkeypatch):
     """_append_anchor is best-effort by contract: ANY docs failure
     (here an undecodable PERFORMANCE.md -> UnicodeDecodeError, which is
