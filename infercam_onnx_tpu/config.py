@@ -119,6 +119,15 @@ class EngineConfig:
     # of bulk bandwidth). False = threshold fallback
     # (link_tiled_rows_below_mbps).
     link_tiled_ab_probe: bool = True
+    # Tie band for the A/B decision, as a fraction of the slower
+    # route's time: when the two measured routes are within this
+    # margin, prefer "stacked" instead of the raw winner. Evidence
+    # (docs/PERFORMANCE.md, fifth round-5 window): a 5.8% A/B gap
+    # picked rows but stacked won the full window by ~3% — gaps that
+    # small are inside the tunnel's minute-scale noise, while every
+    # correctly-routed window had a gap >= 25%. Worst case of the tie
+    # rule is bounded by the band itself. 0 disables (raw winner).
+    link_tiled_ab_tie_pct: float = 10.0
     # Upload route for tiled high-res packed-plane batches on a single
     # chip. "stacked": one large device_put of the stacked batch (fewer
     # transfer calls; best on healthy DMA links). "rows": per-frame

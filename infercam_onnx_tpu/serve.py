@@ -198,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
                          "won at 30 AND 61-72 MB/s probes, stacked at "
                          "49; docs/PERFORMANCE.md). off = threshold "
                          "fallback (--link-tiled-crossover-mbps)")
+    ap.add_argument("--link-tiled-ab-tie-pct", type=float, default=10.0,
+                    help="A/B gaps below this percent are inside link "
+                         "noise: pick stacked (fewer transfer calls) "
+                         "instead of the raw winner — the one observed "
+                         "A/B miss had a 5.8%% gap, every correct call "
+                         ">= 25%% (docs/PERFORMANCE.md). 0 = raw winner")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace into this dir")
     ap.add_argument("--tile-min-pixels", type=int, default=0,
@@ -363,6 +369,7 @@ def main(argv: list[str] | None = None) -> int:
                     link_tiled_rows_below_mbps=(
                         args.link_tiled_crossover_mbps),
                     link_tiled_ab_probe=args.link_tiled_ab == "on",
+                    link_tiled_ab_tie_pct=args.link_tiled_ab_tie_pct,
                     tiled_upload=args.tiled_upload,
                     tile_min_pixels=args.tile_min_pixels,
                     tile_grid=tuple(

@@ -121,7 +121,7 @@ def decide_decode_mode(configured_mode: str, h2d_mbps: float,
 def decide_tiled_route(configured: str, h2d_mbps: float,
                        rows_below_mbps: float,
                        ab_ms: tuple[float, float] | None = None,
-                       ) -> tuple[str, str]:
+                       tie_pct: float = 10.0) -> tuple[str, str]:
     """Upload route for tiled high-res packed-plane batches on a
     single chip; returns (route, why) where route is "rows" or
     "stacked".
@@ -144,6 +144,17 @@ def decide_tiled_route(configured: str, h2d_mbps: float,
         return configured, "configured route kept"
     if ab_ms is not None:
         stacked_ms, rows_ms = ab_ms
+        # near-tie band: gaps inside the tunnel's minute-scale noise
+        # (the one observed A/B miss had a 5.8% gap; every correct
+        # call had >= 25%) default to stacked — fewer transfer calls,
+        # and the route the full window favored in that miss
+        gap = abs(stacked_ms - rows_ms) / max(stacked_ms, rows_ms, 1e-9)
+        if gap * 100.0 < tie_pct:
+            return "stacked", (
+                f"measured A/B within the {tie_pct:.0f}% tie band "
+                f"(stacked {stacked_ms:.1f} vs rows {rows_ms:.1f} ms "
+                "per batch — inside link noise): one large copy by "
+                "default")
         if rows_ms < stacked_ms:
             return "rows", (
                 f"measured A/B: rows {rows_ms:.1f} ms vs stacked "
@@ -201,7 +212,8 @@ def decide(engine_config, h2d_mbps: float,
         engine_config.decode_mode, h2d_mbps, healthy)
     route, route_why = decide_tiled_route(
         engine_config.tiled_upload, h2d_mbps,
-        engine_config.link_tiled_rows_below_mbps, ab_ms=tiled_ab_ms)
+        engine_config.link_tiled_rows_below_mbps, ab_ms=tiled_ab_ms,
+        tie_pct=getattr(engine_config, "link_tiled_ab_tie_pct", 10.0))
     annot, annot_why = decide_annotate_mode(
         engine_config.annotate_mode, h2d_mbps,
         engine_config.link_annotate_floor_mbps)

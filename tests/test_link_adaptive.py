@@ -85,6 +85,30 @@ def test_policy_tiled_route_measured_ab():
     assert route == "rows"
 
 
+def test_policy_tiled_route_ab_tie_band():
+    """A/B gaps inside the tie band are link noise (the one observed
+    miss had a 5.8% gap; every correct call >= 25%): prefer stacked
+    over the raw winner. 0 disables the band."""
+    crossover = 40.0
+    # rows nominally faster but only by ~5.7% -> inside the default
+    # 10% band -> stacked, and the why says so
+    route, why = link.decide_tiled_route("auto", 60.0, crossover,
+                                         ab_ms=(53.0, 50.1))
+    assert route == "stacked" and "tie band" in why
+    # same measurement with the band disabled -> raw winner (rows)
+    route, why = link.decide_tiled_route("auto", 60.0, crossover,
+                                         ab_ms=(53.0, 50.1),
+                                         tie_pct=0.0)
+    assert route == "rows"
+    # a 25%+ gap clears the band in both directions
+    route, _ = link.decide_tiled_route("auto", 60.0, crossover,
+                                       ab_ms=(100.0, 75.0))
+    assert route == "rows"
+    route, _ = link.decide_tiled_route("auto", 60.0, crossover,
+                                       ab_ms=(75.0, 100.0))
+    assert route == "stacked"
+
+
 def test_policy_annotate_floor():
     floor = 10.0
     # device annotate is kept well into degraded territory (it is
